@@ -1,0 +1,370 @@
+"""Wan video diffusion transformer (DiT), TPU-native.
+
+Functional re-design of the reference WanModel
+(diffsynth_wan21/models/wan_video_dit.py:361-527) and DiTBlock (:254-321):
+
+  * every module is (init, apply) over an explicit param pytree;
+  * the reference's ``return_partial`` / ``run_remaining`` flags become two
+    pure functions -- ``dit_block_attn_half`` and ``dit_block_ffn_half`` --
+    which is exactly what the IRG fusion loop needs;
+  * patchify is a reshape + matmul (a stride==kernel Conv3d is a linear map
+    per patch), which lands directly on the MXU instead of a conv kernel;
+  * the per-layer camera AdaLN adapter (camera_control.py:81-148,
+    pose_inject_method='adaln') is folded into the cross-attention apply as
+    optional params -- blocks without an adapter simply omit them.
+
+Weight-layout contract (enforced by the checkpoint converter):
+linears are (in, out); patch_embedding kernel is ((c*pt*ph*pw), dim) with
+input patch features flattened in (c, dt, dy, dx) order.
+"""
+from __future__ import annotations
+
+import dataclasses
+import math
+from typing import Any, Dict, List, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ...core.params import init_linear, init_layernorm, init_rmsnorm
+from ...ops import rope as rope_ops
+from ...ops.attention import dot_product_attention
+from ...ops.norms import rms_norm, layer_norm, modulate
+
+PyTree = Any
+
+
+@dataclasses.dataclass(frozen=True)
+class WanDiTConfig:
+    dim: int = 5120
+    in_dim: int = 36
+    ffn_dim: int = 13824
+    out_dim: int = 16
+    text_dim: int = 4096
+    freq_dim: int = 256
+    eps: float = 1e-6
+    patch_size: Tuple[int, int, int] = (1, 2, 2)
+    num_heads: int = 40
+    num_layers: int = 40
+    has_image_input: bool = True
+    has_image_pos_emb: bool = False
+    # per-layer camera AdaLN adapters on cross-attn of blocks [0, adapter_end)
+    # (reference installs processors on blocks <= 24: wan_video_dit.py:515)
+    camera_adapter_end: int = 0
+    plucker_dim: int = 2048
+
+    @property
+    def head_dim(self) -> int:
+        return self.dim // self.num_heads
+
+    def has_adapter(self, layer: int) -> bool:
+        return layer < self.camera_adapter_end
+
+
+# ---------------------------------------------------------------------------
+# init
+# ---------------------------------------------------------------------------
+
+def _init_mlp2(rng, d_in, d_mid, d_out, dtype):
+    r1, r2 = jax.random.split(rng)
+    return {"fc1": init_linear(r1, d_in, d_mid, dtype=dtype),
+            "fc2": init_linear(r2, d_mid, d_out, dtype=dtype)}
+
+
+def _init_attn(rng, dim, dtype, image_kv=False):
+    rs = jax.random.split(rng, 6)
+    p = {
+        "q": init_linear(rs[0], dim, dim, dtype=dtype),
+        "k": init_linear(rs[1], dim, dim, dtype=dtype),
+        "v": init_linear(rs[2], dim, dim, dtype=dtype),
+        "o": init_linear(rs[3], dim, dim, dtype=dtype),
+        "norm_q": init_rmsnorm(dim, dtype=dtype),
+        "norm_k": init_rmsnorm(dim, dtype=dtype),
+    }
+    if image_kv:
+        p["k_img"] = init_linear(rs[4], dim, dim, dtype=dtype)
+        p["v_img"] = init_linear(rs[5], dim, dim, dtype=dtype)
+        p["norm_k_img"] = init_rmsnorm(dim, dtype=dtype)
+    return p
+
+
+def _init_camera_adapter(rng, cfg: WanDiTConfig, dtype):
+    """AdaLN pose adapter (camera_control.py:24-63): GroupLinearDualK is a
+    linear on the plucker stream plus a 2-layer MLP on the hidden stream;
+    GroupLinearDualV maps the combined stream to a zero-init shift."""
+    rs = jax.random.split(rng, 5)
+    c, d = cfg.plucker_dim, cfg.dim
+    mid_k = min(d, c) // 2            # 1024
+    mid_v = c // 5                    # 409
+    return {
+        "k_group1": init_linear(rs[0], c, c, dtype=dtype),
+        "k_group2": {"fc1": init_linear(rs[1], d, mid_k, dtype=dtype),
+                     "fc2": init_linear(rs[2], mid_k, c, dtype=dtype)},
+        "v_group2": {"fc1": init_linear(rs[3], c, mid_v, dtype=dtype),
+                     "fc2": {"kernel": jnp.zeros((mid_v, d), dtype),
+                             "bias": jnp.zeros((d,), dtype)}},
+    }
+
+
+def init_dit_block(rng, cfg: WanDiTConfig, layer: int, dtype=jnp.bfloat16) -> Dict:
+    rs = jax.random.split(rng, 6)
+    p = {
+        "self_attn": _init_attn(rs[0], cfg.dim, dtype),
+        "cross_attn": _init_attn(rs[1], cfg.dim, dtype,
+                                 image_kv=cfg.has_image_input),
+        "norm3": init_layernorm(cfg.dim, dtype=dtype),
+        "ffn": _init_mlp2(rs[2], cfg.dim, cfg.ffn_dim, cfg.dim, dtype),
+        "modulation": (jax.random.normal(rs[3], (1, 6, cfg.dim))
+                       / math.sqrt(cfg.dim)).astype(dtype),
+    }
+    if cfg.has_adapter(layer):
+        p["camera"] = _init_camera_adapter(rs[4], cfg, dtype)
+    return p
+
+
+def init_wan_dit(rng, cfg: WanDiTConfig, dtype=jnp.bfloat16) -> Dict:
+    rs = jax.random.split(rng, 8 + cfg.num_layers)
+    patch_in = cfg.in_dim * int(np.prod(cfg.patch_size))
+    p = {
+        "patch_embedding": init_linear(rs[0], patch_in, cfg.dim, dtype=dtype),
+        "text_embedding": _init_mlp2(rs[1], cfg.text_dim, cfg.dim, cfg.dim, dtype),
+        "time_embedding": _init_mlp2(rs[2], cfg.freq_dim, cfg.dim, cfg.dim, dtype),
+        "time_projection": init_linear(rs[3], cfg.dim, cfg.dim * 6, dtype=dtype),
+        "head": {
+            "head": init_linear(rs[4], cfg.dim,
+                                cfg.out_dim * int(np.prod(cfg.patch_size)),
+                                dtype=dtype),
+            "modulation": (jax.random.normal(rs[5], (1, 2, cfg.dim))
+                           / math.sqrt(cfg.dim)).astype(dtype),
+        },
+        "blocks": [init_dit_block(rs[8 + i], cfg, i, dtype)
+                   for i in range(cfg.num_layers)],
+    }
+    if cfg.has_image_input:
+        r6a, r6b = jax.random.split(rs[6])
+        p["img_emb"] = {
+            "norm_in": init_layernorm(1280, dtype=dtype),
+            "fc1": init_linear(r6a, 1280, cfg.dim, dtype=dtype),
+            "fc2": init_linear(r6b, cfg.dim, cfg.dim, dtype=dtype),
+            "norm_out": init_layernorm(cfg.dim, dtype=dtype),
+        }
+        if cfg.has_image_pos_emb:
+            p["img_emb"]["emb_pos"] = jnp.zeros((1, 514, 1280), dtype)
+    return p
+
+
+# ---------------------------------------------------------------------------
+# apply
+# ---------------------------------------------------------------------------
+
+def _linear(p, x):
+    y = jnp.dot(x, p["kernel"], preferred_element_type=jnp.float32)
+    if "bias" in p:
+        y = y + p["bias"].astype(jnp.float32)
+    return y.astype(x.dtype)
+
+
+def _gelu_tanh_mlp(p, x):
+    return _linear(p["fc2"], jax.nn.gelu(_linear(p["fc1"], x), approximate=True))
+
+
+def _split_heads(x, num_heads):
+    b, l, d = x.shape
+    return x.reshape(b, l, num_heads, d // num_heads)
+
+
+def _merge_heads(x):
+    b, l, h, d = x.shape
+    return x.reshape(b, l, h * d)
+
+
+def self_attention(p, x, rope_cos, rope_sin, num_heads, eps=1e-6):
+    """RMS-normed q/k with 3D RoPE (wan_video_dit.py:159-182)."""
+    q = rms_norm(_linear(p["q"], x), p["norm_q"]["scale"], eps)
+    k = rms_norm(_linear(p["k"], x), p["norm_k"]["scale"], eps)
+    v = _linear(p["v"], x)
+    q = rope_ops.apply_rope_interleaved(_split_heads(q, num_heads), rope_cos, rope_sin)
+    k = rope_ops.apply_rope_interleaved(_split_heads(k, num_heads), rope_cos, rope_sin)
+    o = dot_product_attention(q, k, _split_heads(v, num_heads))
+    return _linear(p["o"], _merge_heads(o))
+
+
+def cross_attention(p, x, context, num_heads, *, has_image_input, eps=1e-6,
+                    plucker_fea=None, apply_pose=False, camera=None):
+    """Text (+image) cross attention with optional camera AdaLN injection
+    (CrossAttentionProcessor wan_video_dit.py:185-201 and the 'adaln'
+    branch of camera_control.py:113-127 applied before the output proj)."""
+    if has_image_input:
+        img, ctx = context[:, :257], context[:, 257:]
+    else:
+        ctx = context
+    q = rms_norm(_linear(p["q"], x), p["norm_q"]["scale"], eps)
+    k = rms_norm(_linear(p["k"], ctx), p["norm_k"]["scale"], eps)
+    v = _linear(p["v"], ctx)
+    qh = _split_heads(q, num_heads)
+    o = dot_product_attention(qh, _split_heads(k, num_heads),
+                              _split_heads(v, num_heads))
+    o = _merge_heads(o)
+    if has_image_input:
+        k_img = rms_norm(_linear(p["k_img"], img), p["norm_k_img"]["scale"], eps)
+        v_img = _linear(p["v_img"], img)
+        o_img = dot_product_attention(qh, _split_heads(k_img, num_heads),
+                                      _split_heads(v_img, num_heads))
+        o = o + _merge_heads(o_img)
+
+    if camera is None:
+        camera = p.get("camera")
+    if apply_pose and camera is not None and plucker_fea is not None:
+        cam = camera
+        plucker_proj = _linear(cam["k_group1"], plucker_fea)
+        hidden = _linear(cam["k_group2"]["fc2"],
+                         jax.nn.relu(_linear(cam["k_group2"]["fc1"], o)))
+        combined = hidden + plucker_proj
+        shift = _linear(cam["v_group2"]["fc2"],
+                        jax.nn.relu(_linear(cam["v_group2"]["fc1"], combined)))
+        # GroupLinearDualV returns scale=0 identically (camera_control.py:61),
+        # so the modulation reduces to an additive shift.
+        o = o + shift
+    return _linear(p["o"], o)
+
+
+def dit_block_modulation(p, t_mod):
+    """(1,6,dim) table + per-sample t_mod -> six (B,1,dim) modifiers."""
+    m = p["modulation"].astype(jnp.float32) + t_mod.astype(jnp.float32)
+    return [m[:, i:i + 1] for i in range(6)]
+
+
+def dit_block_attn_half(p, x, context, t_mod, rope_cos, rope_sin,
+                        cfg: WanDiTConfig, *, plucker_fea=None,
+                        apply_pose=False, eps=None):
+    """Self-attn + cross-attn portion; returns (x, (shift/scale/gate mlp)).
+
+    Equals the reference DiTBlock.forward(..., return_partial=True)
+    (wan_video_dit.py:296-306).
+    """
+    eps = cfg.eps if eps is None else eps
+    sh_msa, sc_msa, g_msa, sh_mlp, sc_mlp, g_mlp = dit_block_modulation(p, t_mod)
+    xd = x.dtype
+    h = modulate(layer_norm(x, None, eps).astype(jnp.float32), sh_msa, sc_msa).astype(xd)
+    x = x + (g_msa * self_attention(p["self_attn"], h, rope_cos, rope_sin,
+                                    cfg.num_heads, eps).astype(jnp.float32)).astype(xd)
+    x = x + cross_attention(p["cross_attn"], layer_norm(x, p["norm3"], eps),
+                            context, cfg.num_heads,
+                            has_image_input=cfg.has_image_input, eps=eps,
+                            plucker_fea=plucker_fea, apply_pose=apply_pose,
+                            camera=p.get("camera"))
+    return x, (sh_mlp, sc_mlp, g_mlp)
+
+
+def dit_block_ffn_half(p, x, modifiers, cfg: WanDiTConfig, eps=None):
+    """FFN portion given saved modifiers -- DiTBlock run_remaining
+    (wan_video_dit.py:288-294)."""
+    eps = cfg.eps if eps is None else eps
+    sh_mlp, sc_mlp, g_mlp = modifiers
+    xd = x.dtype
+    h = modulate(layer_norm(x, None, eps).astype(jnp.float32), sh_mlp, sc_mlp).astype(xd)
+    return x + (g_mlp * _gelu_tanh_mlp(p["ffn"], h).astype(jnp.float32)).astype(xd)
+
+
+def dit_block_apply(p, x, context, t_mod, rope_cos, rope_sin,
+                    cfg: WanDiTConfig, *, plucker_fea=None, apply_pose=False):
+    x, mods = dit_block_attn_half(p, x, context, t_mod, rope_cos, rope_sin,
+                                  cfg, plucker_fea=plucker_fea,
+                                  apply_pose=apply_pose)
+    return dit_block_ffn_half(p, x, mods, cfg)
+
+
+# ---------------------------------------------------------------------------
+# embeddings / patchify / head
+# ---------------------------------------------------------------------------
+
+def time_embedding(p, cfg: WanDiTConfig, timestep):
+    """sinusoidal -> MLP(silu); t_mod = silu -> linear -> (B, 6, dim)."""
+    emb = rope_ops.sinusoidal_embedding_1d(cfg.freq_dim, timestep)
+    emb = emb.astype(p["time_embedding"]["fc1"]["kernel"].dtype)
+    t = _linear(p["time_embedding"]["fc2"],
+                jax.nn.silu(_linear(p["time_embedding"]["fc1"], emb)))
+    t_mod = _linear(p["time_projection"], jax.nn.silu(t))
+    return t, t_mod.reshape(t.shape[0], 6, cfg.dim)
+
+
+def text_embedding(p, x):
+    return _gelu_tanh_mlp(p["text_embedding"], x)
+
+
+def img_embedding(p, clip_feature):
+    """CLIP tokens -> dim (MLP with exact GELU, wan_video_dit.py:324-341)."""
+    ie = p["img_emb"]
+    x = clip_feature
+    if "emb_pos" in ie:
+        x = x + ie["emb_pos"].astype(x.dtype)
+    x = layer_norm(x, ie["norm_in"])
+    x = _linear(ie["fc2"], jax.nn.gelu(_linear(ie["fc1"], x), approximate=False))
+    return layer_norm(x, ie["norm_out"])
+
+
+def patchify(p, cfg: WanDiTConfig, x):
+    """(B, C, F, H, W) -> tokens (B, f*h*w, dim) + grid (f, h, w).
+
+    Stride==kernel Conv3d as reshape+matmul: patch features flattened in
+    (c, dt, dy, dx) order to match the converted torch kernel.
+    """
+    pt, ph, pw = cfg.patch_size
+    B, C, F, H, W = x.shape
+    f, h, w = F // pt, H // ph, W // pw
+    x = x.reshape(B, C, f, pt, h, ph, w, pw)
+    x = x.transpose(0, 2, 4, 6, 1, 3, 5, 7)          # B f h w c pt ph pw
+    x = x.reshape(B, f * h * w, C * pt * ph * pw)
+    return _linear(p["patch_embedding"], x), (f, h, w)
+
+
+def unpatchify(cfg: WanDiTConfig, x, grid):
+    f, h, w = grid
+    pt, ph, pw = cfg.patch_size
+    B = x.shape[0]
+    x = x.reshape(B, f, h, w, pt, ph, pw, cfg.out_dim)
+    x = x.transpose(0, 7, 1, 4, 2, 5, 3, 6)
+    return x.reshape(B, cfg.out_dim, f * pt, h * ph, w * pw)
+
+
+def head_apply(p, cfg: WanDiTConfig, x, t):
+    hp = p["head"]
+    mod = hp["modulation"].astype(jnp.float32) + t.astype(jnp.float32)[:, None]
+    shift, scale = mod[:, 0:1], mod[:, 1:2]
+    h = (layer_norm(x, None, cfg.eps).astype(jnp.float32) * (1 + scale)
+         + shift).astype(x.dtype)
+    return _linear(hp["head"], h)
+
+
+# ---------------------------------------------------------------------------
+# full forward (standalone DiT; the fusion model drives blocks itself)
+# ---------------------------------------------------------------------------
+
+def prepare_inputs(p, cfg: WanDiTConfig, x, timestep, context,
+                   clip_feature=None, y=None):
+    """Shared preamble: embeddings, channel concat, patchify, rope tables."""
+    t, t_mod = time_embedding(p, cfg, timestep)
+    ctx = text_embedding(p, context)
+    if cfg.has_image_input:
+        x = jnp.concatenate([x, y], axis=1)
+        ctx = jnp.concatenate([img_embedding(p, clip_feature), ctx], axis=1)
+    tokens, grid = patchify(p, cfg, x)
+    f, h, w = grid
+    angles = rope_ops.build_angles_3d(cfg.head_dim, f, h, w)
+    cos, sin = rope_ops.cos_sin_from_angles(angles)
+    return tokens, t, t_mod, ctx, grid, (cos, sin)
+
+
+def wan_dit_forward(p, cfg: WanDiTConfig, x, timestep, context,
+                    clip_feature=None, y=None, plucker_fea=None):
+    tokens, t, t_mod, ctx, grid, (cos, sin) = prepare_inputs(
+        p, cfg, x, timestep, context, clip_feature, y)
+    apply_pose = plucker_fea is not None
+    for i, bp in enumerate(p["blocks"]):
+        tokens = dit_block_apply(
+            bp, tokens, ctx, t_mod, cos, sin, cfg,
+            plucker_fea=plucker_fea,
+            apply_pose=apply_pose and cfg.has_adapter(i))
+    out = head_apply(p, cfg, tokens, t)
+    return unpatchify(cfg, out, grid)

@@ -1,0 +1,71 @@
+"""Single attention dispatch for the whole framework.
+
+Every attention in the model zoo goes through ``dot_product_attention``:
+DiT self-attention (3D RoPE, 40 heads x 128), DiT cross-attention
+(text+image context), VGGT frame/global attention (16 heads x 64, 2D RoPE),
+and the bidirectional cross-modal attention (12 heads x 96) -- mirroring the
+reference's priority dispatch (wan_video_dit.py:28-66) but TPU-first:
+
+  * backend="pallas": fused flash-attention kernel (ops/flash_attention.py)
+    -- the default on TPU.
+  * backend="xla": reference einsum path with f32 softmax -- the fallback on
+    CPU and the parity oracle in tests.
+
+Layout is (batch, seq, heads, head_dim) throughout ("BSHD"); RoPE is applied
+by callers before dispatch.
+"""
+from __future__ import annotations
+
+import functools
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+
+_FORCED_BACKEND: Optional[str] = None
+
+
+def set_default_backend(name: Optional[str]) -> None:
+    """Force a backend globally ('pallas' | 'xla' | None for auto)."""
+    global _FORCED_BACKEND
+    _FORCED_BACKEND = name
+
+
+def _auto_backend() -> str:
+    if _FORCED_BACKEND is not None:
+        return _FORCED_BACKEND
+    return "pallas" if jax.default_backend() == "tpu" else "xla"
+
+
+def dot_product_attention(
+    q: jnp.ndarray,
+    k: jnp.ndarray,
+    v: jnp.ndarray,
+    *,
+    scale: Optional[float] = None,
+    backend: Optional[str] = None,
+) -> jnp.ndarray:
+    """Dense bidirectional attention.
+
+    q: (B, Lq, H, D), k/v: (B, Lk, H, D). Returns (B, Lq, H, D) in q.dtype.
+    Softmax statistics in f32 on every backend.
+    """
+    if scale is None:
+        scale = q.shape[-1] ** -0.5
+    backend = backend or _auto_backend()
+    if backend == "pallas":
+        from .flash_attention import flash_attention
+        return flash_attention(q, k, v, scale=scale)
+    if backend == "xla":
+        return _xla_attention(q, k, v, scale)
+    raise ValueError(f"unknown attention backend: {backend}")
+
+
+@functools.partial(jax.jit, static_argnums=(3,))
+def _xla_attention(q, k, v, scale):
+    logits = jnp.einsum("bqhd,bkhd->bhqk", q, k,
+                        preferred_element_type=jnp.float32) * scale
+    probs = jax.nn.softmax(logits, axis=-1)
+    out = jnp.einsum("bhqk,bkhd->bqhd", probs.astype(v.dtype), v,
+                     preferred_element_type=jnp.float32)
+    return out.astype(q.dtype)

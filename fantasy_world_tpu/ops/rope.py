@@ -1,0 +1,177 @@
+"""Rotary position embeddings: Wan 3D interleaved RoPE and VGGT 2D RoPE.
+
+The reference computes RoPE as complex128 multiplication
+(diffsynth_wan21/models/wan_video_dit.py:88-102 ``precompute_freqs_cis`` /
+``rope_apply``). TPUs have no fast float64 path, so here the *angle tables*
+are precomputed host-side in numpy float64 (exactly matching the torch
+float64 table) and materialised once as f32 cos/sin arrays; the rotation
+itself is pure f32 vector math on the VPU. Parity of this split is covered
+by tests/test_rope.py against the torch oracle.
+
+Layout notes:
+  * Wan RoPE is *interleaved*: the head dim is viewed as d/2 complex pairs
+    ``(x[..., 0::2], x[..., 1::2])``.
+  * The 3D table concatenates [frame | height | width] frequency bands of
+    sizes (d/2 - 2*(d/6*... )) -- for head_dim 128: 22 + 21 + 21 complex.
+  * VGGT 2D RoPE (vggt/layers/rope.py) is *half-split*: the head dim is
+    split into (vertical, horizontal) halves, each rotated non-interleaved
+    with rotate_half = [-x2, x1], base frequency 100.
+"""
+from __future__ import annotations
+
+import functools
+from typing import Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+
+# ---------------------------------------------------------------------------
+# Wan-style interleaved RoPE (1D bands composed into 3D)
+# ---------------------------------------------------------------------------
+
+def _freqs_1d_f64(dim: int, end: int, theta: float) -> np.ndarray:
+    """Angle table (end, dim//2) in float64; mirrors torch precompute_freqs_cis."""
+    inv = 1.0 / (theta ** (np.arange(0, dim, 2)[: dim // 2].astype(np.float64) / dim))
+    return np.outer(np.arange(end, dtype=np.float64), inv)
+
+
+@functools.lru_cache(maxsize=32)
+def rope_table_3d(head_dim: int, end: int = 1024, theta: float = 10000.0
+                  ) -> Tuple[np.ndarray, np.ndarray, np.ndarray]:
+    """Per-axis angle tables (f, h, w) with band sizes matching the reference
+    split: f gets head_dim - 2*(head_dim//3), h and w get head_dim//3 each."""
+    d_f = head_dim - 2 * (head_dim // 3)
+    d_hw = head_dim // 3
+    return (
+        _freqs_1d_f64(d_f, end, theta),
+        _freqs_1d_f64(d_hw, end, theta),
+        _freqs_1d_f64(d_hw, end, theta),
+    )
+
+
+def build_angles_3d(head_dim: int, f: int, h: int, w: int,
+                    n_extra_per_frame: int = 0) -> np.ndarray:
+    """Full angle grid for a (f, h, w) token lattice, flattened to
+    (seq, head_dim//2) float64 (host-side).
+
+    With ``n_extra_per_frame`` > 0, each frame is prefixed by that many
+    tokens with *zero* angle (unit rotation) -- the fusion model's
+    freqs_bi_agg layout (reference build_freqs_3d_with_extra_cis:
+    wan_video_dit.py:105-132, extra tokens get torch.ones == angle 0).
+    """
+    tf, th, tw = rope_table_3d(head_dim)
+    ff = np.broadcast_to(tf[:f][:, None, None, :], (f, h, w, tf.shape[1]))
+    hh = np.broadcast_to(th[:h][None, :, None, :], (f, h, w, th.shape[1]))
+    ww = np.broadcast_to(tw[:w][None, None, :, :], (f, h, w, tw.shape[1]))
+    grid = np.concatenate([ff, hh, ww], axis=-1)          # (f,h,w,d/2)
+    if n_extra_per_frame:
+        d2 = grid.shape[-1]
+        grid = grid.reshape(f, h * w, d2)
+        extra = np.zeros((f, n_extra_per_frame, d2), np.float64)
+        grid = np.concatenate([extra, grid], axis=1)
+        return grid.reshape(f * (n_extra_per_frame + h * w), d2)
+    return grid.reshape(f * h * w, grid.shape[-1])
+
+
+def cos_sin_from_angles(angles: np.ndarray, dtype=jnp.float32
+                        ) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """cos/sin computed in float64 on host, then cast once."""
+    return (jnp.asarray(np.cos(angles), dtype), jnp.asarray(np.sin(angles), dtype))
+
+
+def apply_rope_interleaved(x: jnp.ndarray, cos: jnp.ndarray, sin: jnp.ndarray
+                           ) -> jnp.ndarray:
+    """Rotate interleaved complex pairs.
+
+    x: (..., seq, heads, head_dim); cos/sin: (seq, head_dim//2) broadcast
+    over leading dims and heads. Computation in f32, returned in x.dtype.
+    """
+    orig_dtype = x.dtype
+    xf = x.astype(jnp.float32)
+    shp = xf.shape
+    xf = xf.reshape(*shp[:-1], shp[-1] // 2, 2)
+    x1, x2 = xf[..., 0], xf[..., 1]
+    c = cos[..., :, None, :]   # (seq, 1, d/2) -> broadcast over heads
+    s = sin[..., :, None, :]
+    o1 = x1 * c - x2 * s
+    o2 = x1 * s + x2 * c
+    out = jnp.stack([o1, o2], axis=-1).reshape(shp)
+    return out.astype(orig_dtype)
+
+
+# ---------------------------------------------------------------------------
+# VGGT-style 2D RoPE (half-split, rotate-half)
+# ---------------------------------------------------------------------------
+
+@functools.lru_cache(maxsize=32)
+def rope2d_freq_table(dim_per_axis: int, max_pos: int, frequency: float = 100.0
+                      ) -> Tuple[np.ndarray, np.ndarray]:
+    """cos/sin tables (max_pos, dim_per_axis) for one spatial axis.
+
+    Mirrors vggt/layers/rope.py:_compute_frequency_components: angles of
+    size dim/2 duplicated to dim (concat(angles, angles)).
+    """
+    exponents = np.arange(0, dim_per_axis, 2, dtype=np.float64) / dim_per_axis
+    inv_freq = 1.0 / (frequency ** exponents)
+    pos = np.arange(max_pos, dtype=np.float64)
+    ang = np.outer(pos, inv_freq)
+    ang = np.concatenate([ang, ang], axis=-1)
+    return np.cos(ang).astype(np.float32), np.sin(ang).astype(np.float32)
+
+
+def _rotate_half(x: jnp.ndarray) -> jnp.ndarray:
+    d = x.shape[-1]
+    return jnp.concatenate([-x[..., d // 2:], x[..., : d // 2]], axis=-1)
+
+
+def apply_rope_2d(x: jnp.ndarray, positions: jnp.ndarray, *,
+                  frequency: float = 100.0, max_pos: int = 2048) -> jnp.ndarray:
+    """2D rope on (..., seq, heads, head_dim) with integer positions
+    (..., seq, 2) holding (y, x). Head dim split into two halves rotated
+    independently by the y and x position."""
+    orig_dtype = x.dtype
+    xf = x.astype(jnp.float32)
+    d = xf.shape[-1]
+    half = d // 2
+    cos_t, sin_t = rope2d_freq_table(half, max_pos, frequency)
+    cos_t = jnp.asarray(cos_t)
+    sin_t = jnp.asarray(sin_t)
+
+    xv, xh = xf[..., :half], xf[..., half:]
+    out = []
+    for feats, p in ((xv, positions[..., 0]), (xh, positions[..., 1])):
+        c = cos_t[p][..., :, None, :]   # (..., seq, 1, half)
+        s = sin_t[p][..., :, None, :]
+        out.append(feats * c + _rotate_half(feats) * s)
+    return jnp.concatenate(out, axis=-1).astype(orig_dtype)
+
+
+def grid_positions_2d(h: int, w: int, n_special: int = 0) -> np.ndarray:
+    """(n_special + h*w, 2) int32 positions: special tokens at (0,0), patch
+    tokens at 1-based (y, x) -- reference aggregator.py:179-187."""
+    ys, xs = np.meshgrid(np.arange(h), np.arange(w), indexing="ij")
+    pos = np.stack([ys.ravel(), xs.ravel()], axis=-1).astype(np.int32) + 1
+    if n_special:
+        pos = np.concatenate([np.zeros((n_special, 2), np.int32), pos], axis=0)
+    return pos
+
+
+# ---------------------------------------------------------------------------
+# Timestep embedding
+# ---------------------------------------------------------------------------
+
+def sinusoidal_embedding_1d(dim: int, position: jnp.ndarray) -> jnp.ndarray:
+    """[cos | sin] timestep embedding; mirrors wan_video_dit.py:73-77.
+
+    The torch oracle computes the outer product in float64; here the
+    frequency vector is float64-precomputed on host and the outer product is
+    f32 -- timestep magnitudes (<=1000) keep this well within f32 precision.
+    """
+    half = dim // 2
+    freqs = jnp.asarray(
+        np.power(10000.0, -np.arange(half, dtype=np.float64) / half),
+        jnp.float32)
+    sinusoid = position.astype(jnp.float32)[:, None] * freqs[None, :]
+    return jnp.concatenate([jnp.cos(sinusoid), jnp.sin(sinusoid)], axis=1)

@@ -1,0 +1,62 @@
+"""Test configuration: run on a virtual 8-device CPU mesh.
+
+Environment must be set before jax is imported anywhere, so this conftest
+performs the setup at import time (pytest loads conftest first).
+"""
+import os
+import sys
+
+os.environ["JAX_PLATFORMS"] = "cpu"
+flags = os.environ.get("XLA_FLAGS", "")
+if "xla_force_host_platform_device_count" not in flags:
+    os.environ["XLA_FLAGS"] = (
+        flags + " --xla_force_host_platform_device_count=8").strip()
+
+# A pytest plugin may have imported jax before this conftest ran; the config
+# update below still wins as long as no backend has been initialized yet.
+import jax  # noqa: E402
+
+jax.config.update("jax_platforms", "cpu")
+
+REPO_ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+if REPO_ROOT not in sys.path:
+    sys.path.insert(0, REPO_ROOT)
+
+REFERENCE_ROOT = "/root/reference"
+
+
+def reference_available() -> bool:
+    return os.path.isdir(os.path.join(REFERENCE_ROOT, "FantasyWorld"))
+
+
+def add_reference_to_path():
+    """Make the reference torch implementation importable as a CPU oracle.
+
+    Optional heavyweight deps of the reference that are absent from this
+    image are stubbed out -- the oracle modules we exercise do not use them.
+    """
+    if REFERENCE_ROOT not in sys.path:
+        sys.path.insert(0, REFERENCE_ROOT)
+    import types
+
+    import importlib.machinery
+
+    def stub(name):
+        mod = types.ModuleType(name)
+        mod.__dict__["__getattr__"] = lambda *_a, **_k: None
+        mod.__spec__ = importlib.machinery.ModuleSpec(name, None)
+        sys.modules[name] = mod
+        return mod
+
+    for name in ("modelscope", "imageio", "imageio_ffmpeg", "pandas", "ftfy",
+                 "cv2"):
+        if name not in sys.modules:
+            try:
+                __import__(name)
+            except ImportError:
+                stub(name)
+    try:
+        import torchvision  # noqa: F401
+    except (ImportError, ValueError):
+        tv = stub("torchvision")
+        tv.transforms = stub("torchvision.transforms")

@@ -1,0 +1,47 @@
+"""Attention dispatch: XLA path numerics + Pallas kernel parity (interpret)."""
+import numpy as np
+import pytest
+import jax
+import jax.numpy as jnp
+
+from fantasy_world_tpu.ops.attention import dot_product_attention
+from fantasy_world_tpu.ops import flash_attention as fa
+
+
+def _ref_attention(q, k, v, scale):
+    logits = np.einsum("bqhd,bkhd->bhqk", q, k) * scale
+    logits = logits - logits.max(axis=-1, keepdims=True)
+    p = np.exp(logits)
+    p = p / p.sum(axis=-1, keepdims=True)
+    return np.einsum("bhqk,bkhd->bqhd", p, v)
+
+
+@pytest.mark.parametrize("lq,lk,h,d", [(37, 53, 2, 64), (128, 128, 1, 96)])
+def test_xla_attention_matches_numpy(lq, lk, h, d):
+    rng = np.random.default_rng(0)
+    q = rng.standard_normal((2, lq, h, d)).astype(np.float32)
+    k = rng.standard_normal((2, lk, h, d)).astype(np.float32)
+    v = rng.standard_normal((2, lk, h, d)).astype(np.float32)
+    out = dot_product_attention(jnp.asarray(q), jnp.asarray(k), jnp.asarray(v),
+                                backend="xla")
+    ref = _ref_attention(q, k, v, d ** -0.5)
+    np.testing.assert_allclose(np.asarray(out), ref, rtol=2e-4, atol=2e-4)
+
+
+@pytest.mark.parametrize("lq,lk,h,d,bq,bk", [
+    (256, 256, 2, 128, 128, 128),     # aligned
+    (200, 300, 1, 64, 128, 128),      # ragged seq + padded head dim
+    (130, 513, 2, 96, 128, 256),      # ragged everything
+])
+def test_pallas_flash_attention_interpret_parity(lq, lk, h, d, bq, bk):
+    rng = np.random.default_rng(1)
+    q = rng.standard_normal((1, lq, h, d)).astype(np.float32)
+    k = rng.standard_normal((1, lk, h, d)).astype(np.float32)
+    v = rng.standard_normal((1, lk, h, d)).astype(np.float32)
+
+    from jax.experimental.pallas import tpu as pltpu
+    with pltpu.force_tpu_interpret_mode():
+        out = fa.flash_attention(jnp.asarray(q), jnp.asarray(k), jnp.asarray(v),
+                                 block_q=bq, block_k=bk)
+    ref = _ref_attention(q, k, v, d ** -0.5)
+    np.testing.assert_allclose(np.asarray(out), ref, rtol=2e-4, atol=2e-4)
