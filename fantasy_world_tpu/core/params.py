@@ -66,3 +66,15 @@ def count_params(tree: PyTree) -> int:
 
 def cast_tree(tree: PyTree, dtype) -> PyTree:
     return jax.tree_util.tree_map(lambda x: x.astype(dtype), tree)
+
+
+def stack_trees(trees) -> PyTree:
+    """Stack a list of identically-structured pytrees leaf-wise along a new
+    leading axis -- the layout lax.scan consumes for homogeneous block
+    stacks (compile the block body once instead of once per layer)."""
+    return jax.tree_util.tree_map(lambda *xs: jnp.stack(xs), *trees)
+
+
+def index_tree(tree: PyTree, i) -> PyTree:
+    """Select layer i from a stacked block tree."""
+    return jax.tree_util.tree_map(lambda x: x[i], tree)

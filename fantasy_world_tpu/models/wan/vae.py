@@ -1,0 +1,273 @@
+"""Wan 2.1 3D-causal video VAE, TPU-native full-sequence implementation.
+
+Re-design of diffsynth_wan21/models/wan_video_vae.py. The reference streams
+the causal convs frame-by-frame with a feature cache and stages spatial
+tiles through CPU -- both GPU-memory workarounds. Here the entire clip runs
+as fused XLA convolutions over the full time axis, using the streaming
+equivalences derived in ops/causal_conv.py:
+
+  * plain CausalConv3d chains (conv1/residual/head)  == left-padded conv;
+  * Resample 'downsample3d' == passthrough frame 0 ++ no-pad stride-2 conv;
+  * Resample 'upsample3d'   == passthrough frame 0 ++ zero-history causal
+    conv over frames 1.. with channel-split time doubling.
+
+A spatially tiled mode with the reference's linear blend masks
+(wan_video_vae.py:619-745) is provided for parity testing and very large
+resolutions.
+
+Architecture (z=16, dim=96, mult [1,2,4,4], 2 res blocks, no attn scales):
+encoder 8x spatial + 4x temporal down to 16ch latents with per-channel
+mean/std normalization; decoder mirrors with channel halving at each
+upsample.
+"""
+from __future__ import annotations
+
+import dataclasses
+from typing import Dict, List, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ...ops.causal_conv import (causal_conv3d, conv2d, resample_up3d,
+                                rms_norm_channel, conv3d)
+
+LATENT_MEAN = np.array([
+    -0.7571, -0.7089, -0.9113, 0.1075, -0.1745, 0.9653, -0.1517, 1.5508,
+    0.4134, -0.0715, 0.5517, -0.3632, -0.1922, -0.9497, 0.2503, -0.2921,
+], np.float32)
+LATENT_STD = np.array([
+    2.8184, 1.4541, 2.3275, 2.6558, 1.2196, 1.7708, 2.6052, 2.0743,
+    3.2687, 2.1526, 2.8652, 1.5579, 1.6382, 1.1253, 2.8251, 1.9160,
+], np.float32)
+
+
+@dataclasses.dataclass(frozen=True)
+class VAEConfig:
+    dim: int = 96
+    z_dim: int = 16
+    dim_mult: Tuple[int, ...] = (1, 2, 4, 4)
+    num_res_blocks: int = 2
+    attn_scales: Tuple[float, ...] = ()
+    temperal_downsample: Tuple[bool, ...] = (False, True, True)
+
+    @property
+    def temperal_upsample(self):
+        return tuple(reversed(self.temperal_downsample))
+
+
+# ---------------------------------------------------------------------------
+# layer plans: ordered (kind, meta) lists mirroring the torch nn.Sequential
+# indices, shared by apply and the checkpoint converter.
+# ---------------------------------------------------------------------------
+
+def encoder_downsample_plan(cfg: VAEConfig) -> List[Tuple[str, dict]]:
+    dims = [cfg.dim * u for u in (1,) + tuple(cfg.dim_mult)]
+    plan, scale = [], 1.0
+    for i, (din, dout) in enumerate(zip(dims[:-1], dims[1:])):
+        d = din
+        for _ in range(cfg.num_res_blocks):
+            plan.append(("res", {"in": d, "out": dout}))
+            if scale in cfg.attn_scales:
+                plan.append(("attn", {"dim": dout}))
+            d = dout
+        if i != len(cfg.dim_mult) - 1:
+            mode = "down3d" if cfg.temperal_downsample[i] else "down2d"
+            plan.append((mode, {"dim": dout}))
+            scale /= 2.0
+    return plan
+
+
+def decoder_upsample_plan(cfg: VAEConfig) -> List[Tuple[str, dict]]:
+    dims = [cfg.dim * u for u in (cfg.dim_mult[-1],) + tuple(cfg.dim_mult[::-1])]
+    plan = []
+    scale = 1.0 / 2 ** (len(cfg.dim_mult) - 2)
+    for i, (din, dout) in enumerate(zip(dims[:-1], dims[1:])):
+        d = din // 2 if i in (1, 2, 3) else din
+        for _ in range(cfg.num_res_blocks + 1):
+            plan.append(("res", {"in": d, "out": dout}))
+            if scale in cfg.attn_scales:
+                plan.append(("attn", {"dim": dout}))
+            d = dout
+        if i != len(cfg.dim_mult) - 1:
+            mode = "up3d" if cfg.temperal_upsample[i] else "up2d"
+            plan.append((mode, {"dim": dout}))
+            scale *= 2.0
+    return plan
+
+
+# ---------------------------------------------------------------------------
+# layer applies
+# ---------------------------------------------------------------------------
+
+def _silu(x):
+    return jax.nn.silu(x.astype(jnp.float32)).astype(x.dtype)
+
+
+def residual_block(p: Dict, x: jnp.ndarray) -> jnp.ndarray:
+    h = causal_conv3d(p["shortcut"], x) if "shortcut" in p else x
+    y = causal_conv3d(p["conv1"], _silu(rms_norm_channel(p["norm1"], x)))
+    y = causal_conv3d(p["conv2"], _silu(rms_norm_channel(p["norm2"], y)))
+    return y + h
+
+
+def attention_block(p: Dict, x: jnp.ndarray) -> jnp.ndarray:
+    """Single-head per-frame spatial attention (wan_video_vae.py:236-272)."""
+    B, C, T, H, W = x.shape
+    h = x.transpose(0, 2, 1, 3, 4).reshape(B * T, C, H, W)
+    # RMS_norm channel_first images=True: gamma (C,1,1)
+    hf = h.astype(jnp.float32)
+    n = hf / jnp.maximum(jnp.sqrt(jnp.sum(hf * hf, axis=1, keepdims=True)),
+                         1e-12) * (C ** 0.5)
+    n = (n * p["norm"]["gamma"].astype(jnp.float32)).astype(x.dtype)
+    qkv = conv2d(p["to_qkv"]["kernel"], p["to_qkv"]["bias"], n,
+                 padding=((0, 0), (0, 0)))
+    qkv = qkv.reshape(B * T, 3, C, H * W)
+    q, k, v = qkv[:, 0], qkv[:, 1], qkv[:, 2]     # (BT, C, HW)
+    logits = jnp.einsum("bcq,bck->bqk", q, k,
+                        preferred_element_type=jnp.float32) * (C ** -0.5)
+    probs = jax.nn.softmax(logits, axis=-1).astype(x.dtype)
+    o = jnp.einsum("bqk,bck->bcq", probs, v,
+                   preferred_element_type=jnp.float32).astype(x.dtype)
+    o = o.reshape(B * T, C, H, W)
+    o = conv2d(p["proj"]["kernel"], p["proj"]["bias"], o,
+               padding=((0, 0), (0, 0)))
+    return x + o.reshape(B, T, C, H, W).transpose(0, 2, 1, 3, 4)
+
+
+def _spatial(fn, x):
+    B, C, T, H, W = x.shape
+    y = fn(x.transpose(0, 2, 1, 3, 4).reshape(B * T, C, H, W))
+    return y.reshape(B, T, y.shape[1], y.shape[2], y.shape[3]).transpose(
+        0, 2, 1, 3, 4)
+
+
+def _nearest_up2(x):
+    return jnp.repeat(jnp.repeat(x, 2, axis=-2), 2, axis=-1)
+
+
+def resample_apply(kind: str, p: Dict, x: jnp.ndarray) -> jnp.ndarray:
+    if kind == "up3d":
+        x = resample_up3d(p, x)
+        return _spatial(lambda h: conv2d(p["resample_conv"]["kernel"],
+                                         p["resample_conv"]["bias"],
+                                         _nearest_up2(h)), x)
+    if kind == "up2d":
+        return _spatial(lambda h: conv2d(p["resample_conv"]["kernel"],
+                                         p["resample_conv"]["bias"],
+                                         _nearest_up2(h)), x)
+    if kind in ("down2d", "down3d"):
+        # ZeroPad2d (left 0, right 1, top 0, bottom 1) + 3x3 stride-2 conv
+        x = _spatial(lambda h: conv2d(p["resample_conv"]["kernel"],
+                                      p["resample_conv"]["bias"], h,
+                                      stride=(2, 2),
+                                      padding=((0, 1), (0, 1))), x)
+        if kind == "down3d":
+            # streaming equivalence: frame 0 passthrough ++ stride-2 no-pad
+            # causal window conv over the full sequence
+            first = x[:, :, :1]
+            y = conv3d(p["time_conv"]["kernel"], p["time_conv"]["bias"], x,
+                       stride=(2, 1, 1), padding=((0, 0), (0, 0), (0, 0)))
+            x = jnp.concatenate([first, y], axis=2)
+        return x
+    raise ValueError(kind)
+
+
+def _run_plan(plan, params_list, x):
+    for (kind, _), p in zip(plan, params_list):
+        if kind == "res":
+            x = residual_block(p, x)
+        elif kind == "attn":
+            x = attention_block(p, x)
+        else:
+            x = resample_apply(kind, p, x)
+    return x
+
+
+# ---------------------------------------------------------------------------
+# encoder / decoder / public API
+# ---------------------------------------------------------------------------
+
+def encoder_apply(p: Dict, cfg: VAEConfig, x: jnp.ndarray) -> jnp.ndarray:
+    """(B, 3, T, H, W) video in [-1, 1] -> (B, 2*z, T', H/8, W/8)."""
+    x = causal_conv3d(p["conv1"], x)
+    x = _run_plan(encoder_downsample_plan(cfg), p["downsamples"], x)
+    x = residual_block(p["middle_res1"], x)
+    x = attention_block(p["middle_attn"], x)
+    x = residual_block(p["middle_res2"], x)
+    x = causal_conv3d(p["head_conv"], _silu(rms_norm_channel(p["head_norm"], x)))
+    return x
+
+
+def decoder_apply(p: Dict, cfg: VAEConfig, z: jnp.ndarray) -> jnp.ndarray:
+    x = causal_conv3d(p["conv1"], z)
+    x = residual_block(p["middle_res1"], x)
+    x = attention_block(p["middle_attn"], x)
+    x = residual_block(p["middle_res2"], x)
+    x = _run_plan(decoder_upsample_plan(cfg), p["upsamples"], x)
+    x = causal_conv3d(p["head_conv"], _silu(rms_norm_channel(p["head_norm"], x)))
+    return x
+
+
+def vae_encode(p: Dict, cfg: VAEConfig, video: jnp.ndarray) -> jnp.ndarray:
+    """video (B, 3, T, H, W) -> normalized latents (B, z, (T-1)/4+1, ...)."""
+    out = encoder_apply(p["encoder"], cfg, video)
+    mu = causal_conv3d(p["conv1"], out)[:, :cfg.z_dim]
+    mean = jnp.asarray(LATENT_MEAN, mu.dtype)[None, :, None, None, None]
+    inv_std = jnp.asarray(1.0 / LATENT_STD, mu.dtype)[None, :, None, None, None]
+    return (mu - mean) * inv_std
+
+
+def vae_decode(p: Dict, cfg: VAEConfig, latents: jnp.ndarray,
+               clamp: bool = True) -> jnp.ndarray:
+    """latents (B, z, T', h, w) -> video (B, 3, 4*T'-3, 8h, 8w) in [-1,1]."""
+    mean = jnp.asarray(LATENT_MEAN, latents.dtype)[None, :, None, None, None]
+    std = jnp.asarray(LATENT_STD, latents.dtype)[None, :, None, None, None]
+    z = latents * std + mean
+    z = causal_conv3d(p["conv2"], z)
+    video = decoder_apply(p["decoder"], cfg, z)
+    return jnp.clip(video, -1, 1) if clamp else video
+
+
+# ---------------------------------------------------------------------------
+# tiled decode (parity/huge-resolution option; wan_video_vae.py:619-692)
+# ---------------------------------------------------------------------------
+
+def _build_1d_mask(length, left_bound, right_bound, border):
+    x = np.ones((length,), np.float32)
+    ramp = (np.arange(border) + 1) / border
+    if not left_bound:
+        x[:border] = ramp
+    if not right_bound:
+        x[-border:] = ramp[::-1]
+    return x
+
+
+def vae_decode_tiled(p: Dict, cfg: VAEConfig, latents: jnp.ndarray,
+                     tile_size=(34, 34), tile_stride=(18, 16)) -> jnp.ndarray:
+    B, C, T, H, W = latents.shape
+    sh, sw = tile_size
+    th, tw = tile_stride
+    up = 8
+    out_T = T * 4 - 3
+    values = np.zeros((B, 3, out_T, H * up, W * up), np.float32)
+    weight = np.zeros((1, 1, 1, H * up, W * up), np.float32)
+    for h in range(0, H, th):
+        if h - th >= 0 and h - th + sh >= H:
+            continue
+        for w in range(0, W, tw):
+            if w - tw >= 0 and w - tw + sw >= W:
+                continue
+            tile = latents[:, :, :, h:h + sh, w:w + sw]
+            dec = np.asarray(vae_decode(p, cfg, tile, clamp=False),
+                             np.float32)
+            hm = _build_1d_mask(dec.shape[3], h == 0, h + sh >= H,
+                                (sh - th) * up)
+            wm = _build_1d_mask(dec.shape[4], w == 0, w + sw >= W,
+                                (sw - tw) * up)
+            mask = np.minimum(hm[:, None], wm[None, :])
+            values[:, :, :, h * up:h * up + dec.shape[3],
+                   w * up:w * up + dec.shape[4]] += dec * mask
+            weight[:, :, :, h * up:h * up + dec.shape[3],
+                   w * up:w * up + dec.shape[4]] += mask
+    return jnp.clip(jnp.asarray(values / weight), -1, 1).astype(latents.dtype)

@@ -1,0 +1,134 @@
+"""GSPMD sharding over a Mesh(('data', 'seq', 'model')).
+
+The scale-out design (SURVEY.md section 2.9): the reference's xfuser/NCCL
+Ulysses hooks become GSPMD annotations -- parameters carry tensor-parallel
+PartitionSpecs over 'model' (megatron-style column/row splits of the 5120-
+wide projections; 40 heads shard cleanly over up to 8 chips), activations
+are sharded over 'data' (CFG pair / batch) and 'seq' (video tokens), and
+XLA inserts the all-gathers/reduce-scatters over ICI. The small VGGT
+(1024) and bicross (1152) towers stay replicated.
+
+Rules are path-regex -> PartitionSpec, applied leaf-wise to the param tree.
+"""
+from __future__ import annotations
+
+import re
+from typing import Dict, List, Optional, Tuple
+
+import jax
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+
+def make_mesh(data: int = 1, seq: int = 1, model: int = 1,
+              devices=None) -> Mesh:
+    devices = np.asarray(devices if devices is not None else jax.devices())
+    n = data * seq * model
+    assert devices.size >= n, f"need {n} devices, have {devices.size}"
+    grid = devices[:n].reshape(data, seq, model)
+    return Mesh(grid, ("data", "seq", "model"))
+
+
+# (path regex, spec) -- first match wins. Paths are '/'-joined tree keys
+# with list indices, e.g. dit/blocks/3/self_attn/q/kernel.
+_DIT_ATTN = r"(dit|irg/\d+/dit)"
+PARAM_RULES: List[Tuple[str, P]] = [
+    # column-parallel: shard output features of q/k/v and ffn up-projection
+    (r".*/(self_attn|cross_attn)/(q|k|v|k_img|v_img)/kernel$",
+     P(None, "model")),
+    (r".*/(self_attn|cross_attn)/(q|k|v|k_img|v_img)/bias$", P("model")),
+    (r".*/ffn/fc1/kernel$", P(None, "model")),
+    (r".*/ffn/fc1/bias$", P("model")),
+    # row-parallel: shard input features of the output projections
+    (r".*/(self_attn|cross_attn)/o/kernel$", P("model", None)),
+    (r".*/ffn/fc2/kernel$", P("model", None)),
+    # T5 tower follows the same pattern
+    (r"t5/blocks/\d+/attn/(q|k|v)/kernel$", P(None, "model")),
+    (r"t5/blocks/\d+/attn/o/kernel$", P("model", None)),
+    (r"t5/blocks/\d+/ffn/(gate|fc1)/kernel$", P(None, "model")),
+    (r"t5/blocks/\d+/ffn/fc2/kernel$", P("model", None)),
+    (r"t5/token_embedding$", P(None, "model")),
+    # everything else (norms, embeddings, VGGT, bicross, VAE, CLIP): replicate
+    (r".*", P()),
+]
+
+
+def _iter_paths(tree, prefix=""):
+    if isinstance(tree, dict):
+        for k, v in tree.items():
+            yield from _iter_paths(v, f"{prefix}{k}/")
+    elif isinstance(tree, (list, tuple)):
+        for i, v in enumerate(tree):
+            yield from _iter_paths(v, f"{prefix}{i}/")
+    else:
+        yield prefix[:-1], tree
+
+
+def spec_for_path(path: str, rules=None) -> P:
+    for pat, spec in (rules or PARAM_RULES):
+        if re.match(pat, path):
+            return spec
+    return P()
+
+
+def _map_with_paths(fn, tree, prefix=""):
+    if isinstance(tree, dict):
+        return {k: _map_with_paths(fn, v, f"{prefix}{k}/")
+                for k, v in tree.items()}
+    if isinstance(tree, list):
+        return [_map_with_paths(fn, v, f"{prefix}{i}/")
+                for i, v in enumerate(tree)]
+    if isinstance(tree, tuple):
+        return tuple(_map_with_paths(fn, v, f"{prefix}{i}/")
+                     for i, v in enumerate(tree))
+    return fn(prefix[:-1], tree)
+
+
+def param_specs(tree, rules=None):
+    """Mirror the param tree with PartitionSpecs.
+
+    A rule that names more axes than a leaf has (or whose shard dim does not
+    divide the mesh axis) falls back to replication -- stacked scan params
+    gain a leading layer axis, handled by shifting the spec right.
+    """
+    def leaf(path, x):
+        spec = spec_for_path(path, rules)
+        ndim = getattr(x, "ndim", 0)
+        dims = list(spec)
+        if len(dims) > ndim:
+            return P()
+        return spec
+    return _map_with_paths(leaf, tree)
+
+
+def stacked_specs(tree, rules=None, strip_prefix: str = ""):
+    """Specs for leaf-stacked scan segments: same rules but with a leading
+    None for the layer axis."""
+    def leaf(path, x):
+        spec = spec_for_path(strip_prefix + path, rules)
+        dims = list(spec)
+        if len(dims) + 1 > getattr(x, "ndim", 0):
+            return P()
+        return P(*([None] + dims))
+    return _map_with_paths(leaf, tree)
+
+
+def shard_tree(tree, mesh: Mesh, specs=None):
+    """device_put every leaf with its NamedSharding."""
+    if specs is None:
+        specs = param_specs(tree)
+    return jax.tree_util.tree_map(
+        lambda x, s: jax.device_put(x, NamedSharding(mesh, s)), tree, specs,
+        is_leaf=lambda x: isinstance(x, P))
+
+
+def activation_spec(mesh: Mesh, kind: str = "tokens") -> P:
+    if kind == "tokens":      # (B, L, D)
+        return P("data", "seq", None)
+    if kind == "latent":      # (B, C, F, H, W)
+        return P("data", None, None, "seq", None)
+    return P()
+
+
+def constrain(x, mesh: Mesh, spec: P):
+    return jax.lax.with_sharding_constraint(x, NamedSharding(mesh, spec))

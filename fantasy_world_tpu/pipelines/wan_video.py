@@ -1,0 +1,212 @@
+"""FantasyWorld generation pipeline: conditioning -> denoise -> decode.
+
+TPU-native orchestration of the reference WanVideoPipeline + fusion
+generate_video (pipelines/wan_video.py; fusion/model_wan21.py:226-324):
+
+  * encode_prompt: umT5 ids -> context, zeroed past each prompt length
+    (wan_prompter.py:99-109); tokenization is host-side (a HF tokenizer
+    path may be supplied, otherwise pre-tokenized ids are accepted).
+  * encode_image: CLIP 257-token penultimate features + y = [4ch frame
+    mask ‖ 16ch VAE latent of the masked first-frame video]
+    (wan_video.py:218-276).
+  * denoise: CFG as a batch of 2 through one jitted scan over the 50-step
+    flow-matching schedule; the final step additionally runs the geometry
+    heads (reference computes the prediction only on the last step).
+  * decode: full-sequence causal VAE (tiled mode optional).
+"""
+from __future__ import annotations
+
+import dataclasses
+from typing import Dict, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..models.fusion.model import (FusionConfig, joint_forward,
+                                   prepare_scan_params)
+from ..models.wan import dit as dit_mod
+from ..models.wan.camera import (CameraPoseEncoderConfig,
+                                 camera_pose_encoder_apply)
+from ..models.wan.clip import (CLIPVisionConfig, clip_encode_image,
+                               preprocess_image)
+from ..models.wan.t5 import T5Config, t5_encode
+from ..models.wan.vae import (VAEConfig, vae_encode, vae_decode,
+                              vae_decode_tiled)
+from ..schedulers import FlowMatchScheduler
+
+
+@dataclasses.dataclass
+class FantasyWorldPipeline:
+    """Bundles configs + param trees for the full generation stack.
+
+    params keys: fusion (dit/vggt/bicross[/camera_pose_encoder]), t5, clip,
+    vae. Missing components degrade gracefully (e.g. pre-computed context
+    can be passed instead of t5 params).
+    """
+    cfg: FusionConfig
+    params: Dict
+    t5_cfg: T5Config = dataclasses.field(default_factory=T5Config)
+    clip_cfg: CLIPVisionConfig = dataclasses.field(default_factory=CLIPVisionConfig)
+    vae_cfg: VAEConfig = dataclasses.field(default_factory=VAEConfig)
+    pose_cfg: CameraPoseEncoderConfig = dataclasses.field(
+        default_factory=CameraPoseEncoderConfig)
+    text_len: int = 512
+    tokenizer_path: Optional[str] = None
+    _tokenizer: object = dataclasses.field(default=None, repr=False)
+    _scan_params: Dict = dataclasses.field(default=None, repr=False)
+
+    def __post_init__(self):
+        self._scan_params = prepare_scan_params(self.params["fusion"], self.cfg)
+
+    # -- text ---------------------------------------------------------------
+
+    def tokenize(self, prompt: str) -> Tuple[np.ndarray, np.ndarray]:
+        if self._tokenizer is None:
+            if self.tokenizer_path is None:
+                raise ValueError("no tokenizer_path configured; pass ids")
+            from transformers import AutoTokenizer
+            self._tokenizer = AutoTokenizer.from_pretrained(self.tokenizer_path)
+        import re
+        prompt = re.sub(r"\s+", " ", prompt).strip()
+        enc = self._tokenizer([prompt], padding="max_length", truncation=True,
+                              max_length=self.text_len, return_tensors="np")
+        return enc["input_ids"].astype(np.int32), enc["attention_mask"]
+
+    def encode_prompt(self, prompt=None, ids=None, mask=None) -> jnp.ndarray:
+        if ids is None:
+            ids, mask = self.tokenize(prompt)
+        ids = jnp.asarray(ids, jnp.int32)
+        mask = jnp.asarray(mask)
+        emb = t5_encode(self.params["t5"], self.t5_cfg, ids, mask)
+        # zero out positions past the true length (wan_prompter.py:107-108)
+        return emb * (mask[..., None] > 0)
+
+    # -- image --------------------------------------------------------------
+
+    def encode_image(self, image: np.ndarray, num_frames: int, height: int,
+                     width: int, end_image: Optional[np.ndarray] = None
+                     ) -> Dict[str, jnp.ndarray]:
+        """image: (H, W, 3) float in [-1, 1] already resized to (height,
+        width). Returns {'clip_feature': (1,257,1280), 'y': (1,20,f,h,w)}."""
+        img = jnp.asarray(image, jnp.float32).transpose(2, 0, 1)[None]
+        clip_in = preprocess_image(img)
+        dtype = self.params["fusion"]["dit"]["patch_embedding"]["kernel"].dtype
+        clip_feature = clip_encode_image(self.params["clip"], self.clip_cfg,
+                                         clip_in.astype(dtype))
+
+        msk = np.ones((1, num_frames, height // 8, width // 8), np.float32)
+        msk[:, 1:] = 0
+        frames = [img.transpose(1, 0, 2, 3)]       # (3, 1, H, W)
+        if end_image is not None:
+            end = jnp.asarray(end_image, jnp.float32).transpose(2, 0, 1)[None]
+            frames += [jnp.zeros((3, num_frames - 2, height, width)),
+                       end.transpose(1, 0, 2, 3)]
+            msk[:, -1:] = 1
+        else:
+            frames += [jnp.zeros((3, num_frames - 1, height, width))]
+        vae_input = jnp.concatenate(frames, axis=1)[None]   # (1,3,T,H,W)
+
+        msk = np.concatenate([msk[:, 0:1].repeat(4, axis=1), msk[:, 1:]],
+                             axis=1)
+        msk = msk.reshape(1, msk.shape[1] // 4, 4, height // 8, width // 8)
+        msk = msk.transpose(0, 2, 1, 3, 4)[0]                # (4, f, h, w)
+
+        lat = vae_encode(self.params["vae"], self.vae_cfg,
+                         vae_input.astype(dtype))[0]
+        y = jnp.concatenate([jnp.asarray(msk, lat.dtype), lat], axis=0)[None]
+        return {"clip_feature": clip_feature, "y": y}
+
+    # -- noise --------------------------------------------------------------
+
+    def generate_noise(self, shape, seed: Optional[int] = None,
+                       torch_compat: bool = False) -> jnp.ndarray:
+        """JAX PRNG by default; torch_compat reproduces the reference's
+        torch.manual_seed(1024) quirk (fusion/model_wan21.py:250-257) when
+        torch is importable, for bit-level A/B against the reference."""
+        if torch_compat:
+            import torch
+            torch.manual_seed(1024)
+            g = torch.Generator("cpu").manual_seed(seed) if seed is not None else None
+            return jnp.asarray(torch.randn(shape, generator=g,
+                                           dtype=torch.float32).numpy())
+        key = jax.random.PRNGKey(0 if seed is None else seed)
+        return jax.random.normal(key, shape, jnp.float32)
+
+    # -- camera -------------------------------------------------------------
+
+    def encode_plucker(self, plucker_embedding: np.ndarray) -> jnp.ndarray:
+        dtype = self.params["fusion"]["dit"]["patch_embedding"]["kernel"].dtype
+        return camera_pose_encoder_apply(
+            self.params["fusion"]["camera_pose_encoder"], self.pose_cfg,
+            jnp.asarray(plucker_embedding, dtype))
+
+    # -- denoise loop -------------------------------------------------------
+
+    def denoise(self, context_pos, context_neg, clip_feature, y,
+                height: int, width: int, num_frames: int = 81,
+                num_inference_steps: int = 50, cfg_scale: float = 5.0,
+                seed: Optional[int] = None, plucker_fea=None,
+                torch_compat_noise: bool = False):
+        """Returns (final latents (1,16,f,h,w), geometry prediction dict)."""
+        if num_frames % 4 != 1:
+            num_frames = (num_frames + 2) // 4 * 4 + 1
+        f = (num_frames - 1) // 4 + 1
+        sched = FlowMatchScheduler().set_timesteps(num_inference_steps)
+
+        dtype = self.params["fusion"]["dit"]["patch_embedding"]["kernel"].dtype
+        latents = self.generate_noise((1, 16, f, height // 8, width // 8),
+                                      seed, torch_compat_noise).astype(dtype)
+
+        # batch the CFG pair: row 0 positive, row 1 negative
+        ctx = jnp.concatenate([context_pos, context_neg], axis=0).astype(dtype)
+        clip2 = jnp.concatenate([clip_feature] * 2, axis=0).astype(dtype)
+        y2 = jnp.concatenate([y] * 2, axis=0).astype(dtype)
+        pl2 = (None if plucker_fea is None else
+               jnp.concatenate([plucker_fea] * 2, axis=0).astype(dtype))
+
+        params, scan_params, cfg = (self.params["fusion"], self._scan_params,
+                                    self.cfg)
+
+        def step_fn(lat, inputs):
+            timestep, sigma, sigma_next = inputs
+            lat2 = jnp.concatenate([lat] * 2, axis=0)
+            noise, _ = joint_forward(params, scan_params, cfg, lat2,
+                                     jnp.full((2,), timestep), ctx, clip2,
+                                     y2, plucker_fea=pl2)
+            pred = noise[1:2] + cfg_scale * (noise[0:1] - noise[1:2])
+            lat = lat + pred.astype(jnp.float32).astype(lat.dtype) * (
+                sigma_next - sigma)
+            return lat, None
+
+        pairs = sched.sigma_pairs()
+        ts = jnp.asarray(sched.timesteps)
+        # steps 0..n-2 in one scan; final step separately with the heads on
+        xs = (ts[:-1], jnp.asarray(pairs[:-1, 0]), jnp.asarray(pairs[:-1, 1]))
+        latents, _ = jax.lax.scan(step_fn, latents, xs)
+
+        t_last = jnp.full((2,), ts[-1])
+        lat2 = jnp.concatenate([latents] * 2, axis=0)
+        noise, prediction = joint_forward(params, scan_params, cfg, lat2,
+                                          t_last, ctx, clip2, y2,
+                                          plucker_fea=pl2,
+                                          return_prediction=True)
+        pred = noise[1:2] + cfg_scale * (noise[0:1] - noise[1:2])
+        latents = latents + pred.astype(jnp.float32).astype(latents.dtype) * (
+            float(pairs[-1, 1]) - float(pairs[-1, 0]))
+        if prediction is not None:
+            prediction = {k: v[:1] for k, v in prediction.items()}
+        return latents, prediction
+
+    # -- decode -------------------------------------------------------------
+
+    def decode_video(self, latents, tiled: bool = False,
+                     tile_size=(30, 52), tile_stride=(15, 26)) -> np.ndarray:
+        """latents (1,16,f,h,w) -> uint8 frames (T, H, W, 3)."""
+        if tiled:
+            video = vae_decode_tiled(self.params["vae"], self.vae_cfg,
+                                     latents, tile_size, tile_stride)
+        else:
+            video = vae_decode(self.params["vae"], self.vae_cfg, latents)
+        video = np.asarray(video[0].transpose(1, 2, 3, 0), np.float32)
+        return np.clip((video + 1) / 2 * 255, 0, 255).astype(np.uint8)

@@ -60,3 +60,18 @@ def add_reference_to_path():
     except (ImportError, ValueError):
         tv = stub("torchvision")
         tv.transforms = stub("torchvision.transforms")
+    try:
+        import diffusers  # noqa: F401
+    except (ImportError, ValueError):
+        dif = stub("diffusers")
+        cu = stub("diffusers.configuration_utils")
+        cu.ConfigMixin = type("ConfigMixin", (), {})
+        cu.register_to_config = lambda fn=None, **kw: fn if fn else (lambda f: f)
+        dif.configuration_utils = cu
+        mu = stub("diffusers.models.modeling_utils")
+        mu.ModelMixin = type("ModelMixin", (), {})
+        stub("diffusers.models").modeling_utils = mu
+        dif.models = sys.modules["diffusers.models"]
+        ld = stub("diffusers.loaders")
+        ld.PeftAdapterMixin = type("PeftAdapterMixin", (), {})
+        dif.loaders = ld
