@@ -49,6 +49,8 @@ def build(num_layers, start_index, agg_depth):
         start_index=start_index)
     params = init_fusion(jax.random.PRNGKey(0), cfg, jnp.bfloat16)
     scan = prepare_scan_params(params, cfg)
+    # init leaves are host numpy; move to HBM once so timing measures compute
+    params, scan = jax.device_put((params, scan))
     return cfg, params, scan
 
 
@@ -75,14 +77,27 @@ def time_step(cfg, params, scan, reps=3):
 
 
 def main():
+    import sys
+
+    def log(msg):
+        print(msg, file=sys.stderr, flush=True)
+
     # two depths isolate the per-layer marginal cost from fixed overhead
     shallow = (4, 2, 2)     # 2 PCB + 2 IRG
     deep = (8, 4, 4)        # 4 PCB + 4 IRG
+    t0 = time.perf_counter()
     cfg_s, p_s, s_s = build(*shallow)
+    log(f"[bench] shallow build {time.perf_counter() - t0:.0f}s")
+    t0 = time.perf_counter()
     t_s = time_step(cfg_s, p_s, s_s)
+    log(f"[bench] shallow compile+time {time.perf_counter() - t0:.0f}s "
+        f"-> {t_s * 1e3:.0f} ms/step")
     del p_s, s_s
+    t0 = time.perf_counter()
     cfg_d, p_d, s_d = build(*deep)
     t_d = time_step(cfg_d, p_d, s_d)
+    log(f"[bench] deep build+compile+time {time.perf_counter() - t0:.0f}s "
+        f"-> {t_d * 1e3:.0f} ms/step")
     del p_d, s_d
 
     per_pcb_irg_pair = (t_d - t_s) / 2.0   # cost of (1 PCB + 1 IRG)

@@ -51,6 +51,9 @@ def parse_args(argv=None):
     p.add_argument("--tokenizer_path", type=str, default=None,
                    help="umT5 tokenizer dir (defaults to "
                         "<wan_ckpt_path>/google/umt5-xxl if present)")
+    p.add_argument("--moge_ckpt", type=str, default=None,
+                   help="MoGe-2 model.pt for scale normalization "
+                        "(Ruicheng/moge-2-vitl-normal)")
     return p.parse_args(argv)
 
 
@@ -112,6 +115,15 @@ def run(args) -> None:
     cfg = FusionConfig()
     params = load_fusion_params(args.wan_ckpt_path, args.model_ckpt, cfg,
                                 jnp.bfloat16)
+    if args.using_scale and args.moge_ckpt:
+        import torch
+        from ..convert.moge import convert_moge
+        from ..models.moge.model import MoGeConfig
+        from ..models.moge.infer import set_default_moge
+        ckpt = torch.load(args.moge_ckpt, map_location="cpu",
+                          weights_only=True)
+        moge_sd = {k: v.float().numpy() for k, v in ckpt["model"].items()}
+        set_default_moge(convert_moge(moge_sd), MoGeConfig())
     tokenizer_path = args.tokenizer_path
     if tokenizer_path is None:
         cand = os.path.join(args.wan_ckpt_path, "google", "umt5-xxl")

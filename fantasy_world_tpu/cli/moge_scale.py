@@ -20,7 +20,9 @@ def moge_scale_normalize(image01: np.ndarray, extrinsics: np.ndarray,
     (S, 3, 3). Returns rebased+scaled (S, 4, 4) extrinsics."""
     if moge_infer is None:
         try:
-            from ..models.moge.infer import default_moge_infer as moge_infer
+            from ..models.moge.infer import default_moge_infer, _DEFAULT
+            if _DEFAULT["params"] is not None:
+                moge_infer = default_moge_infer
         except Exception:
             moge_infer = None
     if moge_infer is None:

@@ -30,15 +30,53 @@ class ParamSpec:
     dtype: Any = jnp.bfloat16
 
 
+def _np_rng(rng) -> "np.random.Generator":
+    """Host-side generator derived from a jax PRNG key. Init runs in numpy
+    (one jit per leaf through jax.random is minutes of compile overhead for
+    a 40-block model; converted checkpoints overwrite these values anyway)."""
+    import numpy as np
+    data = np.asarray(jax.random.key_data(rng)).ravel()
+    return np.random.default_rng(int(data[-1]) & 0x7FFFFFFF)
+
+
+def np_cast(x, dtype):
+    """Host-side dtype cast; bf16 via ml_dtypes so leaves stay numpy (no
+    per-leaf device transfer through the TPU tunnel at init time)."""
+    import numpy as np
+    import ml_dtypes
+    np_dtype = {jnp.bfloat16: ml_dtypes.bfloat16,
+                jnp.float32: np.float32,
+                jnp.float16: np.float16}.get(dtype, dtype)
+    return np.asarray(x).astype(np_dtype)
+
+
+def np_normal(rng, shape, std=1.0, dtype=jnp.float32):
+    return np_cast(_np_rng(rng).standard_normal(shape) * std, dtype)
+
+
+def np_zeros(shape, dtype=jnp.float32):
+    import numpy as np
+    return np_cast(np.zeros(shape, np.float32), dtype)
+
+
+def np_full(shape, value, dtype=jnp.float32):
+    import numpy as np
+    return np_cast(np.full(shape, value, np.float32), dtype)
+
+
+def np_ones(shape, dtype=jnp.float32):
+    return np_full(shape, 1.0, dtype)
+
+
 def init_linear(rng, in_dim: int, out_dim: int, *, bias: bool = True,
                 dtype=jnp.bfloat16, scale: float | None = None) -> Dict:
-    kr, _ = jax.random.split(rng)
     if scale is None:
         scale = 1.0 / math.sqrt(in_dim)
-    p = {"kernel": (jax.random.uniform(kr, (in_dim, out_dim), jnp.float32,
-                                       -scale, scale)).astype(dtype)}
+    gen = _np_rng(rng)
+    p = {"kernel": np_cast(gen.uniform(-scale, scale, (in_dim, out_dim)),
+                           dtype)}
     if bias:
-        p["bias"] = jnp.zeros((out_dim,), dtype)
+        p["bias"] = np_zeros((out_dim,), dtype)
     return p
 
 
@@ -53,11 +91,11 @@ def linear(p: Dict, x: jnp.ndarray, *, accum_dtype=jnp.float32) -> jnp.ndarray:
 def init_layernorm(dim: int, *, affine: bool = True, dtype=jnp.bfloat16) -> Dict:
     if not affine:
         return {}
-    return {"scale": jnp.ones((dim,), dtype), "bias": jnp.zeros((dim,), dtype)}
+    return {"scale": np_ones((dim,), dtype), "bias": np_zeros((dim,), dtype)}
 
 
 def init_rmsnorm(dim: int, *, dtype=jnp.bfloat16) -> Dict:
-    return {"scale": jnp.ones((dim,), dtype)}
+    return {"scale": np_ones((dim,), dtype)}
 
 
 def count_params(tree: PyTree) -> int:

@@ -20,7 +20,7 @@ from typing import Dict, Tuple
 import jax
 import jax.numpy as jnp
 
-from ...core.params import init_linear
+from ...core.params import init_linear, np_zeros
 from ...ops import rope as rope_ops
 from ...ops.attention import dot_product_attention
 from ...ops.norms import layer_norm
@@ -47,8 +47,8 @@ def init_bicross(rng, cfg: BicrossConfig, dtype=jnp.bfloat16) -> Dict:
         "values_m2_proj": init_linear(rs[3], cfg.m2_dim, cfg.hidden, dtype=dtype),
         "out_m1_proj": init_linear(rs[4], cfg.hidden, cfg.m1_dim, dtype=dtype),
         "out_m2_proj": init_linear(rs[5], cfg.hidden, cfg.m2_dim, dtype=dtype),
-        "gamma_m1": jnp.zeros((cfg.m1_dim,), dtype),
-        "gamma_m2": jnp.zeros((cfg.m2_dim,), dtype),
+        "gamma_m1": np_zeros((cfg.m1_dim,), dtype),
+        "gamma_m2": np_zeros((cfg.m2_dim,), dtype),
     }
 
 

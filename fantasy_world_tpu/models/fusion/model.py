@@ -144,6 +144,7 @@ def joint_forward(params: Dict, scan_params: Dict, cfg: FusionConfig,
                   y: Optional[jnp.ndarray] = None,
                   plucker_fea: Optional[jnp.ndarray] = None,
                   camera_token: Optional[jnp.ndarray] = None,
+                  control_camera_latents: Optional[jnp.ndarray] = None,
                   uncond: bool = False,
                   return_prediction: bool = False):
     """One denoise evaluation (fusion/model_wan21.py:104-224).
@@ -159,11 +160,12 @@ def joint_forward(params: Dict, scan_params: Dict, cfg: FusionConfig,
     t, t_mod = dit_mod.time_embedding(dp, dcfg, timestep)
     ctx = dit_mod.text_embedding(dp, context)
     x_in = latents
-    if dcfg.has_image_input:
+    if dcfg.require_vae_embedding and y is not None:
         x_in = jnp.concatenate([latents, y], axis=1)
+    if dcfg.has_image_input:
         ctx = jnp.concatenate([dit_mod.img_embedding(dp, clip_feature), ctx],
                               axis=1)
-    x, (f, h, w) = dit_mod.patchify(dp, dcfg, x_in)
+    x, (f, h, w) = dit_mod.patchify(dp, dcfg, x_in, control_camera_latents)
     B = x.shape[0]
 
     # rope tables (host-precomputed f64 angles)

@@ -18,7 +18,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from ...core.params import init_linear
+from ...core.params import init_linear, np_normal
 from ...ops import rope as rope_ops
 from .blocks import (VGGTBlockConfig, init_vggt_block, vggt_block_apply)
 
@@ -49,11 +49,11 @@ class AggregatorConfig:
 def init_aggregator(rng, cfg: AggregatorConfig, dtype=jnp.bfloat16) -> Dict:
     rs = jax.random.split(rng, 2 * cfg.depth + 3)
     p = {
-        "camera_token": (jax.random.normal(rs[0], (1, 2, 1, cfg.embed_dim))
-                         * 1e-6).astype(dtype),
-        "register_token": (jax.random.normal(
-            rs[1], (1, 2, cfg.num_register_tokens, cfg.embed_dim))
-            * 1e-6).astype(dtype),
+        "camera_token": np_normal(rs[0], (1, 2, 1, cfg.embed_dim), 1e-6,
+                                  dtype),
+        "register_token": np_normal(
+            rs[1], (1, 2, cfg.num_register_tokens, cfg.embed_dim), 1e-6,
+            dtype),
         "frame_blocks": [init_vggt_block(rs[2 + i], cfg.block_cfg, dtype)
                          for i in range(cfg.depth)],
         "global_blocks": [init_vggt_block(rs[2 + cfg.depth + i],

@@ -20,7 +20,7 @@ from typing import Any, Dict, Optional, Tuple
 import jax
 import jax.numpy as jnp
 
-from ...core.params import init_linear, init_layernorm
+from ...core.params import (init_linear, init_layernorm, np_normal, np_full)
 from ...ops import rope as rope_ops
 from ...ops.attention import dot_product_attention
 from ...ops.norms import layer_norm
@@ -51,19 +51,19 @@ def init_vggt_block(rng, cfg: VGGTBlockConfig, dtype=jnp.bfloat16,
             "qkv": init_linear(rs[0], cfg.dim, cfg.dim * 3, dtype=dtype),
             "proj": init_linear(rs[1], cfg.dim, cfg.dim, dtype=dtype),
         },
-        "ls1": {"gamma": jnp.full((cfg.dim,), cfg.init_values, dtype)},
+        "ls1": {"gamma": np_full((cfg.dim,), cfg.init_values, dtype)},
         "norm2": init_layernorm(cfg.dim, dtype=dtype),
         "mlp": {"fc1": init_linear(rs[2], cfg.dim, hidden, dtype=dtype),
                 "fc2": init_linear(rs[3], hidden, cfg.dim, dtype=dtype)},
-        "ls2": {"gamma": jnp.full((cfg.dim,), cfg.init_values, dtype)},
+        "ls2": {"gamma": np_full((cfg.dim,), cfg.init_values, dtype)},
     }
     if cfg.qk_norm:
         p["attn"]["q_norm"] = init_layernorm(cfg.head_dim, dtype=dtype)
         p["attn"]["k_norm"] = init_layernorm(cfg.head_dim, dtype=dtype)
     if with_modulation:
-        p["modulation"] = (jax.random.normal(jax.random.fold_in(rng, 7),
-                                             (1, 6, cfg.dim))
-                           / math.sqrt(cfg.dim)).astype(dtype)
+        p["modulation"] = np_normal(jax.random.fold_in(rng, 7),
+                                    (1, 6, cfg.dim),
+                                    1.0 / math.sqrt(cfg.dim), dtype)
     return p
 
 

@@ -16,7 +16,8 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from ...core.params import init_linear, init_layernorm
+from ...core.params import (init_linear, init_layernorm, np_normal,
+                            np_zeros, np_ones, np_cast)
 from ...ops.causal_conv import (causal_conv3d, conv2d, wan_vae_dpt_upsampler,
                                 channel_expand_reshape)
 from ...ops.interpolate import bilinear_align_corners
@@ -119,12 +120,12 @@ def init_camera_head(rng, cfg: CameraHeadConfig, dtype=jnp.bfloat16) -> Dict:
                   for i in range(cfg.trunk_depth)],
         "token_norm": init_layernorm(d, dtype=dtype),
         "trunk_norm": init_layernorm(d, dtype=dtype),
-        "empty_pose_tokens": jnp.zeros((1, 1, cfg.target_dim), dtype),
+        "empty_pose_tokens": np_zeros((1, 1, cfg.target_dim), dtype),
         "embed_pose": init_linear(rs[-5], cfg.target_dim, d, dtype=dtype),
         "poseLN_modulation": init_linear(rs[-4], d, 3 * d, dtype=dtype),
         "camera_time_upsample": {
-            "kernel": jnp.zeros((4 * d, d, 1), dtype),
-            "bias": jnp.zeros((4 * d,), dtype)},
+            "kernel": np_zeros((4 * d, d, 1), dtype),
+            "bias": np_zeros((4 * d,), dtype)},
         "pose_branch": {"fc1": init_linear(rs[-3], d, d // 2, dtype=dtype),
                         "fc2": init_linear(rs[-2], d // 2, cfg.target_dim,
                                            dtype=dtype)},
@@ -190,31 +191,34 @@ class DPTHeadConfig:
 
 
 def _init_conv2d(rng, cin, cout, k, dtype, bias=True):
+    from ...core.params import _np_rng
     scale = 1.0 / np.sqrt(cin * k * k)
-    p = {"kernel": (jax.random.uniform(rng, (cout, cin, k, k), jnp.float32,
-                                       -scale, scale)).astype(dtype)}
+    p = {"kernel": np_cast(_np_rng(rng).uniform(-scale, scale,
+                                                (cout, cin, k, k)), dtype)}
     if bias:
-        p["bias"] = jnp.zeros((cout,), dtype)
+        p["bias"] = np_zeros((cout,), dtype)
     return p
 
 
 def _init_causal3d(rng, cin, cout, k, dtype):
+    from ...core.params import _np_rng
     scale = 1.0 / np.sqrt(cin * k ** 3)
-    return {"kernel": (jax.random.uniform(rng, (cout, cin, k, k, k),
-                                          jnp.float32, -scale, scale)).astype(dtype),
-            "bias": jnp.zeros((cout,), dtype)}
+    return {"kernel": np_cast(_np_rng(rng).uniform(
+        -scale, scale, (cout, cin, k, k, k)), dtype),
+            "bias": np_zeros((cout,), dtype)}
 
 
 def _init_wanvae_dpt(rng, z_dim, dtype):
     rs = jax.random.split(rng, 8)
     def time_conv(r, c):
+        from ...core.params import _np_rng
         scale = 1.0 / np.sqrt(c * 3)
         return {"time_conv": {
-            "kernel": (jax.random.uniform(r, (c * 2, c, 3, 1, 1), jnp.float32,
-                                          -scale, scale)).astype(dtype),
-            "bias": jnp.zeros((c * 2,), dtype)}}
+            "kernel": np_cast(_np_rng(r).uniform(-scale, scale,
+                                                 (c * 2, c, 3, 1, 1)), dtype),
+            "bias": np_zeros((c * 2,), dtype)}}
     def res_half(r, c):
-        return {"norm": {"gamma": jnp.ones((c, 1, 1, 1), dtype)},
+        return {"norm": {"gamma": np_ones((c, 1, 1, 1), dtype)},
                 "conv": _init_causal3d(r, c, c, 3, dtype)}
     return {"conv2": _init_causal3d(rs[0], z_dim, z_dim, 1, dtype),
             "up1": time_conv(rs[1], z_dim), "res1": res_half(rs[2], z_dim),
@@ -241,12 +245,12 @@ def init_dpt_head(rng, cfg: DPTHeadConfig, dtype=jnp.bfloat16) -> Dict:
         "projects": [_init_conv2d(rs[i], cfg.dim_in, oc[i], 1, dtype)
                      for i in range(4)],
         # resize_layers: ConvT 4x, ConvT 2x, identity, conv3x3 s2
-        "resize0": {"kernel": (jax.random.normal(rs[4], (oc[0], oc[0], 4, 4))
-                               * 0.02).astype(dtype),
-                    "bias": jnp.zeros((oc[0],), dtype)},
-        "resize1": {"kernel": (jax.random.normal(rs[5], (oc[1], oc[1], 2, 2))
-                               * 0.02).astype(dtype),
-                    "bias": jnp.zeros((oc[1],), dtype)},
+        "resize0": {"kernel": np_normal(rs[4], (oc[0], oc[0], 4, 4), 0.02,
+                                        dtype),
+                    "bias": np_zeros((oc[0],), dtype)},
+        "resize1": {"kernel": np_normal(rs[5], (oc[1], oc[1], 2, 2), 0.02,
+                                        dtype),
+                    "bias": np_zeros((oc[1],), dtype)},
         "resize3": _init_conv2d(rs[6], oc[3], oc[3], 3, dtype),
         "temporal_upsamplers": [_init_wanvae_dpt(rs[7 + i], oc[i], dtype)
                                 for i in range(4)],

@@ -19,7 +19,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from ...core.params import init_linear, init_layernorm
+from ...core.params import init_linear, init_layernorm, np_normal
 from ...ops.attention import dot_product_attention
 from ...ops.norms import layer_norm
 
@@ -62,13 +62,12 @@ def init_clip_vision(rng, cfg: CLIPVisionConfig, dtype=jnp.bfloat16) -> Dict:
 
     return {
         "patch_embedding": {  # conv kernel==stride -> matmul; no bias
-            "kernel": (jax.random.normal(
-                rs[0], (3 * cfg.patch_size ** 2, cfg.dim)) * gain).astype(dtype),
+            "kernel": np_normal(rs[0], (3 * cfg.patch_size ** 2, cfg.dim),
+                                gain, dtype),
         },
-        "cls_embedding": (jax.random.normal(rs[1], (1, 1, cfg.dim))
-                          * gain).astype(dtype),
-        "pos_embedding": (jax.random.normal(
-            rs[2], (1, cfg.num_patches + 1, cfg.dim)) * gain).astype(dtype),
+        "cls_embedding": np_normal(rs[1], (1, 1, cfg.dim), gain, dtype),
+        "pos_embedding": np_normal(rs[2], (1, cfg.num_patches + 1, cfg.dim),
+                                   gain, dtype),
         "pre_norm": init_layernorm(cfg.dim, dtype=dtype),
         "blocks": [block(rs[3 + i]) for i in range(cfg.num_layers)],
     }

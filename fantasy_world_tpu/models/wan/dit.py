@@ -27,7 +27,8 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from ...core.params import init_linear, init_layernorm, init_rmsnorm
+from ...core.params import (init_linear, init_layernorm, init_rmsnorm,
+                            np_normal, np_zeros)
 from ...ops import rope as rope_ops
 from ...ops.attention import dot_product_attention
 from ...ops.norms import rms_norm, layer_norm, modulate
@@ -49,6 +50,12 @@ class WanDiTConfig:
     num_layers: int = 40
     has_image_input: bool = True
     has_image_pos_emb: bool = False
+    # wan2.2 flags (diffsynth_wan22 WanModel): y-latent concat and CLIP
+    # context are independent there -- Fun-Control-Camera keeps the VAE
+    # embedding but drops CLIP (hash 47dbeab5..., wan22 wan_video_dit.py:841)
+    require_vae_embedding: bool = True
+    add_control_adapter: bool = False
+    in_dim_control_adapter: int = 24
     # per-layer camera AdaLN adapters on cross-attn of blocks [0, adapter_end)
     # (reference installs processors on blocks <= 24: wan_video_dit.py:515)
     camera_adapter_end: int = 0
@@ -102,8 +109,8 @@ def _init_camera_adapter(rng, cfg: WanDiTConfig, dtype):
         "k_group2": {"fc1": init_linear(rs[1], d, mid_k, dtype=dtype),
                      "fc2": init_linear(rs[2], mid_k, c, dtype=dtype)},
         "v_group2": {"fc1": init_linear(rs[3], c, mid_v, dtype=dtype),
-                     "fc2": {"kernel": jnp.zeros((mid_v, d), dtype),
-                             "bias": jnp.zeros((d,), dtype)}},
+                     "fc2": {"kernel": np_zeros((mid_v, d), dtype),
+                             "bias": np_zeros((d,), dtype)}},
     }
 
 
@@ -115,8 +122,8 @@ def init_dit_block(rng, cfg: WanDiTConfig, layer: int, dtype=jnp.bfloat16) -> Di
                                  image_kv=cfg.has_image_input),
         "norm3": init_layernorm(cfg.dim, dtype=dtype),
         "ffn": _init_mlp2(rs[2], cfg.dim, cfg.ffn_dim, cfg.dim, dtype),
-        "modulation": (jax.random.normal(rs[3], (1, 6, cfg.dim))
-                       / math.sqrt(cfg.dim)).astype(dtype),
+        "modulation": np_normal(rs[3], (1, 6, cfg.dim),
+                                1.0 / math.sqrt(cfg.dim), dtype),
     }
     if cfg.has_adapter(layer):
         p["camera"] = _init_camera_adapter(rs[4], cfg, dtype)
@@ -135,8 +142,8 @@ def init_wan_dit(rng, cfg: WanDiTConfig, dtype=jnp.bfloat16) -> Dict:
             "head": init_linear(rs[4], cfg.dim,
                                 cfg.out_dim * int(np.prod(cfg.patch_size)),
                                 dtype=dtype),
-            "modulation": (jax.random.normal(rs[5], (1, 2, cfg.dim))
-                           / math.sqrt(cfg.dim)).astype(dtype),
+            "modulation": np_normal(rs[5], (1, 2, cfg.dim),
+                                    1.0 / math.sqrt(cfg.dim), dtype),
         },
         "blocks": [init_dit_block(rs[8 + i], cfg, i, dtype)
                    for i in range(cfg.num_layers)],
@@ -150,7 +157,23 @@ def init_wan_dit(rng, cfg: WanDiTConfig, dtype=jnp.bfloat16) -> Dict:
             "norm_out": init_layernorm(cfg.dim, dtype=dtype),
         }
         if cfg.has_image_pos_emb:
-            p["img_emb"]["emb_pos"] = jnp.zeros((1, 514, 1280), dtype)
+            p["img_emb"]["emb_pos"] = np_zeros((1, 514, 1280), dtype)
+    if cfg.add_control_adapter:
+        r7 = jax.random.split(rs[7], 3)
+        cin = cfg.in_dim_control_adapter * 64
+        p["control_adapter"] = {
+            "conv": {"kernel": np_normal(r7[0], (cfg.dim, cin, 2, 2),
+                                         (cin * 4) ** -0.5, dtype),
+                     "bias": np_zeros((cfg.dim,), dtype)},
+            "residual_blocks": [{
+                "conv1": {"kernel": np_normal(r7[1], (cfg.dim, cfg.dim, 3, 3),
+                                              (cfg.dim * 9) ** -0.5, dtype),
+                          "bias": np_zeros((cfg.dim,), dtype)},
+                "conv2": {"kernel": np_normal(r7[2], (cfg.dim, cfg.dim, 3, 3),
+                                              (cfg.dim * 9) ** -0.5, dtype),
+                          "bias": np_zeros((cfg.dim,), dtype)},
+            }],
+        }
     return p
 
 
@@ -304,11 +327,13 @@ def img_embedding(p, clip_feature):
     return layer_norm(x, ie["norm_out"])
 
 
-def patchify(p, cfg: WanDiTConfig, x):
+def patchify(p, cfg: WanDiTConfig, x, control_camera_latents=None):
     """(B, C, F, H, W) -> tokens (B, f*h*w, dim) + grid (f, h, w).
 
     Stride==kernel Conv3d as reshape+matmul: patch features flattened in
-    (c, dt, dy, dx) order to match the converted torch kernel.
+    (c, dt, dy, dx) order to match the converted torch kernel. When the
+    wan2.2 control adapter is present, its feature map is added to the
+    patch embedding (wan22 wan_video_dit.py WanModel.patchify).
     """
     pt, ph, pw = cfg.patch_size
     B, C, F, H, W = x.shape
@@ -316,7 +341,14 @@ def patchify(p, cfg: WanDiTConfig, x):
     x = x.reshape(B, C, f, pt, h, ph, w, pw)
     x = x.transpose(0, 2, 4, 6, 1, 3, 5, 7)          # B f h w c pt ph pw
     x = x.reshape(B, f * h * w, C * pt * ph * pw)
-    return _linear(p["patch_embedding"], x), (f, h, w)
+    tokens = _linear(p["patch_embedding"], x)
+    if control_camera_latents is not None and "control_adapter" in p:
+        from .camera import simple_adapter_apply
+        ctrl = simple_adapter_apply(p["control_adapter"],
+                                    control_camera_latents)
+        tokens = tokens + ctrl.transpose(0, 2, 3, 4, 1).reshape(
+            B, f * h * w, cfg.dim)
+    return tokens, (f, h, w)
 
 
 def unpatchify(cfg: WanDiTConfig, x, grid):

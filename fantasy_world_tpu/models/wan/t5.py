@@ -18,7 +18,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from ...core.params import init_linear
+from ...core.params import init_linear, np_normal, np_ones
 
 
 @dataclasses.dataclass(frozen=True)
@@ -60,7 +60,7 @@ def init_t5(rng, cfg: T5Config, dtype=jnp.bfloat16) -> Dict:
     def block(r):
         rr = jax.random.split(r, 7)
         return {
-            "norm1": {"scale": jnp.ones((cfg.dim,), dtype)},
+            "norm1": {"scale": np_ones((cfg.dim,), dtype)},
             "attn": {
                 "q": init_linear(rr[0], cfg.dim, cfg.dim_attn, bias=False,
                                  dtype=dtype),
@@ -71,12 +71,10 @@ def init_t5(rng, cfg: T5Config, dtype=jnp.bfloat16) -> Dict:
                 "o": init_linear(rr[3], cfg.dim_attn, cfg.dim, bias=False,
                                  dtype=dtype),
             },
-            "pos_embedding": (jax.random.normal(rr[6],
-                                                (cfg.num_buckets,
-                                                 cfg.num_heads))
-                              * (2 * cfg.num_buckets * cfg.num_heads) ** -0.5
-                              ).astype(dtype),
-            "norm2": {"scale": jnp.ones((cfg.dim,), dtype)},
+            "pos_embedding": np_normal(
+                rr[6], (cfg.num_buckets, cfg.num_heads),
+                (2 * cfg.num_buckets * cfg.num_heads) ** -0.5, dtype),
+            "norm2": {"scale": np_ones((cfg.dim,), dtype)},
             "ffn": {
                 "gate": init_linear(rr[4], cfg.dim, cfg.dim_ffn, bias=False,
                                     dtype=dtype),
@@ -88,10 +86,10 @@ def init_t5(rng, cfg: T5Config, dtype=jnp.bfloat16) -> Dict:
         }
 
     return {
-        "token_embedding": (jax.random.normal(rs[0], (cfg.vocab, cfg.dim))
-                            * cfg.dim ** -0.5).astype(dtype),
+        "token_embedding": np_normal(rs[0], (cfg.vocab, cfg.dim),
+                                     cfg.dim ** -0.5, dtype),
         "blocks": [block(rs[1 + i]) for i in range(cfg.num_layers)],
-        "norm": {"scale": jnp.ones((cfg.dim,), dtype)},
+        "norm": {"scale": np_ones((cfg.dim,), dtype)},
     }
 
 

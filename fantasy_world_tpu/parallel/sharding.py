@@ -84,32 +84,51 @@ def _map_with_paths(fn, tree, prefix=""):
     return fn(prefix[:-1], tree)
 
 
-def param_specs(tree, rules=None):
+def _axis_sizes(mesh: Optional[Mesh]):
+    return dict(zip(mesh.axis_names, mesh.devices.shape)) if mesh else {}
+
+
+def _fits(spec_dims, shape, axis_sizes) -> bool:
+    for d, name in enumerate(spec_dims):
+        if name is None:
+            continue
+        size = axis_sizes.get(name, 1)
+        if size > 1 and shape[d] % size != 0:
+            return False
+    return True
+
+
+def param_specs(tree, rules=None, mesh: Optional[Mesh] = None):
     """Mirror the param tree with PartitionSpecs.
 
-    A rule that names more axes than a leaf has (or whose shard dim does not
-    divide the mesh axis) falls back to replication -- stacked scan params
-    gain a leading layer axis, handled by shifting the spec right.
+    A rule that names more axes than a leaf has, or whose sharded dimension
+    does not divide the mesh axis size, falls back to replication.
     """
+    sizes = _axis_sizes(mesh)
+
     def leaf(path, x):
         spec = spec_for_path(path, rules)
-        ndim = getattr(x, "ndim", 0)
         dims = list(spec)
-        if len(dims) > ndim:
+        shape = getattr(x, "shape", ())
+        if len(dims) > len(shape) or not _fits(dims, shape, sizes):
             return P()
         return spec
     return _map_with_paths(leaf, tree)
 
 
-def stacked_specs(tree, rules=None, strip_prefix: str = ""):
+def stacked_specs(tree, rules=None, strip_prefix: str = "",
+                  mesh: Optional[Mesh] = None):
     """Specs for leaf-stacked scan segments: same rules but with a leading
     None for the layer axis."""
+    sizes = _axis_sizes(mesh)
+
     def leaf(path, x):
         spec = spec_for_path(strip_prefix + path, rules)
-        dims = list(spec)
-        if len(dims) + 1 > getattr(x, "ndim", 0):
+        dims = [None] + list(spec)
+        shape = getattr(x, "shape", ())
+        if len(dims) > len(shape) or not _fits(dims, shape, sizes):
             return P()
-        return P(*([None] + dims))
+        return P(*dims)
     return _map_with_paths(leaf, tree)
 
 

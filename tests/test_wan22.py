@@ -1,0 +1,108 @@
+"""Wan2.2 path: SimpleAdapter parity, control-latent folding, LoRA merge."""
+import numpy as np
+import pytest
+
+import conftest as C
+
+torch = pytest.importorskip("torch")
+
+
+@pytest.mark.skipif(not C.reference_available(), reason="reference absent")
+def test_simple_adapter_parity():
+    C.add_reference_to_path()
+    from FantasyWorld.diffsynth_wan22.models.wan_video_camera_controller import (
+        SimpleAdapter)
+    from fantasy_world_tpu.models.wan.camera import simple_adapter_apply
+    from fantasy_world_tpu.convert.camera import convert_simple_adapter
+    import jax.numpy as jnp
+
+    torch.manual_seed(0)
+    ref = SimpleAdapter(24, 64, kernel_size=(2, 2), stride=(2, 2)).float().eval()
+    x = np.random.default_rng(0).standard_normal((1, 24, 3, 32, 48)).astype(
+        np.float32)
+    with torch.no_grad():
+        ref_out = ref(torch.from_numpy(x)).numpy()
+    sd = {"a." + k: v.numpy() for k, v in ref.state_dict().items()}
+    p = convert_simple_adapter(sd, "a.")
+    out = simple_adapter_apply(p, jnp.asarray(x))
+    assert out.shape == ref_out.shape
+    np.testing.assert_allclose(np.asarray(out), ref_out, rtol=2e-3, atol=2e-3)
+
+
+def test_control_camera_latents_fold():
+    """The 4-frame->channel fold matches the reference tensor gymnastics."""
+    from fantasy_world_tpu.pipelines.wan_video_22 import (
+        control_camera_latents_from_plucker)
+
+    rng = np.random.default_rng(1)
+    plucker = rng.standard_normal((1, 9, 8, 10, 6)).astype(np.float32)
+
+    # reference computation (inference_wan22.py:204-218)
+    v = torch.from_numpy(plucker)[0].permute([3, 0, 1, 2]).unsqueeze(0)
+    lat = torch.concat([torch.repeat_interleave(v[:, :, 0:1], repeats=4,
+                                                dim=2), v[:, :, 1:]],
+                       dim=2).transpose(1, 2)
+    b, f, c, h, w = lat.shape
+    lat = lat.contiguous().view(b, f // 4, 4, c, h, w).transpose(2, 3)
+    ref = lat.contiguous().view(b, f // 4, c * 4, h, w).transpose(1, 2).numpy()
+
+    out = control_camera_latents_from_plucker(plucker)
+    assert out.shape == ref.shape == (1, 24, 3, 8, 10)
+    np.testing.assert_allclose(out, ref, rtol=1e-6, atol=1e-6)
+
+
+def test_lora_merge():
+    from fantasy_world_tpu.convert.lora import merge_lora_into_state_dict
+
+    rng = np.random.default_rng(2)
+    W = rng.standard_normal((8, 6)).astype(np.float32)
+    sd = {"blocks.0.self_attn.q.weight": W.copy()}
+    up = rng.standard_normal((8, 2)).astype(np.float32)
+    down = rng.standard_normal((2, 6)).astype(np.float32)
+    lora = {
+        "lora_unet_blocks_0_self_attn_q.lora_up.weight": up,
+        "lora_unet_blocks_0_self_attn_q.lora_down.weight": down,
+        "lora_unet_blocks_0_self_attn_q.alpha": np.float32(2.0),
+    }
+    out = merge_lora_into_state_dict(sd, lora, multiplier=0.55)
+    expected = W + 0.55 * (2.0 / 2) * (up @ down)
+    np.testing.assert_allclose(out["blocks.0.self_attn.q.weight"], expected,
+                               rtol=1e-6)
+
+
+def test_wan22_joint_forward_smoke():
+    """Control-adapter patchify path, no CLIP, y concat still on."""
+    import jax, jax.numpy as jnp
+    from fantasy_world_tpu.models.fusion.model import (
+        FusionConfig, init_fusion, prepare_scan_params, joint_forward)
+    from fantasy_world_tpu.models.wan.dit import WanDiTConfig
+    from fantasy_world_tpu.models.vggt.model import VGGTConfig
+    from fantasy_world_tpu.models.vggt.aggregator import AggregatorConfig
+    from fantasy_world_tpu.models.fusion.bicross import BicrossConfig
+
+    cfg = FusionConfig(
+        dit=WanDiTConfig(dim=96, in_dim=8, ffn_dim=128, out_dim=4,
+                         text_dim=32, num_heads=4, num_layers=4,
+                         has_image_input=False, require_vae_embedding=True,
+                         add_control_adapter=True, in_dim_control_adapter=24,
+                         camera_adapter_end=0),
+        vggt=VGGTConfig(embed_dim=64, wan_dim=96, dpt_layer_idx=(1, 1, 0, 0),
+                        aggregator=AggregatorConfig(embed_dim=64, depth=2,
+                                                    num_heads=4)),
+        bicross=BicrossConfig(m1_dim=96, m2_dim=64, hidden=96, num_heads=4),
+        start_index=2, camera_control=False)
+
+    params = init_fusion(jax.random.PRNGKey(0), cfg, jnp.float32)
+    scan = prepare_scan_params(params, cfg)
+
+    B, f, h2, w2 = 1, 3, 8, 12
+    latents = jnp.zeros((B, 4, f, h2, w2), jnp.float32)
+    y = jnp.zeros((B, 4, f, h2, w2), jnp.float32)
+    ctx = jnp.zeros((B, 20, 32), jnp.float32)
+    ctrl = jnp.zeros((B, 24, f, h2 * 8, w2 * 8), jnp.float32)
+    t = jnp.array([950.0])
+
+    noise, _ = joint_forward(params, scan, cfg, latents, t, ctx, None, y,
+                             control_camera_latents=ctrl)
+    assert noise.shape == latents.shape
+    assert bool(jnp.isfinite(noise).all())
