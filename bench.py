@@ -47,10 +47,17 @@ def build(num_layers, start_index, agg_depth):
                                                     depth=n_irg)),
         bicross=BicrossConfig(),
         start_index=start_index)
-    params = init_fusion(jax.random.PRNGKey(0), cfg, jnp.bfloat16)
-    scan = prepare_scan_params(params, cfg)
-    # init leaves are host numpy; move to HBM once so timing measures compute
-    params, scan = jax.device_put((params, scan))
+    # host init for shapes only, then materialize zeros directly in HBM with
+    # one jitted producer: the tunnel to the TPU is slow, and weight values
+    # are irrelevant for timing
+    host = init_fusion(0, cfg, jnp.bfloat16)
+    host = (host, prepare_scan_params(host, cfg))
+    abstract = jax.tree_util.tree_map(
+        lambda x: jax.ShapeDtypeStruct(x.shape, x.dtype), host)
+    del host
+    make = jax.jit(lambda: jax.tree_util.tree_map(
+        lambda s: jnp.zeros(s.shape, s.dtype), abstract))
+    params, scan = make()
     return cfg, params, scan
 
 

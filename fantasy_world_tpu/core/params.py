@@ -31,12 +31,32 @@ class ParamSpec:
 
 
 def _np_rng(rng) -> "np.random.Generator":
-    """Host-side generator derived from a jax PRNG key. Init runs in numpy
-    (one jit per leaf through jax.random is minutes of compile overhead for
-    a 40-block model; converted checkpoints overwrite these values anyway)."""
+    """Host-side generator from either a jax PRNG key or a plain int seed.
+    Init runs in numpy (per-leaf jax.random dispatch is minutes of overhead
+    for a 40-block model; converted checkpoints overwrite these values)."""
     import numpy as np
+    if isinstance(rng, (int, np.integer)):
+        return np.random.default_rng(int(rng) & 0x7FFFFFFF)
     data = np.asarray(jax.random.key_data(rng)).ravel()
     return np.random.default_rng(int(data[-1]) & 0x7FFFFFFF)
+
+
+def prng_split(rng, num: int = 2):
+    """jax.random.split that stays on host when given an int seed -- init
+    paths pass ints so building a 40-block tree issues zero XLA dispatches."""
+    import numpy as np
+    if isinstance(rng, (int, np.integer)):
+        base = int(rng)
+        return [(base * 1000003 + i * 7919 + 0x9E3779B9) & 0x7FFFFFFFFFFF
+                for i in range(num)]
+    return jax.random.split(rng, num)
+
+
+def prng_fold_in(rng, data: int):
+    import numpy as np
+    if isinstance(rng, (int, np.integer)):
+        return (int(rng) * 31 + int(data) * 2654435761 + 97) & 0x7FFFFFFFFFFF
+    return jax.random.fold_in(rng, data)
 
 
 def np_cast(x, dtype):

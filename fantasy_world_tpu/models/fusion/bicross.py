@@ -20,7 +20,7 @@ from typing import Dict, Tuple
 import jax
 import jax.numpy as jnp
 
-from ...core.params import init_linear, np_zeros
+from ...core.params import prng_split, prng_fold_in, init_linear, np_zeros
 from ...ops import rope as rope_ops
 from ...ops.attention import dot_product_attention
 from ...ops.norms import layer_norm
@@ -39,7 +39,7 @@ class BicrossConfig:
 
 
 def init_bicross(rng, cfg: BicrossConfig, dtype=jnp.bfloat16) -> Dict:
-    rs = jax.random.split(rng, 6)
+    rs = prng_split(rng, 6)
     return {
         "m1_proj": init_linear(rs[0], cfg.m1_dim, cfg.hidden, dtype=dtype),
         "m2_proj": init_linear(rs[1], cfg.m2_dim, cfg.hidden, dtype=dtype),

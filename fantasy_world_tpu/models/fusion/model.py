@@ -26,7 +26,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from ...core.params import stack_trees
+from ...core.params import prng_split, prng_fold_in, stack_trees
 from ...ops import rope as rope_ops
 from ..wan import dit as dit_mod
 from ..wan.dit import WanDiTConfig
@@ -58,7 +58,7 @@ class FusionConfig:
 def init_fusion(rng, cfg: FusionConfig, dtype=jnp.bfloat16) -> Dict:
     from ..wan.dit import init_wan_dit
     from ..vggt.model import init_vggt
-    rs = jax.random.split(rng, 3 + cfg.num_irg)
+    rs = prng_split(rng, 3 + cfg.num_irg)
     return {
         "dit": init_wan_dit(rs[0], cfg.dit, dtype),
         "vggt": init_vggt(rs[1], cfg.vggt, dtype),

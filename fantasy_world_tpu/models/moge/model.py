@@ -22,7 +22,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from ...core.params import (init_linear, init_layernorm, np_normal, np_zeros,
+from ...core.params import (prng_split, prng_fold_in, init_linear, init_layernorm, np_normal, np_zeros,
                             np_ones, np_cast, _np_rng)
 from ..vggt.blocks import VGGTBlockConfig, vggt_block_apply
 from ...ops.bicubic import bicubic_resize_2d
@@ -86,7 +86,7 @@ def _init_vit_block(rng, cfg: DINOv2Config, dtype):
 
 
 def init_dinov2(rng, cfg: DINOv2Config, dtype=jnp.float32) -> Dict:
-    rs = jax.random.split(rng, cfg.depth + 4)
+    rs = prng_split(rng, cfg.depth + 4)
     n_pos = cfg.pos_grid ** 2 + 1
     return {
         "patch_embed": {
@@ -102,7 +102,7 @@ def init_dinov2(rng, cfg: DINOv2Config, dtype=jnp.float32) -> Dict:
 
 
 def _init_resampler(rng, kind, cin, cout, dtype):
-    r1, r2 = jax.random.split(rng)
+    r1, r2 = prng_split(rng)
     if kind == "conv_transpose":
         # ConvTranspose2d(cin, cout, k=2, s=2) + conv3x3 replicate
         scale = 1.0 / math.sqrt(cin * 4)
@@ -117,7 +117,7 @@ def _init_resampler(rng, kind, cin, cout, dtype):
 
 
 def _init_res_block(rng, dim, dtype):
-    r1, r2 = jax.random.split(rng)
+    r1, r2 = prng_split(rng)
     return {"conv1": _init_conv(r1, dim, dim, 3, dtype),
             "conv2": _init_conv(r2, dim, dim, 3, dtype)}
 
@@ -127,7 +127,7 @@ def init_conv_stack(rng, dim_in: Sequence[Optional[int]],
                     dim_res: Sequence[int],
                     num_res: Sequence[int],
                     resamplers: Sequence[str], dtype=jnp.float32) -> Dict:
-    rs = jax.random.split(rng, 4 * len(dim_res) + 4)
+    rs = prng_split(rng, 4 * len(dim_res) + 4)
     p = {"input_blocks": [], "res_blocks": [], "output_blocks": [],
          "resamplers": []}
     for i, d in enumerate(dim_res):
@@ -135,7 +135,7 @@ def init_conv_stack(rng, dim_in: Sequence[Optional[int]],
             None if dim_in[i] is None else _init_conv(rs[4 * i], dim_in[i],
                                                       d, 1, dtype))
         p["res_blocks"].append([
-            _init_res_block(jax.random.fold_in(rs[4 * i + 1], j), d, dtype)
+            _init_res_block(prng_fold_in(rs[4 * i + 1], j), d, dtype)
             for j in range(num_res[i])])
         p["output_blocks"].append(
             None if dim_out[i] is None else _init_conv(rs[4 * i + 2], d,
@@ -147,7 +147,7 @@ def init_conv_stack(rng, dim_in: Sequence[Optional[int]],
 
 
 def init_moge(rng, cfg: MoGeConfig, dtype=jnp.float32) -> Dict:
-    rs = jax.random.split(rng, 10)
+    rs = prng_split(rng, 10)
     dr = cfg.dim_res_blocks
     # heads re-project every neck level (configs/train/v2.json points_head
     # dim_in == the neck's level dims)
@@ -156,7 +156,7 @@ def init_moge(rng, cfg: MoGeConfig, dtype=jnp.float32) -> Dict:
         "encoder": {
             "backbone": init_dinov2(rs[0], cfg.encoder, dtype),
             "output_projections": [
-                _init_conv(jax.random.fold_in(rs[1], i), cfg.encoder.dim,
+                _init_conv(prng_fold_in(rs[1], i), cfg.encoder.dim,
                            cfg.dim_proj_out, 1, dtype)
                 for i in range(len(cfg.intermediate_layers))],
         },
@@ -172,7 +172,7 @@ def init_moge(rng, cfg: MoGeConfig, dtype=jnp.float32) -> Dict:
                                      cfg.head_num_res_blocks,
                                      cfg.resamplers, dtype),
         "scale_head": {
-            f"fc{i}": init_linear(jax.random.fold_in(rs[5], i),
+            f"fc{i}": init_linear(prng_fold_in(rs[5], i),
                                   cfg.scale_head_dims[i],
                                   cfg.scale_head_dims[i + 1], dtype=dtype)
             for i in range(len(cfg.scale_head_dims) - 1)},

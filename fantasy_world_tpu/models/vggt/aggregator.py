@@ -18,7 +18,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from ...core.params import init_linear, np_normal
+from ...core.params import prng_split, prng_fold_in, init_linear, np_normal
 from ...ops import rope as rope_ops
 from .blocks import (VGGTBlockConfig, init_vggt_block, vggt_block_apply)
 
@@ -47,7 +47,7 @@ class AggregatorConfig:
 
 
 def init_aggregator(rng, cfg: AggregatorConfig, dtype=jnp.bfloat16) -> Dict:
-    rs = jax.random.split(rng, 2 * cfg.depth + 3)
+    rs = prng_split(rng, 2 * cfg.depth + 3)
     p = {
         "camera_token": np_normal(rs[0], (1, 2, 1, cfg.embed_dim), 1e-6,
                                   dtype),
@@ -63,7 +63,7 @@ def init_aggregator(rng, cfg: AggregatorConfig, dtype=jnp.bfloat16) -> Dict:
         # camera tokens so this stays at init unless a checkpoint fills it.
         "cam_token_projector": {
             "fc1": init_linear(rs[-1], 36, 128, dtype=dtype),
-            "fc2": init_linear(jax.random.fold_in(rs[-1], 1), 128,
+            "fc2": init_linear(prng_fold_in(rs[-1], 1), 128,
                                cfg.embed_dim, dtype=dtype),
         },
     }

@@ -20,7 +20,7 @@ from typing import Any, Dict, Optional, Tuple
 import jax
 import jax.numpy as jnp
 
-from ...core.params import (init_linear, init_layernorm, np_normal, np_full)
+from ...core.params import (prng_split, prng_fold_in, init_linear, init_layernorm, np_normal, np_full)
 from ...ops import rope as rope_ops
 from ...ops.attention import dot_product_attention
 from ...ops.norms import layer_norm
@@ -43,7 +43,7 @@ class VGGTBlockConfig:
 
 def init_vggt_block(rng, cfg: VGGTBlockConfig, dtype=jnp.bfloat16,
                     with_modulation: bool = True) -> Dict:
-    rs = jax.random.split(rng, 4)
+    rs = prng_split(rng, 4)
     hidden = int(cfg.dim * cfg.mlp_ratio)
     p = {
         "norm1": init_layernorm(cfg.dim, dtype=dtype),
@@ -61,7 +61,7 @@ def init_vggt_block(rng, cfg: VGGTBlockConfig, dtype=jnp.bfloat16,
         p["attn"]["q_norm"] = init_layernorm(cfg.head_dim, dtype=dtype)
         p["attn"]["k_norm"] = init_layernorm(cfg.head_dim, dtype=dtype)
     if with_modulation:
-        p["modulation"] = np_normal(jax.random.fold_in(rng, 7),
+        p["modulation"] = np_normal(prng_fold_in(rng, 7),
                                     (1, 6, cfg.dim),
                                     1.0 / math.sqrt(cfg.dim), dtype)
     return p

@@ -16,7 +16,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from ...core.params import (init_linear, init_layernorm, np_normal,
+from ...core.params import (prng_split, prng_fold_in, init_linear, init_layernorm, np_normal,
                             np_zeros, np_ones, np_cast)
 from ...ops.causal_conv import (causal_conv3d, conv2d, wan_vae_dpt_upsampler,
                                 channel_expand_reshape)
@@ -113,7 +113,7 @@ class CameraHeadConfig:
 
 
 def init_camera_head(rng, cfg: CameraHeadConfig, dtype=jnp.bfloat16) -> Dict:
-    rs = jax.random.split(rng, cfg.trunk_depth + 5)
+    rs = prng_split(rng, cfg.trunk_depth + 5)
     d = cfg.dim_in
     return {
         "trunk": [init_vggt_block(rs[i], cfg.block_cfg, dtype)
@@ -209,7 +209,7 @@ def _init_causal3d(rng, cin, cout, k, dtype):
 
 
 def _init_wanvae_dpt(rng, z_dim, dtype):
-    rs = jax.random.split(rng, 8)
+    rs = prng_split(rng, 8)
     def time_conv(r, c):
         from ...core.params import _np_rng
         scale = 1.0 / np.sqrt(c * 3)
@@ -226,7 +226,7 @@ def _init_wanvae_dpt(rng, z_dim, dtype):
 
 
 def _init_fusion_block(rng, features, dtype, has_residual=True):
-    rs = jax.random.split(rng, 6)
+    rs = prng_split(rng, 6)
     p = {"out_conv": _init_conv2d(rs[0], features, features, 1, dtype),
          "res2_conv1": _init_conv2d(rs[1], features, features, 3, dtype),
          "res2_conv2": _init_conv2d(rs[2], features, features, 3, dtype)}
@@ -237,7 +237,7 @@ def _init_fusion_block(rng, features, dtype, has_residual=True):
 
 
 def init_dpt_head(rng, cfg: DPTHeadConfig, dtype=jnp.bfloat16) -> Dict:
-    rs = jax.random.split(rng, 32)
+    rs = prng_split(rng, 32)
     oc = cfg.out_channels
     f = cfg.features
     p = {

@@ -12,7 +12,7 @@ from typing import Dict, List, Optional, Tuple
 import jax
 import jax.numpy as jnp
 
-from ...core.params import init_linear
+from ...core.params import prng_split, prng_fold_in, init_linear
 from ...ops import rope as rope_ops
 from .aggregator import (AggregatorConfig, init_aggregator,
                          aggregator_forward, assemble_tokens)
@@ -44,7 +44,7 @@ class VGGTConfig:
 
 
 def init_vggt(rng, cfg: VGGTConfig, dtype=jnp.bfloat16) -> Dict:
-    rs = jax.random.split(rng, 8)
+    rs = prng_split(rng, 8)
     p = {
         "projection_head": init_linear(rs[0], cfg.wan_dim, cfg.embed_dim,
                                        dtype=dtype),

@@ -19,7 +19,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from ...core.params import init_linear, init_layernorm, np_normal
+from ...core.params import prng_split, prng_fold_in, init_linear, init_layernorm, np_normal
 from ...ops.attention import dot_product_attention
 from ...ops.norms import layer_norm
 
@@ -43,11 +43,11 @@ class CLIPVisionConfig:
 
 
 def init_clip_vision(rng, cfg: CLIPVisionConfig, dtype=jnp.bfloat16) -> Dict:
-    rs = jax.random.split(rng, cfg.num_layers + 4)
+    rs = prng_split(rng, cfg.num_layers + 4)
     gain = 1.0 / np.sqrt(cfg.dim)
 
     def block(r):
-        rr = jax.random.split(r, 4)
+        rr = prng_split(r, 4)
         return {
             "norm1": init_layernorm(cfg.dim, dtype=dtype),
             "attn": {"to_qkv": init_linear(rr[0], cfg.dim, cfg.dim * 3,

@@ -27,7 +27,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from ...core.params import (init_linear, init_layernorm, init_rmsnorm,
+from ...core.params import (prng_split, prng_fold_in, init_linear, init_layernorm, init_rmsnorm,
                             np_normal, np_zeros)
 from ...ops import rope as rope_ops
 from ...ops.attention import dot_product_attention
@@ -74,13 +74,13 @@ class WanDiTConfig:
 # ---------------------------------------------------------------------------
 
 def _init_mlp2(rng, d_in, d_mid, d_out, dtype):
-    r1, r2 = jax.random.split(rng)
+    r1, r2 = prng_split(rng)
     return {"fc1": init_linear(r1, d_in, d_mid, dtype=dtype),
             "fc2": init_linear(r2, d_mid, d_out, dtype=dtype)}
 
 
 def _init_attn(rng, dim, dtype, image_kv=False):
-    rs = jax.random.split(rng, 6)
+    rs = prng_split(rng, 6)
     p = {
         "q": init_linear(rs[0], dim, dim, dtype=dtype),
         "k": init_linear(rs[1], dim, dim, dtype=dtype),
@@ -100,7 +100,7 @@ def _init_camera_adapter(rng, cfg: WanDiTConfig, dtype):
     """AdaLN pose adapter (camera_control.py:24-63): GroupLinearDualK is a
     linear on the plucker stream plus a 2-layer MLP on the hidden stream;
     GroupLinearDualV maps the combined stream to a zero-init shift."""
-    rs = jax.random.split(rng, 5)
+    rs = prng_split(rng, 5)
     c, d = cfg.plucker_dim, cfg.dim
     mid_k = min(d, c) // 2            # 1024
     mid_v = c // 5                    # 409
@@ -115,7 +115,7 @@ def _init_camera_adapter(rng, cfg: WanDiTConfig, dtype):
 
 
 def init_dit_block(rng, cfg: WanDiTConfig, layer: int, dtype=jnp.bfloat16) -> Dict:
-    rs = jax.random.split(rng, 6)
+    rs = prng_split(rng, 6)
     p = {
         "self_attn": _init_attn(rs[0], cfg.dim, dtype),
         "cross_attn": _init_attn(rs[1], cfg.dim, dtype,
@@ -131,7 +131,7 @@ def init_dit_block(rng, cfg: WanDiTConfig, layer: int, dtype=jnp.bfloat16) -> Di
 
 
 def init_wan_dit(rng, cfg: WanDiTConfig, dtype=jnp.bfloat16) -> Dict:
-    rs = jax.random.split(rng, 8 + cfg.num_layers)
+    rs = prng_split(rng, 8 + cfg.num_layers)
     patch_in = cfg.in_dim * int(np.prod(cfg.patch_size))
     p = {
         "patch_embedding": init_linear(rs[0], patch_in, cfg.dim, dtype=dtype),
@@ -149,7 +149,7 @@ def init_wan_dit(rng, cfg: WanDiTConfig, dtype=jnp.bfloat16) -> Dict:
                    for i in range(cfg.num_layers)],
     }
     if cfg.has_image_input:
-        r6a, r6b = jax.random.split(rs[6])
+        r6a, r6b = prng_split(rs[6])
         p["img_emb"] = {
             "norm_in": init_layernorm(1280, dtype=dtype),
             "fc1": init_linear(r6a, 1280, cfg.dim, dtype=dtype),
@@ -159,7 +159,7 @@ def init_wan_dit(rng, cfg: WanDiTConfig, dtype=jnp.bfloat16) -> Dict:
         if cfg.has_image_pos_emb:
             p["img_emb"]["emb_pos"] = np_zeros((1, 514, 1280), dtype)
     if cfg.add_control_adapter:
-        r7 = jax.random.split(rs[7], 3)
+        r7 = prng_split(rs[7], 3)
         cin = cfg.in_dim_control_adapter * 64
         p["control_adapter"] = {
             "conv": {"kernel": np_normal(r7[0], (cfg.dim, cin, 2, 2),

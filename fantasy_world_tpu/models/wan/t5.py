@@ -18,7 +18,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from ...core.params import init_linear, np_normal, np_ones
+from ...core.params import prng_split, prng_fold_in, init_linear, np_normal, np_ones
 
 
 @dataclasses.dataclass(frozen=True)
@@ -55,10 +55,10 @@ def relative_position_buckets(lq: int, lk: int, num_buckets: int,
 
 
 def init_t5(rng, cfg: T5Config, dtype=jnp.bfloat16) -> Dict:
-    rs = jax.random.split(rng, cfg.num_layers + 2)
+    rs = prng_split(rng, cfg.num_layers + 2)
 
     def block(r):
-        rr = jax.random.split(r, 7)
+        rr = prng_split(r, 7)
         return {
             "norm1": {"scale": np_ones((cfg.dim,), dtype)},
             "attn": {
@@ -78,7 +78,7 @@ def init_t5(rng, cfg: T5Config, dtype=jnp.bfloat16) -> Dict:
             "ffn": {
                 "gate": init_linear(rr[4], cfg.dim, cfg.dim_ffn, bias=False,
                                     dtype=dtype),
-                "fc1": init_linear(jax.random.fold_in(rr[4], 1), cfg.dim,
+                "fc1": init_linear(prng_fold_in(rr[4], 1), cfg.dim,
                                    cfg.dim_ffn, bias=False, dtype=dtype),
                 "fc2": init_linear(rr[5], cfg.dim_ffn, cfg.dim, bias=False,
                                    dtype=dtype),
