@@ -21,6 +21,32 @@ import jax.numpy as jnp
 
 PyTree = Any
 
+_ABSTRACT_INIT = False
+
+
+class abstract_init:
+    """Context manager: init_* helpers return jax.ShapeDtypeStruct leaves
+    instead of materializing host arrays. Building the 14B fusion tree for
+    shape purposes drops from ~500 s of numpy RNG to milliseconds (the
+    round-1 bench spent 512 s here). stack_trees understands the abstract
+    leaves, so prepare_scan_params works unchanged."""
+
+    def __enter__(self):
+        global _ABSTRACT_INIT
+        self._prev = _ABSTRACT_INIT
+        _ABSTRACT_INIT = True
+        return self
+
+    def __exit__(self, *exc):
+        global _ABSTRACT_INIT
+        _ABSTRACT_INIT = self._prev
+        return False
+
+
+def _abstract(shape, dtype) -> "jax.ShapeDtypeStruct":
+    return jax.ShapeDtypeStruct(tuple(int(s) for s in shape),
+                                jnp.dtype(dtype))
+
 
 @dataclasses.dataclass(frozen=True)
 class ParamSpec:
@@ -71,15 +97,21 @@ def np_cast(x, dtype):
 
 
 def np_normal(rng, shape, std=1.0, dtype=jnp.float32):
+    if _ABSTRACT_INIT:
+        return _abstract(shape, dtype)
     return np_cast(_np_rng(rng).standard_normal(shape) * std, dtype)
 
 
 def np_zeros(shape, dtype=jnp.float32):
+    if _ABSTRACT_INIT:
+        return _abstract(shape, dtype)
     import numpy as np
     return np_cast(np.zeros(shape, np.float32), dtype)
 
 
 def np_full(shape, value, dtype=jnp.float32):
+    if _ABSTRACT_INIT:
+        return _abstract(shape, dtype)
     import numpy as np
     return np_cast(np.full(shape, value, np.float32), dtype)
 
@@ -92,9 +124,12 @@ def init_linear(rng, in_dim: int, out_dim: int, *, bias: bool = True,
                 dtype=jnp.bfloat16, scale: float | None = None) -> Dict:
     if scale is None:
         scale = 1.0 / math.sqrt(in_dim)
-    gen = _np_rng(rng)
-    p = {"kernel": np_cast(gen.uniform(-scale, scale, (in_dim, out_dim)),
-                           dtype)}
+    if _ABSTRACT_INIT:
+        p = {"kernel": _abstract((in_dim, out_dim), dtype)}
+    else:
+        gen = _np_rng(rng)
+        p = {"kernel": np_cast(gen.uniform(-scale, scale, (in_dim, out_dim)),
+                               dtype)}
     if bias:
         p["bias"] = np_zeros((out_dim,), dtype)
     return p
@@ -130,7 +165,16 @@ def stack_trees(trees) -> PyTree:
     """Stack a list of identically-structured pytrees leaf-wise along a new
     leading axis -- the layout lax.scan consumes for homogeneous block
     stacks (compile the block body once instead of once per layer)."""
-    return jax.tree_util.tree_map(lambda *xs: jnp.stack(xs), *trees)
+    import numpy as np
+
+    def stack(*xs):
+        if isinstance(xs[0], jax.ShapeDtypeStruct):
+            return jax.ShapeDtypeStruct((len(xs),) + tuple(xs[0].shape),
+                                        xs[0].dtype)
+        if all(isinstance(x, np.ndarray) for x in xs):
+            return np.stack(xs)      # host stack: no per-leaf XLA dispatch
+        return jnp.stack(xs)
+    return jax.tree_util.tree_map(stack, *trees)
 
 
 def index_tree(tree: PyTree, i) -> PyTree:

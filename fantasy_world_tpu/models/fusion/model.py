@@ -25,8 +25,10 @@ from typing import Any, Dict, List, Optional, Tuple
 import jax
 import jax.numpy as jnp
 import numpy as np
+from jax.sharding import PartitionSpec as PS
 
-from ...core.params import prng_split, prng_fold_in, stack_trees
+from ...core.params import prng_split, stack_trees
+from ...parallel.sharding import maybe_constrain
 from ...ops import rope as rope_ops
 from ..wan import dit as dit_mod
 from ..wan.dit import WanDiTConfig
@@ -146,13 +148,24 @@ def joint_forward(params: Dict, scan_params: Dict, cfg: FusionConfig,
                   camera_token: Optional[jnp.ndarray] = None,
                   control_camera_latents: Optional[jnp.ndarray] = None,
                   uncond: bool = False,
-                  return_prediction: bool = False):
+                  return_prediction: bool = False,
+                  mesh=None, remat: bool = False):
     """One denoise evaluation (fusion/model_wan21.py:104-224).
 
     latents: (B, 16, f, h', w'); context: (B, 512, text_dim);
     y: (B, 20, f, h', w'); clip_feature: (B, 257, 1280);
     plucker_fea: (B, L_tokens, plucker_dim).
     Returns (noise_pred (B, 16, f, h', w'), prediction dict | None).
+
+    mesh: optional jax.sharding.Mesh(('data','seq','model')). When given,
+    activations are constrained batch-over-'data' and token/frame-over-'seq'
+    at every scan-segment boundary -- the GSPMD re-design of the reference's
+    Ulysses token chunking (diffsynth_wan21/pipelines/wan_video.py:808-830):
+    instead of explicit chunk + all_gather, XLA inserts the collectives.
+
+    remat: rematerialize each scan-body block on the backward pass -- the
+    TPU counterpart of the reference's per-block gradient checkpointing
+    (fusion/model_wan21.py:160-169; vram_management/gradient_checkpointing.py).
     """
     dcfg = cfg.dit
     dp = params["dit"]
@@ -167,6 +180,8 @@ def joint_forward(params: Dict, scan_params: Dict, cfg: FusionConfig,
                               axis=1)
     x, (f, h, w) = dit_mod.patchify(dp, dcfg, x_in, control_camera_latents)
     B = x.shape[0]
+    tok_spec = PS("data", "seq", None)           # (B, L, D) video tokens
+    x = maybe_constrain(x, mesh, tok_spec)
 
     # rope tables (host-precomputed f64 angles)
     cos_d, sin_d = rope_ops.cos_sin_from_angles(
@@ -187,7 +202,9 @@ def joint_forward(params: Dict, scan_params: Dict, cfg: FusionConfig,
                 blk, carry, ctx, t_mod, cos_d, sin_d, dcfg,
                 plucker_fea=plucker_fea,
                 apply_pose=apply_pose and has_ad)
-            return out, None
+            return maybe_constrain(out, mesh, tok_spec), None
+        if remat:
+            pcb_body = jax.checkpoint(pcb_body, prevent_cse=False)
         x, _ = jax.lax.scan(pcb_body, x, seg)
 
     # ---- geometry branch input ------------------------------------------
@@ -202,16 +219,19 @@ def joint_forward(params: Dict, scan_params: Dict, cfg: FusionConfig,
     pos_global = pos.reshape(B, S * P, 2)
     acfg = cfg.vggt.aggregator
     bcfg_blk = acfg.block_cfg
-
-    # e0 broadcast for frame blocks (B*S rows)
-    e_frame = vblocks.modulation_from_e0  # resolved per block inside body
+    # geometry streams: frames over 'seq' (frame attention is per-frame, so
+    # the frame-folded (B*S, P, C) layout shards rows over ('data','seq')
+    # with no collective; the global/bicross attentions reshard via XLA)
+    frame_spec = PS(("data", "seq"), None, None)  # (B*S, P, C)
+    agg_spec = PS("data", "seq", None)            # (B, S*P, C)
 
     # ---- interleaved IRG loop -------------------------------------------
     inters = []
     for seg, has_ad in zip(scan_params["irg"], irg_flags):
         def irg_body(carry, blk):
             x, tokens = carry
-            tokens = tokens.reshape(B * S, P, C)
+            tokens = maybe_constrain(tokens.reshape(B * S, P, C), mesh,
+                                     frame_spec)
             tokens = vblocks.vggt_block_apply(
                 blk["frame"], bcfg_blk, tokens, pos.reshape(B * S, P, 2), e0)
             frame_inter = tokens.reshape(B, S, P, C)
@@ -220,7 +240,8 @@ def joint_forward(params: Dict, scan_params: Dict, cfg: FusionConfig,
                 blk["dit"], x, ctx, t_mod, cos_d, sin_d, dcfg,
                 plucker_fea=plucker_fea,
                 apply_pose=apply_pose and has_ad)
-            x_agg = tokens.reshape(B, S * P, C)
+            x_agg = maybe_constrain(tokens.reshape(B, S * P, C), mesh,
+                                    agg_spec)
             x_agg, mod_agg = vblocks.vggt_block_attn_half(
                 blk["agg"], bcfg_blk, x_agg, pos_global, e0)
 
@@ -229,12 +250,16 @@ def joint_forward(params: Dict, scan_params: Dict, cfg: FusionConfig,
                                          x_agg, rope_bi_dit, rope_bi_agg)
 
             x = dit_mod.dit_block_ffn_half(blk["dit"], x, mod_dit, dcfg)
+            x = maybe_constrain(x, mesh, tok_spec)
             x_agg = vblocks.vggt_block_ffn_half(blk["agg"], bcfg_blk, x_agg,
                                                 mod_agg)
+            x_agg = maybe_constrain(x_agg, mesh, agg_spec)
             global_inter = x_agg.reshape(B, S, P, C)
             out = jnp.concatenate([frame_inter, global_inter], axis=-1)
             return (x, x_agg.reshape(B * S, P, C)), out
 
+        if remat:
+            irg_body = jax.checkpoint(irg_body, prevent_cse=False)
         (x, tokens), seg_out = jax.lax.scan(irg_body, (x, tokens), seg)
         inters.append(seg_out)
 

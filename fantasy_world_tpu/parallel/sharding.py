@@ -151,3 +151,20 @@ def activation_spec(mesh: Mesh, kind: str = "tokens") -> P:
 
 def constrain(x, mesh: Mesh, spec: P):
     return jax.lax.with_sharding_constraint(x, NamedSharding(mesh, spec))
+
+
+def maybe_constrain(x, mesh: Optional[Mesh], spec: P):
+    """with_sharding_constraint that no-ops when mesh is None or a named
+    sharded dim does not divide its mesh axis (GSPMD would still be correct
+    with padding, but even splits are the only ones worth asking for)."""
+    if mesh is None:
+        return x
+    sizes = _axis_sizes(mesh)
+    for d, name in enumerate(spec):
+        if name is None:
+            continue
+        names = name if isinstance(name, tuple) else (name,)
+        size = int(np.prod([sizes.get(nm, 1) for nm in names]))
+        if size > 1 and x.shape[d] % size != 0:
+            return x
+    return jax.lax.with_sharding_constraint(x, NamedSharding(mesh, spec))

@@ -22,27 +22,36 @@ def flow_match_loss(params: Dict, scan_params: Dict, cfg: FusionConfig,
                     clean_latents: jnp.ndarray, noise: jnp.ndarray,
                     sigma: jnp.ndarray, timestep: jnp.ndarray,
                     context: jnp.ndarray, clip_feature, y,
-                    plucker_fea=None) -> jnp.ndarray:
+                    plucker_fea=None, mesh=None,
+                    remat: bool = False) -> jnp.ndarray:
     """Rectified-flow MSE at one sampled timestep."""
     noisy = (1 - sigma) * clean_latents + sigma * noise
     pred, _ = joint_forward(params, scan_params, cfg, noisy, timestep,
                             context, clip_feature, y,
-                            plucker_fea=plucker_fea)
+                            plucker_fea=plucker_fea, mesh=mesh, remat=remat)
     target = noise - clean_latents
     return jnp.mean(jnp.square(pred.astype(jnp.float32)
                                - target.astype(jnp.float32)))
 
 
-def make_train_step(cfg: FusionConfig, optimizer: optax.GradientTransformation):
+def make_train_step(cfg: FusionConfig, optimizer: optax.GradientTransformation,
+                    mesh=None, remat: bool = True):
     """Returns train_step(trainable, opt_state, batch) -> (trainable,
     opt_state, loss), where trainable = (params_lite, scan_params) from
     models.fusion.model.split_trainable -- one copy of every weight, so
-    grads and updates are well-defined."""
+    grads and updates are well-defined.
+
+    remat defaults on: every scan-body block is rematerialized on backward,
+    mirroring the reference's per-block gradient checkpointing granularity
+    (fusion/model_wan21.py:160-169). Jit with donation to update in place:
+        jax.jit(step, donate_argnums=(0, 1)).
+    """
 
     def train_step(trainable, opt_state, batch):
         def loss_fn(tr):
             lite, scan_p = tr
-            return flow_match_loss(lite, scan_p, cfg, **batch)
+            return flow_match_loss(lite, scan_p, cfg, mesh=mesh, remat=remat,
+                                   **batch)
         loss, grads = jax.value_and_grad(loss_fn)(trainable)
         updates, opt_state = optimizer.update(grads, opt_state, trainable)
         trainable = optax.apply_updates(trainable, updates)
