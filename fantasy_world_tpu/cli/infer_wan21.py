@@ -54,6 +54,15 @@ def parse_args(argv=None):
     p.add_argument("--moge_ckpt", type=str, default=None,
                    help="MoGe-2 model.pt for scale normalization "
                         "(Ruicheng/moge-2-vitl-normal)")
+    p.add_argument("--auto_download", type=str2bool, default=True,
+                   help="fetch missing checkpoints from ModelScope/HF into "
+                        "--wan_ckpt_path (downloader.py equivalent)")
+    p.add_argument("--tea_cache_l1_thresh", type=float, default=None,
+                   help="enable TeaCache block-skip at this rel-L1 drift "
+                        "threshold (reference suggests 0.05 for 480P)")
+    p.add_argument("--profile_dir", type=str, default=None,
+                   help="capture a jax.profiler trace of the denoise loop "
+                        "into this directory (view with xprof/tensorboard)")
     return p.parse_args(argv)
 
 
@@ -112,6 +121,10 @@ def run(args) -> None:
     cameras = cameras_json_to_camera_list(
         camera_data, image_size=(args.height, args.width))
 
+    if args.auto_download:
+        from ..convert.downloader import resolve_ckpt_dir
+        resolve_ckpt_dir(args.wan_ckpt_path, "Wan2.1-I2V-14B-480P")
+
     cfg = FusionConfig()
     params = load_fusion_params(args.wan_ckpt_path, args.model_ckpt, cfg,
                                 jnp.bfloat16)
@@ -156,11 +169,23 @@ def run(args) -> None:
     plucker_fea = pipe.encode_plucker(plucker)
 
     # ---- denoise + decode ------------------------------------------------
-    latents, prediction = pipe.denoise(
-        ctx_pos, ctx_neg, image_emb["clip_feature"], image_emb["y"],
-        args.height, args.width, num_frames=args.frames,
-        num_inference_steps=args.sample_steps, seed=args.seed,
-        plucker_fea=plucker_fea)
+    import contextlib
+    import time
+    import jax
+    trace_ctx = (jax.profiler.trace(args.profile_dir)
+                 if args.profile_dir else contextlib.nullcontext())
+    t0 = time.perf_counter()
+    with trace_ctx:
+        latents, prediction = pipe.denoise(
+            ctx_pos, ctx_neg, image_emb["clip_feature"], image_emb["y"],
+            args.height, args.width, num_frames=args.frames,
+            num_inference_steps=args.sample_steps, seed=args.seed,
+            plucker_fea=plucker_fea,
+            tea_cache_l1_thresh=args.tea_cache_l1_thresh)
+        jax.block_until_ready(latents)
+    dt = time.perf_counter() - t0
+    print(f"[timing] denoise {args.sample_steps} steps: {dt:.1f}s "
+          f"({dt / args.sample_steps:.2f} s/step incl. compile)")
     video = pipe.decode_video(latents)
 
     out_dir = Path(args.output_dir)

@@ -45,10 +45,21 @@ class FusionConfig:
     bicross: BicrossConfig = BicrossConfig()
     start_index: int = 16
     camera_control: bool = True
+    # Which post-PCB layers are IRG blocks (reference cross_attention_list,
+    # fusion/model_wan21.py:187-207). None = all of them -- the shipped
+    # config (inference_wan21.py:204-212 passes range(24)). Layers NOT in
+    # the list run the plain else-branch: full DiT block + plain aggregator
+    # global attention, no bicross coupling.
+    cross_attention_list: Optional[Tuple[int, ...]] = None
 
     @property
     def num_irg(self) -> int:
         return self.dit.num_layers - self.start_index
+
+    def xattn_set(self) -> frozenset:
+        if self.cross_attention_list is None:
+            return frozenset(range(self.num_irg))
+        return frozenset(self.cross_attention_list)
 
     def head_layers(self) -> Tuple[int, ...]:
         """Aggregator layers the heads consume: DPT pyramid + camera last."""
@@ -80,6 +91,23 @@ def _segments(n: int, boundary: int) -> List[Tuple[int, int]]:
     return [(0, n)]
 
 
+def irg_runs(cfg: FusionConfig) -> List[Tuple[int, int, bool, bool]]:
+    """Contiguous homogeneous runs of the post-PCB layer range: (lo, hi,
+    is_irg, has_adapter). A run is scanned with one traced body; boundaries
+    fall where the layer leaves cross_attention_list or where the camera
+    AdaLN adapters end (reference blocks <= 24)."""
+    xa = cfg.xattn_set()
+    si = cfg.start_index
+    runs: List[List] = []
+    for i in range(cfg.num_irg):
+        key = (i in xa, cfg.dit.has_adapter(si + i))
+        if runs and (runs[-1][2], runs[-1][3]) == key:
+            runs[-1][1] = i + 1
+        else:
+            runs.append([i, i + 1, key[0], key[1]])
+    return [tuple(r) for r in runs]
+
+
 def prepare_scan_params(params: Dict, cfg: FusionConfig) -> Dict:
     """Leaf-stack the per-layer params into scan segments. Run once at load
     time; the result is what the jitted joint_forward consumes."""
@@ -92,15 +120,16 @@ def prepare_scan_params(params: Dict, cfg: FusionConfig) -> Dict:
     for lo, hi in _segments(si, min(ae, si)):
         pcb_segs.append(stack_trees(dit_blocks[lo:hi]))
 
-    irg_boundary = max(0, min(ae - si, cfg.num_irg))
     irg_segs = []
-    for lo, hi in _segments(cfg.num_irg, irg_boundary):
-        irg_segs.append({
+    for lo, hi, is_irg, _ in irg_runs(cfg):
+        seg = {
             "frame": stack_trees(agg["frame_blocks"][lo:hi]),
             "agg": stack_trees(agg["global_blocks"][lo:hi]),
             "dit": stack_trees(dit_blocks[si + lo:si + hi]),
-            "bicross": stack_trees(params["bicross"][lo:hi]),
-        })
+        }
+        if is_irg:
+            seg["bicross"] = stack_trees(params["bicross"][lo:hi])
+        irg_segs.append(seg)
     return {"pcb": pcb_segs, "irg": irg_segs}
 
 
@@ -129,9 +158,8 @@ def segment_adapter_flags(cfg: FusionConfig):
     """Static per-segment camera-adapter flags (kept out of the param
     pytree so they never become jit tracers)."""
     si, ae = cfg.start_index, cfg.dit.camera_adapter_end
-    irg_boundary = max(0, min(ae - si, cfg.num_irg))
     pcb = [lo < ae for lo, _ in _segments(si, min(ae, si))]
-    irg = [si + lo < ae for lo, _ in _segments(cfg.num_irg, irg_boundary)]
+    irg = [(is_irg, has_ad) for _, _, is_irg, has_ad in irg_runs(cfg)]
     return pcb, irg
 
 
@@ -139,37 +167,14 @@ def segment_adapter_flags(cfg: FusionConfig):
 # joint forward
 # ---------------------------------------------------------------------------
 
-def joint_forward(params: Dict, scan_params: Dict, cfg: FusionConfig,
-                  latents: jnp.ndarray, timestep: jnp.ndarray,
-                  context: jnp.ndarray,
-                  clip_feature: Optional[jnp.ndarray] = None,
-                  y: Optional[jnp.ndarray] = None,
-                  plucker_fea: Optional[jnp.ndarray] = None,
-                  camera_token: Optional[jnp.ndarray] = None,
-                  control_camera_latents: Optional[jnp.ndarray] = None,
-                  uncond: bool = False,
-                  return_prediction: bool = False,
-                  mesh=None, remat: bool = False):
-    """One denoise evaluation (fusion/model_wan21.py:104-224).
-
-    latents: (B, 16, f, h', w'); context: (B, 512, text_dim);
-    y: (B, 20, f, h', w'); clip_feature: (B, 257, 1280);
-    plucker_fea: (B, L_tokens, plucker_dim).
-    Returns (noise_pred (B, 16, f, h', w'), prediction dict | None).
-
-    mesh: optional jax.sharding.Mesh(('data','seq','model')). When given,
-    activations are constrained batch-over-'data' and token/frame-over-'seq'
-    at every scan-segment boundary -- the GSPMD re-design of the reference's
-    Ulysses token chunking (diffsynth_wan21/pipelines/wan_video.py:808-830):
-    instead of explicit chunk + all_gather, XLA inserts the collectives.
-
-    remat: rematerialize each scan-body block on the backward pass -- the
-    TPU counterpart of the reference's per-block gradient checkpointing
-    (fusion/model_wan21.py:160-169; vram_management/gradient_checkpointing.py).
-    """
+def _forward_prologue(params: Dict, cfg: FusionConfig, latents, timestep,
+                      context, clip_feature, y, control_camera_latents,
+                      mesh):
+    """Embeddings + patchify + rope tables (fusion/model_wan21.py:119-147).
+    Cheap relative to the block stack -- runs on every step even when
+    TeaCache skips the stack."""
     dcfg = cfg.dit
     dp = params["dit"]
-
     t, t_mod = dit_mod.time_embedding(dp, dcfg, timestep)
     ctx = dit_mod.text_embedding(dp, context)
     x_in = latents
@@ -179,7 +184,6 @@ def joint_forward(params: Dict, scan_params: Dict, cfg: FusionConfig,
         ctx = jnp.concatenate([dit_mod.img_embedding(dp, clip_feature), ctx],
                               axis=1)
     x, (f, h, w) = dit_mod.patchify(dp, dcfg, x_in, control_camera_latents)
-    B = x.shape[0]
     tok_spec = PS("data", "seq", None)           # (B, L, D) video tokens
     x = maybe_constrain(x, mesh, tok_spec)
 
@@ -191,7 +195,21 @@ def joint_forward(params: Dict, scan_params: Dict, cfg: FusionConfig,
     rope_bi_agg = rope_ops.cos_sin_from_angles(
         rope_ops.build_angles_3d(cfg.bicross.head_dim, f, h, w,
                                  n_extra_per_frame=cfg.vggt.aggregator.patch_start_idx))
+    return (x, ctx, t, t_mod, (f, h, w),
+            (cos_d, sin_d), rope_bi_dit, rope_bi_agg)
 
+
+def _run_stack(params: Dict, scan_params: Dict, cfg: FusionConfig,
+               x, ctx, t_mod, timestep, ropes, rope_bi_dit, rope_bi_agg,
+               fhw, plucker_fea, camera_token, uncond, collect_inters,
+               mesh, remat):
+    """PCB prefix + geometry branch + interleaved IRG loop
+    (fusion/model_wan21.py:157-212). Returns (x, inters | None)."""
+    dcfg = cfg.dit
+    f, h, w = fhw
+    B = x.shape[0]
+    cos_d, sin_d = ropes
+    tok_spec = PS("data", "seq", None)
     apply_pose = cfg.camera_control and plucker_fea is not None
     pcb_flags, irg_flags = segment_adapter_flags(cfg)
 
@@ -227,8 +245,8 @@ def joint_forward(params: Dict, scan_params: Dict, cfg: FusionConfig,
 
     # ---- interleaved IRG loop -------------------------------------------
     inters = []
-    for seg, has_ad in zip(scan_params["irg"], irg_flags):
-        def irg_body(carry, blk):
+    for seg, (is_irg, has_ad) in zip(scan_params["irg"], irg_flags):
+        def irg_body(carry, blk, has_ad=has_ad):
             x, tokens = carry
             tokens = maybe_constrain(tokens.reshape(B * S, P, C), mesh,
                                      frame_spec)
@@ -258,19 +276,131 @@ def joint_forward(params: Dict, scan_params: Dict, cfg: FusionConfig,
             out = jnp.concatenate([frame_inter, global_inter], axis=-1)
             return (x, x_agg.reshape(B * S, P, C)), out
 
+        def plain_body(carry, blk, has_ad=has_ad):
+            # else-branch (fusion/model_wan21.py:196-207): frame attention,
+            # full DiT block, plain aggregator global attention -- no
+            # cross-modal coupling for layers outside cross_attention_list.
+            x, tokens = carry
+            tokens = maybe_constrain(tokens.reshape(B * S, P, C), mesh,
+                                     frame_spec)
+            tokens = vblocks.vggt_block_apply(
+                blk["frame"], bcfg_blk, tokens, pos.reshape(B * S, P, 2), e0)
+            frame_inter = tokens.reshape(B, S, P, C)
+
+            x = dit_mod.dit_block_apply(
+                blk["dit"], x, ctx, t_mod, cos_d, sin_d, dcfg,
+                plucker_fea=plucker_fea,
+                apply_pose=apply_pose and has_ad)
+            x = maybe_constrain(x, mesh, tok_spec)
+            x_agg = maybe_constrain(tokens.reshape(B, S * P, C), mesh,
+                                    agg_spec)
+            x_agg = vblocks.vggt_block_apply(
+                blk["agg"], bcfg_blk, x_agg, pos_global, e0)
+            x_agg = maybe_constrain(x_agg, mesh, agg_spec)
+            global_inter = x_agg.reshape(B, S, P, C)
+            out = jnp.concatenate([frame_inter, global_inter], axis=-1)
+            return (x, x_agg.reshape(B * S, P, C)), out
+
+        body = irg_body if is_irg else plain_body
         if remat:
-            irg_body = jax.checkpoint(irg_body, prevent_cse=False)
-        (x, tokens), seg_out = jax.lax.scan(irg_body, (x, tokens), seg)
+            body = jax.checkpoint(body, prevent_cse=False)
+        (x, tokens), seg_out = jax.lax.scan(body, (x, tokens), seg)
         inters.append(seg_out)
 
+    return x, (inters if collect_inters else None)
+
+
+def joint_forward(params: Dict, scan_params: Dict, cfg: FusionConfig,
+                  latents: jnp.ndarray, timestep: jnp.ndarray,
+                  context: jnp.ndarray,
+                  clip_feature: Optional[jnp.ndarray] = None,
+                  y: Optional[jnp.ndarray] = None,
+                  plucker_fea: Optional[jnp.ndarray] = None,
+                  camera_token: Optional[jnp.ndarray] = None,
+                  control_camera_latents: Optional[jnp.ndarray] = None,
+                  uncond: bool = False,
+                  return_prediction: bool = False,
+                  mesh=None, remat: bool = False):
+    """One denoise evaluation (fusion/model_wan21.py:104-224).
+
+    latents: (B, 16, f, h', w'); context: (B, 512, text_dim);
+    y: (B, 20, f, h', w'); clip_feature: (B, 257, 1280);
+    plucker_fea: (B, L_tokens, plucker_dim).
+    Returns (noise_pred (B, 16, f, h', w'), prediction dict | None).
+
+    mesh: optional jax.sharding.Mesh(('data','seq','model')). When given,
+    activations are constrained batch-over-'data' and token/frame-over-'seq'
+    at every scan-segment boundary -- the GSPMD re-design of the reference's
+    Ulysses token chunking (diffsynth_wan21/pipelines/wan_video.py:808-830):
+    instead of explicit chunk + all_gather, XLA inserts the collectives.
+
+    remat: rematerialize each scan-body block on the backward pass -- the
+    TPU counterpart of the reference's per-block gradient checkpointing
+    (fusion/model_wan21.py:160-169; vram_management/gradient_checkpointing.py).
+    """
+    dcfg = cfg.dit
+    dp = params["dit"]
+    (x, ctx, t, t_mod, fhw, ropes, rope_bi_dit, rope_bi_agg) = \
+        _forward_prologue(params, cfg, latents, timestep, context,
+                          clip_feature, y, control_camera_latents, mesh)
+    x, inters = _run_stack(params, scan_params, cfg, x, ctx, t_mod, timestep,
+                           ropes, rope_bi_dit, rope_bi_agg, fhw, plucker_fea,
+                           camera_token, uncond, return_prediction, mesh,
+                           remat)
+    f, h, w = fhw
     out = dit_mod.head_apply(dp, dcfg, x, t)
     noise_pred = dit_mod.unpatchify(dcfg, out, (f, h, w))
 
     if not return_prediction:
         return noise_pred, None
 
+    B = latents.shape[0]
+    S = f
     all_inters = jnp.concatenate(inters, axis=0)     # (24, B, S, P, 2C)
     agg_list = [all_inters[i] for i in range(all_inters.shape[0])]
     prediction = head_prediction(params["vggt"], cfg.vggt, agg_list,
-                                 (h, w), acfg.patch_start_idx)
+                                 (h, w), cfg.vggt.aggregator.patch_start_idx)
     return noise_pred, prediction
+
+
+def joint_forward_tea(params: Dict, scan_params: Dict, cfg: FusionConfig,
+                      latents: jnp.ndarray, timestep: jnp.ndarray,
+                      context: jnp.ndarray,
+                      clip_feature: Optional[jnp.ndarray] = None,
+                      y: Optional[jnp.ndarray] = None,
+                      plucker_fea: Optional[jnp.ndarray] = None,
+                      skip: jnp.ndarray = None,
+                      residual: jnp.ndarray = None,
+                      mesh=None):
+    """TeaCache-gated denoise evaluation (wan_video.py:691-745 re-designed
+    for XLA): when ``skip`` (a scalar bool tracer) is set, the PCB+IRG block
+    stack is replaced by ``x += residual`` where ``residual`` is the
+    stack output-minus-input saved on the last computed step. The skip
+    decision itself is made on the HOST before the denoise scan (it depends
+    only on the timestep schedule -- see pipelines/tea_cache.py), so both
+    branches compile once under ``lax.cond`` and the device executes only
+    the chosen one per step.
+
+    Returns (noise_pred, new_residual). Geometry heads are not supported
+    here: the final step always computes, so callers run plain
+    ``joint_forward(..., return_prediction=True)`` for it.
+    """
+    dcfg = cfg.dit
+    dp = params["dit"]
+    (x, ctx, t, t_mod, fhw, ropes, rope_bi_dit, rope_bi_agg) = \
+        _forward_prologue(params, cfg, latents, timestep, context,
+                          clip_feature, y, None, mesh)
+    f, h, w = fhw
+
+    def compute(x):
+        x_out, _ = _run_stack(params, scan_params, cfg, x, ctx, t_mod,
+                              timestep, ropes, rope_bi_dit, rope_bi_agg, fhw,
+                              plucker_fea, None, False, False, mesh, False)
+        return x_out, x_out - x
+
+    def reuse(x):
+        return x + residual, residual
+
+    x, new_residual = jax.lax.cond(skip, reuse, compute, x)
+    out = dit_mod.head_apply(dp, dcfg, x, t)
+    return dit_mod.unpatchify(dcfg, out, (f, h, w)), new_residual

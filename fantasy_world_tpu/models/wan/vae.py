@@ -230,7 +230,7 @@ def vae_decode(p: Dict, cfg: VAEConfig, latents: jnp.ndarray,
 
 
 # ---------------------------------------------------------------------------
-# tiled decode (parity/huge-resolution option; wan_video_vae.py:619-692)
+# tiled encode/decode (parity/huge-resolution option; wan_video_vae.py:619-744)
 # ---------------------------------------------------------------------------
 
 def _build_1d_mask(length, left_bound, right_bound, border):
@@ -271,3 +271,36 @@ def vae_decode_tiled(p: Dict, cfg: VAEConfig, latents: jnp.ndarray,
             weight[:, :, :, h * up:h * up + dec.shape[3],
                    w * up:w * up + dec.shape[4]] += mask
     return jnp.clip(jnp.asarray(values / weight), -1, 1).astype(latents.dtype)
+
+
+def vae_encode_tiled(p: Dict, cfg: VAEConfig, video: jnp.ndarray,
+                     tile_size=(34, 34), tile_stride=(18, 16)) -> jnp.ndarray:
+    """Spatially tiled encode (wan_video_vae.py:695-744). tile_size/stride
+    are in LATENT pixels like the reference public API (encode() multiplies
+    by 8 before calling tiled_encode; the blend masks live in latent space).
+    The wan22 control-video path encodes tiled (wan_video.py:279-288)."""
+    B, C, T, H, W = video.shape
+    up = 8
+    sh, sw = tile_size[0] * up, tile_size[1] * up
+    th, tw = tile_stride[0] * up, tile_stride[1] * up
+    out_T = (T + 3) // 4
+    values = np.zeros((B, cfg.z_dim, out_T, H // up, W // up), np.float32)
+    weight = np.zeros((1, 1, 1, H // up, W // up), np.float32)
+    for h in range(0, H, th):
+        if h - th >= 0 and h - th + sh >= H:
+            continue
+        for w in range(0, W, tw):
+            if w - tw >= 0 and w - tw + sw >= W:
+                continue
+            tile = video[:, :, :, h:h + sh, w:w + sw]
+            enc = np.asarray(vae_encode(p, cfg, tile), np.float32)
+            hm = _build_1d_mask(enc.shape[3], h == 0, h + sh >= H,
+                                (sh - th) // up)
+            wm = _build_1d_mask(enc.shape[4], w == 0, w + sw >= W,
+                                (sw - tw) // up)
+            mask = np.minimum(hm[:, None], wm[None, :])
+            values[:, :, :, h // up:h // up + enc.shape[3],
+                   w // up:w // up + enc.shape[4]] += enc * mask
+            weight[:, :, :, h // up:h // up + enc.shape[3],
+                   w // up:w // up + enc.shape[4]] += mask
+    return jnp.asarray(values / weight).astype(video.dtype)

@@ -44,15 +44,22 @@ def dot_product_attention(
     *,
     scale: Optional[float] = None,
     backend: Optional[str] = None,
+    key_mask: Optional[jnp.ndarray] = None,
 ) -> jnp.ndarray:
     """Dense bidirectional attention.
 
     q: (B, Lq, H, D), k/v: (B, Lk, H, D). Returns (B, Lq, H, D) in q.dtype.
     Softmax statistics in f32 on every backend.
+
+    key_mask: optional (B, Lk) or (Lk,) bool, True = attendable. Masked
+    attention routes through the XLA path (only the padded temporal-bicross
+    mode needs it; the hot paths are mask-free).
     """
     if scale is None:
         scale = q.shape[-1] ** -0.5
     backend = backend or _auto_backend()
+    if key_mask is not None:
+        return _xla_attention_masked(q, k, v, key_mask, scale)
     if backend == "pallas":
         from .flash_attention import flash_attention
         return flash_attention(q, k, v, scale=scale)
@@ -65,6 +72,19 @@ def dot_product_attention(
 def _xla_attention(q, k, v, scale):
     logits = jnp.einsum("bqhd,bkhd->bhqk", q, k,
                         preferred_element_type=jnp.float32) * scale
+    probs = jax.nn.softmax(logits, axis=-1)
+    out = jnp.einsum("bhqk,bkhd->bqhd", probs.astype(v.dtype), v,
+                     preferred_element_type=jnp.float32)
+    return out.astype(q.dtype)
+
+
+@functools.partial(jax.jit, static_argnums=(4,))
+def _xla_attention_masked(q, k, v, key_mask, scale):
+    logits = jnp.einsum("bqhd,bkhd->bhqk", q, k,
+                        preferred_element_type=jnp.float32) * scale
+    mask = jnp.broadcast_to(jnp.asarray(key_mask, bool),
+                            (q.shape[0], k.shape[1]))
+    logits = jnp.where(mask[:, None, None, :], logits, -1e30)
     probs = jax.nn.softmax(logits, axis=-1)
     out = jnp.einsum("bhqk,bkhd->bqhd", probs.astype(v.dtype), v,
                      preferred_element_type=jnp.float32)

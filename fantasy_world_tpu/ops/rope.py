@@ -40,10 +40,17 @@ def _freqs_1d_f64(dim: int, end: int, theta: float) -> np.ndarray:
 @functools.lru_cache(maxsize=32)
 def rope_table_3d(head_dim: int, end: int = 1024, theta: float = 10000.0
                   ) -> Tuple[np.ndarray, np.ndarray, np.ndarray]:
-    """Per-axis angle tables (f, h, w) with band sizes matching the reference
-    split: f gets head_dim - 2*(head_dim//3), h and w get head_dim//3 each."""
-    d_f = head_dim - 2 * (head_dim // 3)
-    d_hw = head_dim // 3
+    """Per-axis angle tables (f, h, w).
+
+    Band sizes: f gets head_dim - 4*(head_dim//6), h and w get
+    2*(head_dim//6) each. Identical to the reference split
+    (precompute_freqs_cis_3d, wan_video_dit.py:80-85: ``dim - 2*(dim//3)``
+    / ``dim//3``) for every head_dim it actually runs (128 -> 44+42+42),
+    but with always-even h/w bands: the reference formula desyncs the
+    table from head_dim//2 when dim//3 is odd (e.g. head_dim 64 -> 31
+    pairs vs 32) and its own rope_apply would fail there too."""
+    d_f = head_dim - 4 * (head_dim // 6)
+    d_hw = 2 * (head_dim // 6)
     return (
         _freqs_1d_f64(d_f, end, theta),
         _freqs_1d_f64(d_hw, end, theta),

@@ -24,7 +24,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from ..models.fusion.model import (FusionConfig, joint_forward,
-                                   prepare_scan_params)
+                                   joint_forward_tea, prepare_scan_params)
 from ..models.wan import dit as dit_mod
 from ..models.wan.camera import (CameraPoseEncoderConfig,
                                  camera_pose_encoder_apply)
@@ -147,8 +147,16 @@ class FantasyWorldPipeline:
                 height: int, width: int, num_frames: int = 81,
                 num_inference_steps: int = 50, cfg_scale: float = 5.0,
                 seed: Optional[int] = None, plucker_fea=None,
-                torch_compat_noise: bool = False):
-        """Returns (final latents (1,16,f,h,w), geometry prediction dict)."""
+                torch_compat_noise: bool = False,
+                tea_cache_l1_thresh: Optional[float] = None,
+                tea_cache_model_id: str = "Wan2.1-I2V-14B-480P"):
+        """Returns (final latents (1,16,f,h,w), geometry prediction dict).
+
+        tea_cache_l1_thresh: enable TeaCache block-stack skipping at this
+        relative-L1 drift threshold (reference default 0.05 for 480P); the
+        skip schedule is planned on the host before the scan
+        (pipelines/tea_cache.py), so the jitted loop stays trace-static.
+        """
         if num_frames % 4 != 1:
             num_frames = (num_frames + 2) // 4 * 4 + 1
         f = (num_frames - 1) // 4 + 1
@@ -168,22 +176,49 @@ class FantasyWorldPipeline:
         params, scan_params, cfg = (self.params["fusion"], self._scan_params,
                                     self.cfg)
 
-        def step_fn(lat, inputs):
-            timestep, sigma, sigma_next = inputs
-            lat2 = jnp.concatenate([lat] * 2, axis=0)
-            noise, _ = joint_forward(params, scan_params, cfg, lat2,
-                                     jnp.full((2,), timestep), ctx, clip2,
-                                     y2, plucker_fea=pl2)
-            pred = noise[1:2] + cfg_scale * (noise[0:1] - noise[1:2])
-            lat = lat + pred.astype(jnp.float32).astype(lat.dtype) * (
-                sigma_next - sigma)
-            return lat, None
-
         pairs = sched.sigma_pairs()
         ts = jnp.asarray(sched.timesteps)
-        # steps 0..n-2 in one scan; final step separately with the heads on
-        xs = (ts[:-1], jnp.asarray(pairs[:-1, 0]), jnp.asarray(pairs[:-1, 1]))
-        latents, _ = jax.lax.scan(step_fn, latents, xs)
+
+        if tea_cache_l1_thresh is not None:
+            from .tea_cache import compute_skip_schedule
+            skips = compute_skip_schedule(
+                params["dit"], cfg.dit, sched.timesteps,
+                tea_cache_l1_thresh, tea_cache_model_id)
+            pt = cfg.dit.patch_size
+            n_tok = f * (height // 8 // pt[1]) * (width // 8 // pt[2])
+            residual0 = jnp.zeros((2, n_tok, cfg.dit.dim), dtype)
+
+            def step_fn(carry, inputs):
+                lat, res = carry
+                timestep, sigma, sigma_next, skip = inputs
+                lat2 = jnp.concatenate([lat] * 2, axis=0)
+                noise, res = joint_forward_tea(
+                    params, scan_params, cfg, lat2, jnp.full((2,), timestep),
+                    ctx, clip2, y2, plucker_fea=pl2, skip=skip, residual=res)
+                pred = noise[1:2] + cfg_scale * (noise[0:1] - noise[1:2])
+                lat = lat + pred.astype(jnp.float32).astype(lat.dtype) * (
+                    sigma_next - sigma)
+                return (lat, res), None
+
+            xs = (ts[:-1], jnp.asarray(pairs[:-1, 0]),
+                  jnp.asarray(pairs[:-1, 1]), jnp.asarray(skips[:-1]))
+            (latents, _), _ = jax.lax.scan(step_fn, (latents, residual0), xs)
+        else:
+            def step_fn(lat, inputs):
+                timestep, sigma, sigma_next = inputs
+                lat2 = jnp.concatenate([lat] * 2, axis=0)
+                noise, _ = joint_forward(params, scan_params, cfg, lat2,
+                                         jnp.full((2,), timestep), ctx, clip2,
+                                         y2, plucker_fea=pl2)
+                pred = noise[1:2] + cfg_scale * (noise[0:1] - noise[1:2])
+                lat = lat + pred.astype(jnp.float32).astype(lat.dtype) * (
+                    sigma_next - sigma)
+                return lat, None
+
+            # steps 0..n-2 in one scan; final step separately with heads on
+            xs = (ts[:-1], jnp.asarray(pairs[:-1, 0]),
+                  jnp.asarray(pairs[:-1, 1]))
+            latents, _ = jax.lax.scan(step_fn, latents, xs)
 
         t_last = jnp.full((2,), ts[-1])
         lat2 = jnp.concatenate([latents] * 2, axis=0)

@@ -9,8 +9,12 @@ import sys
 os.environ["JAX_PLATFORMS"] = "cpu"
 flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in flags:
-    os.environ["XLA_FLAGS"] = (
-        flags + " --xla_force_host_platform_device_count=8").strip()
+    flags = (flags + " --xla_force_host_platform_device_count=8").strip()
+if "xla_llvm_disable_expensive_passes" not in flags:
+    # LLVM O2 passes dominate compile time on this 1-core host and buy
+    # nothing for correctness tests
+    flags = (flags + " --xla_llvm_disable_expensive_passes=true").strip()
+os.environ["XLA_FLAGS"] = flags
 
 # A pytest plugin may have imported jax before this conftest ran; the config
 # update below still wins as long as no backend has been initialized yet.
@@ -21,6 +25,14 @@ jax.config.update("jax_platforms", "cpu")
 REPO_ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 if REPO_ROOT not in sys.path:
     sys.path.insert(0, REPO_ROOT)
+
+# Persistent compilation cache: XLA compile time on the 1-core CI host
+# dominates the suite (a tiny fusion forward costs minutes to build), so
+# every jitted program is cached on disk and reruns hit the cache.
+jax.config.update("jax_compilation_cache_dir",
+                  os.path.join(REPO_ROOT, ".jax_cache"))
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
+jax.config.update("jax_persistent_cache_min_entry_size_bytes", -1)
 
 REFERENCE_ROOT = "/root/reference"
 

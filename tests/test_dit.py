@@ -6,6 +6,8 @@ import conftest as C
 
 torch = pytest.importorskip("torch")
 
+pytestmark = pytest.mark.parity
+
 # tiny config: head_dim 24 keeps the 3D-RoPE bands even (8+8+8)
 TINY = dict(dim=96, in_dim=8, ffn_dim=128, out_dim=4, text_dim=32,
             freq_dim=64, eps=1e-6, patch_size=(1, 2, 2), num_heads=4,

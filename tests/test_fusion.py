@@ -7,6 +7,8 @@ import conftest as C
 
 torch = pytest.importorskip("torch")
 
+pytestmark = pytest.mark.parity
+
 
 def _rope_tables_torch(head_dim, f, h, w, n_extra=0):
     C.add_reference_to_path()

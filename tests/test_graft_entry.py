@@ -6,6 +6,8 @@ import pytest
 
 import conftest  # noqa: F401  (forces cpu + 8 virtual devices)
 
+pytestmark = pytest.mark.parity
+
 
 def test_entry_compiles():
     import __graft_entry__ as g

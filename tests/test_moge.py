@@ -6,6 +6,8 @@ import conftest as C
 
 torch = pytest.importorskip("torch")
 
+pytestmark = pytest.mark.parity
+
 
 def _add_moge_paths():
     import sys

@@ -6,6 +6,8 @@ import conftest as C
 
 torch = pytest.importorskip("torch")
 
+pytestmark = pytest.mark.parity
+
 
 def _make_pair(dim=16, z_dim=4):
     C.add_reference_to_path()

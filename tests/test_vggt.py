@@ -6,6 +6,8 @@ import conftest as C
 
 torch = pytest.importorskip("torch")
 
+pytestmark = pytest.mark.parity
+
 
 def _sd(mod):
     return {k: v.numpy() for k, v in mod.state_dict().items()}

@@ -6,6 +6,8 @@ import conftest as C
 
 torch = pytest.importorskip("torch")
 
+pytestmark = pytest.mark.parity
+
 
 @pytest.mark.skipif(not C.reference_available(), reason="reference absent")
 def test_simple_adapter_parity():
