@@ -202,8 +202,9 @@ def emit(value_s, flops_full, partial, points):
 
 
 def main():
+    import gc
     flops_shallow = analytic_flops(4, 2)
-    flops_deep = analytic_flops(8, 4)
+    flops_deep = analytic_flops(6, 3)
     flops_full = analytic_flops(40, 16)
 
     t0 = time.perf_counter()
@@ -214,6 +215,7 @@ def main():
     log(f"shallow compile+time {time.perf_counter() - t0:.0f}s -> "
         f"{t_s * 1e3:.0f} ms/step ({flops_shallow / t_s / 1e12:.0f} TFLOP/s)")
     del p_s, s_s
+    gc.collect()
     points = {"shallow_s": round(t_s, 4)}
 
     elapsed = time.perf_counter() - _T_START
@@ -225,12 +227,20 @@ def main():
         emit(full, flops_full, True, points)
         return
 
-    t0 = time.perf_counter()
-    cfg_d, p_d, s_d = build(8, 4)          # 4 PCB + 4 IRG
-    t_d = time_step(cfg_d, p_d, s_d)
-    log(f"deep build+compile+time {time.perf_counter() - t0:.0f}s -> "
-        f"{t_d * 1e3:.0f} ms/step ({flops_deep / t_d / 1e12:.0f} TFLOP/s)")
-    del p_d, s_d
+    # deep point: 3 PCB + 3 IRG -- the largest depth that fits single-chip
+    # v5e HBM next to the shallow leftovers (8 blocks OOMed, measured)
+    try:
+        t0 = time.perf_counter()
+        cfg_d, p_d, s_d = build(6, 3)
+        t_d = time_step(cfg_d, p_d, s_d)
+        log(f"deep build+compile+time {time.perf_counter() - t0:.0f}s -> "
+            f"{t_d * 1e3:.0f} ms/step ({flops_deep / t_d / 1e12:.0f} TFLOP/s)")
+        del p_d, s_d
+    except Exception as e:                  # RESOURCE_EXHAUSTED etc.
+        log(f"deep point failed ({type(e).__name__}); emitting shallow-only")
+        full = t_s * flops_full / flops_shallow
+        emit(full, flops_full, True, points)
+        return
     points["deep_s"] = round(t_d, 4)
 
     # two-point linear model in FLOPs: t = fixed + slope * flops

@@ -41,6 +41,11 @@ def parse_args(argv=None):
     p.add_argument("--stride", type=int, default=4)
     p.add_argument("--tokenizer_path", type=str, default=None)
     p.add_argument("--moge_ckpt", type=str, default=None)
+    p.add_argument("--auto_download", type=str2bool, default=True,
+                   help="fetch missing checkpoints from ModelScope/HF "
+                        "(ModelConfig.download_if_necessary equivalent)")
+    p.add_argument("--profile_dir", type=str, default=None,
+                   help="capture a jax.profiler trace of the denoise loop")
     return p.parse_args(argv)
 
 
@@ -88,6 +93,10 @@ def run(args) -> None:
     from ..convert.orbax_io import load_torch_state_dict, cast_tree
     from ..convert.wan_vae import convert_wan_vae
     from ..convert.encoders import convert_t5
+
+    if args.auto_download:
+        from ..convert.downloader import resolve_ckpt_dir
+        resolve_ckpt_dir(args.wan_ckpt_path, "Wan2.2-Fun-A14B-Control-Camera")
 
     cfg = wan22_fusion_config()
     dtype = jnp.bfloat16
@@ -150,10 +159,21 @@ def run(args) -> None:
     ctx_pos = pipe.encode_prompt(args.prompt)
     ctx_neg = pipe.encode_prompt(args.neg_prompt)
 
-    latents, prediction = denoiser.denoise(
-        ctx_pos, ctx_neg, image_emb["y"], args.height, args.width,
-        num_inference_steps=args.sample_steps, seed=args.seed,
-        control_camera_latents=ctrl)
+    import contextlib
+    import time
+    import jax
+    trace_ctx = (jax.profiler.trace(args.profile_dir)
+                 if args.profile_dir else contextlib.nullcontext())
+    t0 = time.perf_counter()
+    with trace_ctx:
+        latents, prediction = denoiser.denoise(
+            ctx_pos, ctx_neg, image_emb["y"], args.height, args.width,
+            num_inference_steps=args.sample_steps, seed=args.seed,
+            control_camera_latents=ctrl)
+        jax.block_until_ready(latents)
+    dt = time.perf_counter() - t0
+    print(f"[timing] denoise {args.sample_steps} steps: {dt:.1f}s "
+          f"({dt / args.sample_steps:.2f} s/step incl. compile)")
     video = pipe.decode_video(latents)
 
     out_dir = Path(args.output_dir)

@@ -1,0 +1,104 @@
+"""ModelManager: files -> hash-detected, converted param trees.
+
+Re-design of the reference ModelManager (diffsynth_wan21/models/
+model_manager.py:269-407): load .pth/.safetensors (single file, shard list,
+or directory), detect the architecture by the md5-of-keys census
+(convert/registry.py), convert with the matching converter, and serve the
+trees by name. Instead of torch classes on a device, the artifacts here are
+(config, numpy param tree) pairs ready for jax.device_put / Orbax.
+
+Also exposes ``from_pretrained``-style resolution through
+convert/downloader.ModelConfig (diffsynth_wan22/utils/__init__.py:159-230).
+"""
+from __future__ import annotations
+
+import glob
+import os
+from typing import Dict, List, Optional, Sequence, Tuple, Union
+
+from .registry import detect
+from .orbax_io import load_torch_state_dict, load_sharded_state_dict
+
+
+def _translate_dit_config(overrides: Dict) -> Dict:
+    """Registry entries use the reference's flag names; WanDiTConfig uses
+    has_image_input (CLIP context) + require_vae_embedding (y concat)."""
+    out = dict(overrides)
+    if "require_clip_embedding" in out:
+        out["has_image_input"] = out.pop("require_clip_embedding")
+    return out
+
+
+class ModelManager:
+    """load_models(paths) -> fetch_model(name) over converted param trees."""
+
+    def __init__(self):
+        # name -> (config_obj_or_None, params)
+        self.models: Dict[str, Tuple[object, Dict]] = {}
+
+    # -- loading --------------------------------------------------------------
+
+    @staticmethod
+    def _read(path: Union[str, Sequence[str]]) -> Dict:
+        if isinstance(path, (list, tuple)):
+            return load_sharded_state_dict(list(path))
+        if os.path.isdir(path):
+            shards = sorted(glob.glob(os.path.join(path, "*.safetensors")))
+            if not shards:
+                raise FileNotFoundError(f"no safetensors under {path}")
+            return load_sharded_state_dict(shards)
+        return load_torch_state_dict(path)
+
+    def load_model(self, path: Union[str, Sequence[str]]) -> str:
+        sd = self._read(path)
+        name, overrides = detect(sd)
+        if name == "wan_video_dit":
+            from ..models.wan.dit import WanDiTConfig
+            from .wan_dit import convert_wan_dit
+            cfg = WanDiTConfig(**_translate_dit_config(overrides))
+            params = convert_wan_dit(sd, cfg)
+        elif name == "wan_video_text_encoder":
+            from ..models.wan.t5 import T5Config
+            from .encoders import convert_t5
+            cfg, params = T5Config(), convert_t5(sd)
+        elif name == "wan_video_image_encoder":
+            from ..models.wan.clip import CLIPVisionConfig
+            from .encoders import convert_clip_vision
+            cfg, params = CLIPVisionConfig(), convert_clip_vision(sd)
+        elif name == "wan_video_vae":
+            from ..models.wan.vae import VAEConfig
+            from .wan_vae import convert_wan_vae
+            cfg = VAEConfig()
+            params = convert_wan_vae(
+                {("model." + k) if not k.startswith("model.") else k: v
+                 for k, v in sd.items()})
+        else:                                        # pragma: no cover
+            raise KeyError(name)
+        self.models[name] = (cfg, params)
+        return name
+
+    def load_models(self, paths: Sequence[Union[str, Sequence[str]]]
+                    ) -> List[str]:
+        return [self.load_model(p) for p in paths]
+
+    # -- serving ----------------------------------------------------------------
+
+    def fetch_model(self, name: str) -> Tuple[object, Dict]:
+        if name not in self.models:
+            raise KeyError(f"{name} not loaded; have {sorted(self.models)}")
+        return self.models[name]
+
+    def fetch_params(self, name: str) -> Dict:
+        return self.fetch_model(name)[1]
+
+
+def from_model_configs(model_configs: Sequence, manager: Optional[ModelManager]
+                       = None) -> ModelManager:
+    """Resolve downloader.ModelConfig entries (download-if-missing) and load
+    them -- the wan22 WanVideoPipeline.from_pretrained flow
+    (wan_video_new.py:344-418) without the torch modules."""
+    manager = manager or ModelManager()
+    for mc in model_configs:
+        mc.download_if_necessary()
+        manager.load_model(mc.path)
+    return manager

@@ -64,6 +64,58 @@ def _plan_params(sd, pre, plan):
     return out
 
 
+def _macro_block(sd, pre, n_res, has_resample, resample_kind):
+    """Down_/Up_ResidualBlock (wan22 wan_video_vae.py:451-524): the
+    AvgDown3D/DupUp3D shortcut is parameter-free; the main path is a
+    Sequential of ResidualBlocks plus an optional trailing Resample38."""
+    p = {"res": [_res_block(sd, f"{pre}.{j}") for j in range(n_res)]}
+    if has_resample:
+        p["resample"] = _resample(sd, f"{pre}.{n_res}", resample_kind)
+    return p
+
+
+def convert_wan_vae38(sd: Mapping, cfg=None, prefix: str = "model.") -> Dict:
+    """torch VideoVAE38_ state dict -> param tree for models/wan/vae38.py."""
+    from ..models.wan.vae38 import (VAE38Config, encoder38_stages,
+                                    decoder38_stages)
+    cfg = cfg or VAE38Config()
+    pr = prefix
+    enc_down = []
+    for i, st in enumerate(encoder38_stages(cfg)):
+        kind = ("down3d" if st["t_down"] else "down2d") if st["down"] else None
+        enc_down.append(_macro_block(
+            sd, f"{pr}encoder.downsamples.{i}.downsamples",
+            cfg.num_res_blocks, st["down"], kind))
+    dec_up = []
+    for i, st in enumerate(decoder38_stages(cfg)):
+        kind = ("up3d" if st["t_up"] else "up2d") if st["up"] else None
+        dec_up.append(_macro_block(
+            sd, f"{pr}decoder.upsamples.{i}.upsamples",
+            cfg.num_res_blocks + 1, st["up"], kind))
+    return {
+        "encoder": {
+            "conv1": _conv(sd, pr + "encoder.conv1"),
+            "downsamples": enc_down,
+            "middle_res1": _res_block(sd, pr + "encoder.middle.0"),
+            "middle_attn": _attn_block(sd, pr + "encoder.middle.1"),
+            "middle_res2": _res_block(sd, pr + "encoder.middle.2"),
+            "head_norm": {"gamma": np.asarray(sd[pr + "encoder.head.0.gamma"])},
+            "head_conv": _conv(sd, pr + "encoder.head.2"),
+        },
+        "conv1": _conv(sd, pr + "conv1"),
+        "conv2": _conv(sd, pr + "conv2"),
+        "decoder": {
+            "conv1": _conv(sd, pr + "decoder.conv1"),
+            "middle_res1": _res_block(sd, pr + "decoder.middle.0"),
+            "middle_attn": _attn_block(sd, pr + "decoder.middle.1"),
+            "middle_res2": _res_block(sd, pr + "decoder.middle.2"),
+            "upsamples": dec_up,
+            "head_norm": {"gamma": np.asarray(sd[pr + "decoder.head.0.gamma"])},
+            "head_conv": _conv(sd, pr + "decoder.head.2"),
+        },
+    }
+
+
 def convert_wan_vae(sd: Mapping, cfg: VAEConfig = VAEConfig(),
                     prefix: str = "model.") -> Dict:
     pr = prefix

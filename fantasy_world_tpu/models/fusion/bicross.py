@@ -20,7 +20,7 @@ from typing import Dict, Tuple
 import jax
 import jax.numpy as jnp
 
-from ...core.params import prng_split, prng_fold_in, init_linear, np_zeros
+from ...core.params import prng_split, init_linear, np_zeros
 from ...ops import rope as rope_ops
 from ...ops.attention import dot_product_attention
 from ...ops.norms import layer_norm

@@ -16,7 +16,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from ...core.params import (prng_split, prng_fold_in, init_linear, init_layernorm, np_normal,
+from ...core.params import (prng_split, init_linear, init_layernorm, np_normal,
                             np_zeros, np_ones, np_cast)
 from ...ops.causal_conv import (causal_conv3d, conv2d, wan_vae_dpt_upsampler,
                                 channel_expand_reshape)

@@ -12,7 +12,7 @@ from typing import Dict, List, Optional, Tuple
 import jax
 import jax.numpy as jnp
 
-from ...core.params import prng_split, prng_fold_in, init_linear
+from ...core.params import prng_split, init_linear
 from ...ops import rope as rope_ops
 from .aggregator import (AggregatorConfig, init_aggregator,
                          aggregator_forward, assemble_tokens)
@@ -30,16 +30,22 @@ class VGGTConfig:
     enable_point: bool = True
     dpt_patch_size: int = 16
     dpt_layer_idx: Tuple[int, ...] = (23, 17, 11, 7)
+    dpt_features: int = 256
+    dpt_out_channels: Tuple[int, ...] = (256, 512, 1024, 1024)
+    camera_num_heads: int = 16
     aggregator: AggregatorConfig = AggregatorConfig()
 
     @property
     def camera_head(self) -> CameraHeadConfig:
-        return CameraHeadConfig(dim_in=2 * self.embed_dim)
+        return CameraHeadConfig(dim_in=2 * self.embed_dim,
+                                num_heads=self.camera_num_heads)
 
     def dpt_head(self, output_dim: int, activation: str) -> DPTHeadConfig:
         return DPTHeadConfig(dim_in=2 * self.embed_dim,
                              patch_size=self.dpt_patch_size,
                              output_dim=output_dim, activation=activation,
+                             features=self.dpt_features,
+                             out_channels=self.dpt_out_channels,
                              intermediate_layer_idx=self.dpt_layer_idx)
 
 

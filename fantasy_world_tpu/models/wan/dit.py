@@ -27,7 +27,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from ...core.params import (prng_split, prng_fold_in, init_linear, init_layernorm, init_rmsnorm,
+from ...core.params import (prng_split, init_linear, init_layernorm, init_rmsnorm,
                             np_normal, np_zeros)
 from ...ops import rope as rope_ops
 from ...ops.attention import dot_product_attention

@@ -88,12 +88,18 @@ class FantasyWorldPipeline:
                      width: int, end_image: Optional[np.ndarray] = None
                      ) -> Dict[str, jnp.ndarray]:
         """image: (H, W, 3) float in [-1, 1] already resized to (height,
-        width). Returns {'clip_feature': (1,257,1280), 'y': (1,20,f,h,w)}."""
+        width). Returns {'clip_feature': (1,257,1280) | None, 'y':
+        (1,20,f,h,w)}. The CLIP branch is skipped when the model has no
+        image-context input (wan22 Fun-Control-Camera,
+        require_clip_embedding=False)."""
         img = jnp.asarray(image, jnp.float32).transpose(2, 0, 1)[None]
-        clip_in = preprocess_image(img)
         dtype = self.params["fusion"]["dit"]["patch_embedding"]["kernel"].dtype
-        clip_feature = clip_encode_image(self.params["clip"], self.clip_cfg,
-                                         clip_in.astype(dtype))
+        clip_feature = None
+        if self.cfg.dit.has_image_input and "clip" in self.params:
+            clip_in = preprocess_image(img)
+            clip_feature = clip_encode_image(self.params["clip"],
+                                             self.clip_cfg,
+                                             clip_in.astype(dtype))
 
         msk = np.ones((1, num_frames, height // 8, width // 8), np.float32)
         msk[:, 1:] = 0

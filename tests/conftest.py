@@ -69,9 +69,11 @@ def add_reference_to_path():
                 stub(name)
     try:
         import torchvision  # noqa: F401
+        import torchvision.transforms.functional  # noqa: F401
     except (ImportError, ValueError):
         tv = stub("torchvision")
         tv.transforms = stub("torchvision.transforms")
+        tv.transforms.functional = stub("torchvision.transforms.functional")
     try:
         import diffusers  # noqa: F401
     except (ImportError, ValueError):

@@ -73,6 +73,46 @@ def test_bicross_parity():
 
 
 @pytest.mark.skipif(not C.reference_available(), reason="reference absent")
+def test_bicross_temporal_mode_parity():
+    """bica_mode='temporal' (fusion/layer/block.py:200-218): windowed
+    geometry frames, uneven R/T split, no-op pad mask quirk."""
+    C.add_reference_to_path()
+    from FantasyWorld.fusion.layer.block import CrossModalityBiAttentionBlock
+    from fantasy_world_tpu.models.fusion.bicross import (
+        BicrossConfig, bicross_apply_temporal)
+    from fantasy_world_tpu.convert.fusion import _bicross
+    import jax.numpy as jnp
+
+    torch.manual_seed(9)
+    dim, hidden, heads = 64, 64, 4
+    ref = CrossModalityBiAttentionBlock(dim, dim, hidden, heads,
+                                        bica_mode="temporal").float().eval()
+    with torch.no_grad():
+        ref.gamma_m1.normal_(std=0.1)
+        ref.gamma_m2.normal_(std=0.1)
+    cfg = BicrossConfig(m1_dim=dim, m2_dim=dim, hidden=hidden,
+                        num_heads=heads)
+
+    T, S, R, M = 3, 12, 5, 7       # R not divisible by T -> padded window
+    rng = np.random.default_rng(9)
+    x1 = rng.standard_normal((1, T * S, dim)).astype(np.float32)
+    x2 = rng.standard_normal((1, R * M, dim)).astype(np.float32)
+
+    with torch.no_grad():
+        r1, r2 = ref([torch.from_numpy(x1), torch.from_numpy(x2)],
+                     T=T, S=S, R=R, M=M)
+
+    p = _bicross({"b.bicross_attention." + k: v.numpy()
+                  for k, v in ref.state_dict().items()}, "b")
+    o1, o2 = bicross_apply_temporal(p, cfg, jnp.asarray(x1), jnp.asarray(x2),
+                                    T, S, R, M)
+    np.testing.assert_allclose(np.asarray(o1), r1.numpy(), rtol=2e-3,
+                               atol=2e-3)
+    np.testing.assert_allclose(np.asarray(o2), r2.numpy(), rtol=2e-3,
+                               atol=2e-3)
+
+
+@pytest.mark.skipif(not C.reference_available(), reason="reference absent")
 def test_irg_block_parity():
     """Full IRG iteration: dit half + agg half + bicross + ffn halves."""
     C.add_reference_to_path()
@@ -219,7 +259,8 @@ def test_joint_forward_smoke():
     scan = prepare_scan_params(params, cfg)
     # PCB all-adapter single segment; IRG split at 25-16 -> here 5-2=3
     assert len(scan["pcb"]) == 1 and len(scan["irg"]) == 2
-    assert segment_adapter_flags(cfg) == ([True], [True, False])
+    assert segment_adapter_flags(cfg) == ([True],
+                                          [(True, True), (True, False)])
 
     B, f, h2, w2 = 1, 3, 8, 12
     latents = jnp.zeros((B, 4, f, h2, w2), jnp.float32)

@@ -1,0 +1,248 @@
+"""End-to-end joint_forward parity vs the reference FantasyWorldFusionModel.
+
+The per-module suite (test_fusion/test_dit/test_vggt) covers every block in
+isolation; this test runs the reference's full orchestration -- PCB prefix,
+geometry-branch input processing, the interleaved IRG loop, head assembly,
+and the geometry heads -- against ours on one tiny config, so segment
+boundaries, e0 broadcast, rope-table wiring, inters ordering, and head input
+assembly are all checked at once (fusion/model_wan21.py:104-224).
+
+The reference model is assembled via __new__ (its __init__ requires real
+14B checkpoints and a CUDA device); the surgery loop below reproduces
+__init__'s deepcopy-then-Identity IRG construction verbatim
+(model_wan21.py:62-87).
+"""
+import os
+
+import numpy as np
+import pytest
+
+import conftest as C
+
+torch = pytest.importorskip("torch")
+
+pytestmark = pytest.mark.parity
+
+# head_dim 24 keeps 3D-RoPE bands even (8+8+8); 6 layers = 2 PCB + 4 IRG
+TINY_DIT = dict(dim=96, in_dim=8, ffn_dim=128, out_dim=4, text_dim=32,
+                freq_dim=64, eps=1e-6, patch_size=(1, 2, 2), num_heads=4,
+                num_layers=6, has_image_input=True)
+START, N_IRG, AGG_DIM, HIDDEN = 2, 4, 64, 96
+ADAPTER_END = 5          # blocks 0..4 carry camera adapters, block 5 not
+B, F, H2, W2 = 1, 3, 8, 12
+
+
+def _load_patched(relpath: str, package: str, replacements):
+    """Execute an in-memory copy of a reference module with hardcoded 14B
+    widths replaced by shape-derived expressions, so the reference code can
+    run at test scale. The reference tree on disk is untouched and nothing
+    is copied into this repo."""
+    import importlib.util
+
+    path = "/root/reference/" + relpath
+    src = open(path).read()
+    for needle, repl in replacements:
+        assert needle in src, f"reference layout changed: {needle!r}"
+        src = src.replace(needle, repl)
+    spec = importlib.util.spec_from_loader(
+        package + "._testpatched_" + os.path.basename(relpath)[:-3],
+        loader=None, origin=path)
+    mod = importlib.util.module_from_spec(spec)
+    mod.__package__ = package
+    mod.__file__ = path
+    exec(compile(src, path, "exec"), mod.__dict__)
+    return mod
+
+
+def _patched_fusion_model_class():
+    """model_wan21.py:170 hardcodes x.reshape(..., 5120)."""
+    mod = _load_patched(
+        "FantasyWorld/fusion/model_wan21.py", "FantasyWorld.fusion",
+        [("x.reshape(x.shape[0], f, h, w, 5120)",
+          "x.reshape(x.shape[0], f, h, w, self.pipe.dit.dim)")])
+    return mod.FantasyWorldFusionModel
+
+
+def _patched_aggregator_class():
+    """aggregator.py:164,263 hardcode reshape(B*T, -1, 1024)."""
+    mod = _load_patched(
+        "FantasyWorld/vggt/models/aggregator.py",
+        "FantasyWorld.vggt.models",
+        [("patch_tokens = patch_tokens.reshape(B*T,-1,1024)",
+          "patch_tokens = patch_tokens.reshape(B*T,-1,C)")])
+    return mod.Aggregator
+
+
+def _build_reference():
+    C.add_reference_to_path()
+    import torch.nn as nn
+    FantasyWorldFusionModel = _patched_fusion_model_class()
+    from FantasyWorld.fusion.layer.block import IRGBlock
+    from FantasyWorld.diffsynth_wan21.models.wan_video_dit import (
+        WanModel, precompute_freqs_cis_3d)
+    from FantasyWorld.diffsynth_wan21.models.camera_control import (
+        CrossAttentionAdapterProcessor)
+    from FantasyWorld.vggt.models.vggt import VGGT
+    Aggregator = _patched_aggregator_class()
+    from FantasyWorld.vggt.heads.camera_head import CameraHead
+    from FantasyWorld.vggt.heads.dpt_head import DPTHead_3D_Causal
+    import copy
+
+    torch.manual_seed(7)
+    dit = WanModel(**TINY_DIT).float().eval()
+    for i, blk in enumerate(dit.blocks):
+        if i < ADAPTER_END:
+            blk.cross_attn.set_processor(CrossAttentionAdapterProcessor(
+                context_dim=48, hidden_dim=TINY_DIT["dim"],
+                pose_inject_method="adaln").float())
+            # the trained adapter's zero-init output layer is non-zero
+            torch.nn.init.normal_(
+                blk.cross_attn.processor.v_proj.group2[-1].weight, std=0.02)
+
+    def dpt(out_dim, act):
+        return DPTHead_3D_Causal(dim_in=2 * AGG_DIM, output_dim=out_dim,
+                                 activation=act, conf_activation="expp1",
+                                 patch_size=16, features=32,
+                                 out_channels=[16, 32, 48, 48],
+                                 intermediate_layer_idx=[3, 2, 1, 0]
+                                 ).float().eval()
+
+    vggt = VGGT.__new__(VGGT)
+    nn.Module.__init__(vggt)
+    vggt.spatial_frame = F
+    vggt.freq_dim = 64
+    vggt.embed_dim = AGG_DIM
+    vggt.projection_head = nn.Conv3d(TINY_DIT["dim"], AGG_DIM, 1)
+    vggt.aggregator = Aggregator(img_size=64, patch_size=16,
+                                 embed_dim=AGG_DIM, depth=N_IRG, num_heads=4,
+                                 spatial_time=F)
+    vggt.camera_head = CameraHead(dim_in=2 * AGG_DIM, num_heads=4)
+    vggt.depth_head = dpt(2, "exp")
+    vggt.point_head = dpt(4, "inv_log")
+    vggt.track_head = None
+    vggt.time_embedding = nn.Sequential(nn.Linear(64, AGG_DIM), nn.SiLU(),
+                                        nn.Linear(AGG_DIM, AGG_DIM))
+    vggt.time_projection = nn.Sequential(nn.SiLU(),
+                                         nn.Linear(AGG_DIM, AGG_DIM * 6))
+    vggt.float().eval()
+
+    class Pipe(nn.Module):
+        def __init__(self, dit):
+            super().__init__()
+            self.dit = dit
+
+    m = FantasyWorldFusionModel.__new__(FantasyWorldFusionModel)
+    nn.Module.__init__(m)
+    m.pipe = Pipe(dit)
+    m.vggt = vggt
+    m.camera_control = True
+    m.start_index = START
+    m.use_gradient_checkpointing = False
+    m.use_gradient_checkpointing_offload = False
+    m.cross_attention_list = list(range(N_IRG))
+    m.device = "cpu"
+    m.bicross_dim = HIDDEN
+    m.bicross_num_heads = 4
+    m.freqs_bicross = precompute_freqs_cis_3d(HIDDEN // 4)
+
+    # snapshot the full pre-surgery DiT as the "base checkpoint" -- the
+    # real flow's strict=False load keeps base weights for surgered slots
+    base_sd = {k: v.numpy().copy() for k, v in dit.state_dict().items()}
+
+    # IRG surgery, verbatim semantics of model_wan21.py:69-87
+    irg_blocks = nn.ModuleList()
+    for idx in m.cross_attention_list:
+        src_dit_blk = m.pipe.dit.blocks[idx + m.start_index]
+        src_agg_blk = m.vggt.aggregator.global_blocks[idx]
+        dit_copy = copy.deepcopy(src_dit_blk)
+        agg_copy = copy.deepcopy(src_agg_blk)
+        m.pipe.dit.blocks[idx + m.start_index] = nn.Identity()
+        m.vggt.aggregator.global_blocks[idx] = nn.Identity()
+        irg_blocks.append(IRGBlock(
+            x_agg_block=agg_copy, x_dit_block=dit_copy,
+            m1_dim=TINY_DIT["dim"], m2_dim=AGG_DIM, hidden_size=HIDDEN,
+            num_heads=4, drop_path=None))
+    m.IRGBlock = irg_blocks
+    with torch.no_grad():
+        for irg in m.IRGBlock:
+            irg.bicross_attention.gamma_m1.normal_(std=0.05)
+            irg.bicross_attention.gamma_m2.normal_(std=0.05)
+    m.float().eval()
+    return m, base_sd
+
+
+def _our_config():
+    from fantasy_world_tpu.models.fusion.model import FusionConfig
+    from fantasy_world_tpu.models.wan.dit import WanDiTConfig
+    from fantasy_world_tpu.models.vggt.model import VGGTConfig
+    from fantasy_world_tpu.models.vggt.aggregator import AggregatorConfig
+    from fantasy_world_tpu.models.fusion.bicross import BicrossConfig
+
+    return FusionConfig(
+        dit=WanDiTConfig(**TINY_DIT, camera_adapter_end=ADAPTER_END,
+                         plucker_dim=48),
+        vggt=VGGTConfig(embed_dim=AGG_DIM, wan_dim=TINY_DIT["dim"],
+                        freq_dim=64, dpt_layer_idx=(3, 2, 1, 0),
+                        dpt_features=32, dpt_out_channels=(16, 32, 48, 48),
+                        camera_num_heads=4,
+                        aggregator=AggregatorConfig(embed_dim=AGG_DIM,
+                                                    depth=N_IRG,
+                                                    num_heads=4)),
+        bicross=BicrossConfig(m1_dim=TINY_DIT["dim"], m2_dim=AGG_DIM,
+                              hidden=HIDDEN, num_heads=4),
+        start_index=START)
+
+
+@pytest.mark.skipif(not C.reference_available(), reason="reference absent")
+def test_joint_forward_e2e_parity():
+    import jax.numpy as jnp
+    from fantasy_world_tpu.models.fusion.model import (
+        joint_forward, prepare_scan_params)
+    from fantasy_world_tpu.convert.fusion import convert_fusion_checkpoint
+
+    ref, base_sd = _build_reference()
+    cfg = _our_config()
+
+    fusion_sd = {k: v.numpy() for k, v in ref.state_dict().items()}
+    params = convert_fusion_checkpoint(fusion_sd, base_sd, cfg)
+    scan = prepare_scan_params(params, cfg)
+
+    rng = np.random.default_rng(11)
+    x = rng.standard_normal((B, 4, F, H2, W2)).astype(np.float32)
+    y = rng.standard_normal((B, 4, F, H2, W2)).astype(np.float32)
+    ctx = rng.standard_normal((B, 20, 32)).astype(np.float32)
+    clip = rng.standard_normal((B, 257, 1280)).astype(np.float32)
+    plucker = rng.standard_normal(
+        (B, F * (H2 // 2) * (W2 // 2), 48)).astype(np.float32) * 0.5
+    t = np.array([500.0], np.float32)
+
+    with torch.no_grad():
+        ref_noise, ref_pred = ref.joint_forward(
+            torch.from_numpy(x), torch.from_numpy(t),
+            torch.from_numpy(ctx), clip_feature=torch.from_numpy(clip),
+            y=torch.from_numpy(y),
+            use_gradient_checkpointing=False,
+            plucker_fea=torch.from_numpy(plucker),
+            # required by the processor's len() even though the adaln
+            # branch never reads it (camera_control.py:110)
+            plucker_context_lens=torch.ones(F),
+            return_prediction=True)
+
+    noise, pred = joint_forward(params, scan, cfg, jnp.asarray(x),
+                                jnp.asarray(t), jnp.asarray(ctx),
+                                jnp.asarray(clip), jnp.asarray(y),
+                                plucker_fea=jnp.asarray(plucker),
+                                return_prediction=True)
+
+    np.testing.assert_allclose(np.asarray(noise), ref_noise.numpy(),
+                               rtol=3e-3, atol=3e-3)
+    assert ref_pred is not None and pred is not None
+    key_map = {"pose_enc": "pose_enc", "depth": "depth",
+               "depth_conf": "depth_conf", "world_points": "world_points",
+               "world_points_conf": "world_points_conf"}
+    for ours_k, ref_k in key_map.items():
+        r = ref_pred[ref_k].float().numpy()
+        o = np.asarray(pred[ours_k], np.float32)
+        assert o.shape == r.shape, (ours_k, o.shape, r.shape)
+        np.testing.assert_allclose(o, r, rtol=5e-3, atol=5e-3,
+                                   err_msg=ours_k)
