@@ -18,3 +18,11 @@ Design pillars (TPU-first, not a port):
 """
 
 __version__ = "0.1.0"
+
+
+def __getattr__(name):
+    # lazy: importing the package must not pull jax/model code eagerly
+    if name == "FantasyWorldSampler":
+        from .sampler import FantasyWorldSampler
+        return FantasyWorldSampler
+    raise AttributeError(name)

@@ -103,103 +103,38 @@ def load_fusion_params(wan_ckpt_path: str, model_ckpt: str, cfg,
 
 
 def run(args) -> None:
-    import jax.numpy as jnp
+    import time
     from PIL import Image
 
-    from ..models.fusion.model import FusionConfig
-    from ..pipelines.wan_video import FantasyWorldPipeline
-    from ..hostops.camera import (cameras_json_to_camera_list,
-                                  plucker_from_pose_encoding)
-    from ..hostops.geometry import (normalize_scene,
-                                    extri_intri_to_pose_encoding,
-                                    depth_to_world_coords_points)
-    from ..hostops.export import (get_pointclouds, save_colored_pointcloud_ply,
-                                  save_video)
+    from ..hostops.camera import cameras_json_to_camera_list
+    from ..sampler import FantasyWorldSampler
+    from ..utils.observability import profile_trace
 
     with open(args.camera_json_path) as f:
         camera_data = json.load(f)
     cameras = cameras_json_to_camera_list(
         camera_data, image_size=(args.height, args.width))
 
-    if args.auto_download:
-        from ..convert.downloader import resolve_ckpt_dir
-        resolve_ckpt_dir(args.wan_ckpt_path, "Wan2.1-I2V-14B-480P")
+    sampler = FantasyWorldSampler(
+        args.wan_ckpt_path, args.model_ckpt, moge_ckpt=args.moge_ckpt,
+        tokenizer_path=args.tokenizer_path, auto_download=args.auto_download)
 
-    cfg = FusionConfig()
-    params = load_fusion_params(args.wan_ckpt_path, args.model_ckpt, cfg,
-                                jnp.bfloat16)
-    if args.using_scale and args.moge_ckpt:
-        import torch
-        from ..convert.moge import convert_moge
-        from ..models.moge.model import MoGeConfig
-        from ..models.moge.infer import set_default_moge
-        ckpt = torch.load(args.moge_ckpt, map_location="cpu",
-                          weights_only=True)
-        moge_sd = {k: v.float().numpy() for k, v in ckpt["model"].items()}
-        set_default_moge(convert_moge(moge_sd), MoGeConfig())
-    tokenizer_path = args.tokenizer_path
-    if tokenizer_path is None:
-        cand = os.path.join(args.wan_ckpt_path, "google", "umt5-xxl")
-        tokenizer_path = cand if os.path.isdir(cand) else None
-    pipe = FantasyWorldPipeline(cfg=cfg, params=params,
-                                tokenizer_path=tokenizer_path)
-
-    # ---- host preprocessing ---------------------------------------------
-    img = Image.open(args.image_path).convert("RGB")
-    img_resized = np.asarray(img.resize((args.width, args.height))) / 255.0
-    image_pm1 = (img_resized * 2 - 1).astype(np.float32)
-
-    intr = np.stack([[[c.fx, 0, c.cx], [0, c.fy, c.cy], [0, 0, 1]]
-                     for c in cameras]).astype(np.float32)
-    extr = np.stack([c.w2c_mat for c in cameras]).astype(np.float32)
-
-    if args.using_scale:
-        from .moge_scale import moge_scale_normalize
-        extr = moge_scale_normalize(np.asarray(img) / 255.0, extr, intr)
-    pose_enc = extri_intri_to_pose_encoding(extr[:, :3, :], intr,
-                                            (args.height, args.width))
-    plucker = plucker_from_pose_encoding(pose_enc,
-                                         (args.height, args.width))
-
-    # ---- conditioning ----------------------------------------------------
-    image_emb = pipe.encode_image(image_pm1, args.frames, args.height,
-                                  args.width)
-    ctx_pos = pipe.encode_prompt(args.prompt)
-    ctx_neg = pipe.encode_prompt(args.neg_prompt)
-    plucker_fea = pipe.encode_plucker(plucker)
-
-    # ---- denoise + decode ------------------------------------------------
-    import contextlib
-    import time
-    import jax
-    trace_ctx = (jax.profiler.trace(args.profile_dir)
-                 if args.profile_dir else contextlib.nullcontext())
+    image = np.asarray(Image.open(args.image_path).convert("RGB")) / 255.0
     t0 = time.perf_counter()
-    with trace_ctx:
-        latents, prediction = pipe.denoise(
-            ctx_pos, ctx_neg, image_emb["clip_feature"], image_emb["y"],
-            args.height, args.width, num_frames=args.frames,
-            num_inference_steps=args.sample_steps, seed=args.seed,
-            plucker_fea=plucker_fea,
+    with profile_trace(args.profile_dir):
+        video, prediction = sampler.generate_video(
+            prompt=args.prompt, neg_prompt=args.neg_prompt, image=image,
+            camera_params=cameras, using_scale=args.using_scale,
+            seed=args.seed, height=args.height, width=args.width,
+            num_frames=args.frames, sample_steps=args.sample_steps,
             tea_cache_l1_thresh=args.tea_cache_l1_thresh)
-        jax.block_until_ready(latents)
     dt = time.perf_counter() - t0
-    print(f"[timing] denoise {args.sample_steps} steps: {dt:.1f}s "
+    print(f"[timing] generate {args.sample_steps} steps + decode: {dt:.1f}s "
           f"({dt / args.sample_steps:.2f} s/step incl. compile)")
-    video = pipe.decode_video(latents)
 
-    out_dir = Path(args.output_dir)
-    out_dir.mkdir(parents=True, exist_ok=True)
-    save_video(video, out_dir / "video.mp4", fps=args.fps)
-
-    pred_np = {k: np.asarray(v, np.float32) for k, v in prediction.items()}
-    points = get_pointclouds(pred_np, fix_first_frame=True)
-    valid = pred_np["depth_conf"][0] >= args.conf_threshold
-    save_colored_pointcloud_ply(
-        points, video.astype(np.float32),
-        out_dir / f"recon_confthresh{args.conf_threshold}.ply",
-        stride=args.stride, valid_mask=valid)
-    print(f"outputs written to {out_dir}")
+    sampler.export(video, prediction, args.output_dir, fps=args.fps,
+                   conf_threshold=args.conf_threshold, stride=args.stride)
+    print(f"outputs written to {args.output_dir}")
 
 
 def main(argv=None):

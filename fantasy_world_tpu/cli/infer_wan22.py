@@ -153,11 +153,15 @@ def run(args) -> None:
     plucker = plucker_from_pose_encoding(pose_enc, (args.height, args.width))
     ctrl = control_camera_latents_from_plucker(plucker)
 
-    # wan22 path: VAE y-embedding, no CLIP
-    image_emb = pipe.encode_image(image_pm1, 81, args.height, args.width,
-                                  end_image=end_image)
-    ctx_pos = pipe.encode_prompt(args.prompt)
-    ctx_neg = pipe.encode_prompt(args.neg_prompt)
+    # wan22 path: the reference collects conditioning via the unit pipeline
+    # with return_condition=True (inference_wan22.py:345-353); same here
+    from ..pipelines.units import run_condition
+    shared, posi, nega = run_condition(
+        pipe, prompt=args.prompt, negative_prompt=args.neg_prompt,
+        input_image=image_pm1, end_image=end_image, height=args.height,
+        width=args.width, num_frames=81, seed=args.seed)
+    image_emb = {"y": shared["y"]}
+    ctx_pos, ctx_neg = posi["context"], nega["context"]
 
     import contextlib
     import time

@@ -105,6 +105,80 @@ def ray_condition(K: np.ndarray, c2w: np.ndarray, H: int, W: int) -> np.ndarray:
     return plucker.reshape(V, H, W, 6)
 
 
+DEFAULT_CAMERA_ORIGIN = (0, 0.532139961, 0.946026558, 0.5, 0.5, 0, 0,
+                         1, 0, 0, 0, 0, 1, 0, 0, 0, 0, 1, 0)
+
+_DIRECTION_UPDATES = {
+    # index into the 19-float camera entry; w2c translation x is 10/15/18
+    "push_in": [(18, -2.0)],
+    "pull_out": [(18, +2.0)],
+    "move_left": [(10, +2.0)],
+    "move_right": [(10, -2.0)],
+    "pan_left": [(9, +1.0)],
+    "pan_right": [(9, -1.0)],
+    "orbit_left": [(9, +1.0), (15, -1.0)],
+    "orbit_right": [(9, -1.0), (15, +1.0)],
+}
+
+
+def generate_camera_coordinates(direction: str, length: int,
+                                speed: float = 1 / 54,
+                                origin=DEFAULT_CAMERA_ORIGIN,
+                                cameras_interp=None):
+    """Direction string -> per-frame 19-float camera entries
+    (wan22 wan_video_camera_controller.py:191-229).
+
+    The reference's generator loop never appends inside the while body (its
+    ``coordinates.append`` sits after the loop), which hangs for length > 2;
+    here the intended per-frame accumulation is implemented. The
+    cameras_interp branch (the one the shipped CLI uses) matches exactly:
+    entry i keeps the origin header and swaps in the interpolated w2c.
+    """
+    if direction not in _DIRECTION_UPDATES and cameras_interp is None:
+        raise ValueError(f"unknown camera direction {direction!r}")
+    coordinates = [list(origin)]
+    if cameras_interp is None:
+        while len(coordinates) < length:
+            coor = coordinates[-1].copy()
+            for idx, mult in _DIRECTION_UPDATES[direction]:
+                coor[idx] += speed * mult
+            coordinates.append(coor)
+    else:
+        assert len(cameras_interp) == length
+        for i in range(1, length):
+            coor = np.array(coordinates[0], np.float64)
+            coor[-12:] = np.asarray(cameras_interp[i], np.float64)
+            coordinates.append(coor.tolist())
+    return coordinates
+
+
+def process_pose_file(cam_entries, width: int = 672, height: int = 384,
+                      original_pose_width: int = 1280,
+                      original_pose_height: int = 720,
+                      return_poses: bool = False):
+    """19-float camera entries -> Plucker embedding (1, V, H, W, 6)
+    (wan_video_camera_controller.py:152-188): aspect-corrected fx/fy,
+    relative first-frame-centric poses (the controller's
+    get_relative_pose hardcodes cam_to_origin=0, :93-108)."""
+    if return_poses:
+        return cam_entries
+    cams = [Camera.from_entry(e) for e in cam_entries]
+    sample_ratio = width / height
+    pose_ratio = original_pose_width / original_pose_height
+    if pose_ratio > sample_ratio:
+        resized_w = height * pose_ratio
+        for c in cams:
+            c.fx = resized_w * c.fx / width
+    else:
+        resized_h = width / pose_ratio
+        for c in cams:
+            c.fy = resized_h * c.fy / height
+    K = np.asarray([[c.fx * width, c.fy * height, c.cx * width, c.cy * height]
+                    for c in cams], np.float32)
+    c2w = get_relative_pose(cams, zero_t_first_frame=True)
+    return ray_condition(K, c2w, height, width)[None]
+
+
 def plucker_from_pose_encoding(pose_enc: np.ndarray,
                                image_size_hw: Tuple[int, int]) -> np.ndarray:
     """pose_enc (S, 9) -> Plucker video (1, S, H, W, 6).

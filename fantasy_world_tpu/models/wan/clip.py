@@ -19,7 +19,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from ...core.params import prng_split, prng_fold_in, init_linear, init_layernorm, np_normal
+from ...core.params import prng_split, init_linear, init_layernorm, np_normal
 from ...ops.attention import dot_product_attention
 from ...ops.norms import layer_norm
 

@@ -251,3 +251,67 @@ def vae38_decode(p: Dict, cfg: VAE38Config, latents: jnp.ndarray,
     x = decoder38_apply(p["decoder"], cfg, z)
     video = unpatchify2(x)
     return jnp.clip(video, -1, 1) if clamp else video
+
+
+# ---------------------------------------------------------------------------
+# tiled wrappers (WanVideoVAE38 inherits the 2.1 tiling with
+# upsampling_factor 16 -- wan_video_vae.py:1363-1390, 1112-1259)
+# ---------------------------------------------------------------------------
+
+def vae38_decode_tiled(p: Dict, cfg: VAE38Config, latents: jnp.ndarray,
+                       tile_size=(34, 34), tile_stride=(18, 16)) -> jnp.ndarray:
+    B, C, T, H, W = latents.shape
+    sh, sw = tile_size
+    th, tw = tile_stride
+    up = 16
+    out_T = T * 4 - 3
+    values = np.zeros((B, 3, out_T, H * up, W * up), np.float32)
+    weight = np.zeros((1, 1, 1, H * up, W * up), np.float32)
+    for h in range(0, H, th):
+        if h - th >= 0 and h - th + sh >= H:
+            continue
+        for w in range(0, W, tw):
+            if w - tw >= 0 and w - tw + sw >= W:
+                continue
+            tile = latents[:, :, :, h:h + sh, w:w + sw]
+            dec = np.asarray(vae38_decode(p, cfg, tile, clamp=False),
+                             np.float32)
+            hm = _build_1d_mask(dec.shape[3], h == 0, h + sh >= H,
+                                (sh - th) * up)
+            wm = _build_1d_mask(dec.shape[4], w == 0, w + sw >= W,
+                                (sw - tw) * up)
+            mask = np.minimum(hm[:, None], wm[None, :])
+            values[:, :, :, h * up:h * up + dec.shape[3],
+                   w * up:w * up + dec.shape[4]] += dec * mask
+            weight[:, :, :, h * up:h * up + dec.shape[3],
+                   w * up:w * up + dec.shape[4]] += mask
+    return jnp.clip(jnp.asarray(values / weight), -1, 1).astype(latents.dtype)
+
+
+def vae38_encode_tiled(p: Dict, cfg: VAE38Config, video: jnp.ndarray,
+                       tile_size=(34, 34), tile_stride=(18, 16)) -> jnp.ndarray:
+    B, C, T, H, W = video.shape
+    up = 16
+    sh, sw = tile_size[0] * up, tile_size[1] * up
+    th, tw = tile_stride[0] * up, tile_stride[1] * up
+    out_T = (T + 3) // 4
+    values = np.zeros((B, cfg.z_dim, out_T, H // up, W // up), np.float32)
+    weight = np.zeros((1, 1, 1, H // up, W // up), np.float32)
+    for h in range(0, H, th):
+        if h - th >= 0 and h - th + sh >= H:
+            continue
+        for w in range(0, W, tw):
+            if w - tw >= 0 and w - tw + sw >= W:
+                continue
+            tile = video[:, :, :, h:h + sh, w:w + sw]
+            enc = np.asarray(vae38_encode(p, cfg, tile), np.float32)
+            hm = _build_1d_mask(enc.shape[3], h == 0, h + sh >= H,
+                                (sh - th) // up)
+            wm = _build_1d_mask(enc.shape[4], w == 0, w + sw >= W,
+                                (sw - tw) // up)
+            mask = np.minimum(hm[:, None], wm[None, :])
+            values[:, :, :, h // up:h // up + enc.shape[3],
+                   w // up:w // up + enc.shape[4]] += enc * mask
+            weight[:, :, :, h // up:h // up + enc.shape[3],
+                   w // up:w // up + enc.shape[4]] += mask
+    return jnp.asarray(values / weight).astype(video.dtype)

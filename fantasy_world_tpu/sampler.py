@@ -1,0 +1,129 @@
+"""FantasyWorldSampler: the user-facing generate_video API.
+
+Re-design of the reference sampler classes (inference_wan21.py:145-337,
+inference_wan22.py:40-378): construct once from a checkpoint directory,
+then ``generate_video(prompt, neg_prompt, image, camera_params, ...)``
+returns the video frames plus the geometry prediction dict, and
+``export`` writes MP4 + colored PLY.
+"""
+from __future__ import annotations
+
+import os
+from typing import Dict, List, Optional, Tuple
+
+import numpy as np
+
+
+class FantasyWorldSampler:
+    """Wan2.1 FantasyWorld sampler (inference_wan21.py:145-227)."""
+
+    def __init__(self, ckpt_dir: str, model_ckpt: str,
+                 moge_ckpt: Optional[str] = None,
+                 tokenizer_path: Optional[str] = None,
+                 auto_download: bool = False):
+        import jax.numpy as jnp
+        from .models.fusion.model import FusionConfig
+        from .pipelines.wan_video import FantasyWorldPipeline
+        from .cli.infer_wan21 import load_fusion_params
+
+        if auto_download:
+            from .convert.downloader import resolve_ckpt_dir
+            resolve_ckpt_dir(ckpt_dir, "Wan2.1-I2V-14B-480P")
+        self.cfg = FusionConfig()
+        params = load_fusion_params(ckpt_dir, model_ckpt, self.cfg,
+                                    jnp.bfloat16)
+        if tokenizer_path is None:
+            cand = os.path.join(ckpt_dir, "google", "umt5-xxl")
+            tokenizer_path = cand if os.path.isdir(cand) else None
+        self.pipe = FantasyWorldPipeline(cfg=self.cfg, params=params,
+                                         tokenizer_path=tokenizer_path)
+        if moge_ckpt:
+            import torch
+            from .convert.moge import convert_moge
+            from .models.moge.model import MoGeConfig
+            from .models.moge.infer import set_default_moge
+            ckpt = torch.load(moge_ckpt, map_location="cpu",
+                              weights_only=True)
+            sd = {k: v.float().numpy() for k, v in ckpt["model"].items()}
+            set_default_moge(convert_moge(sd), MoGeConfig())
+        self._has_moge = bool(moge_ckpt)
+
+    # -- conditioning ---------------------------------------------------------
+
+    def prepare_camera(self, camera_params: List, image: np.ndarray,
+                       height: int, width: int, using_scale: bool = True
+                       ) -> np.ndarray:
+        """Camera list -> Plucker feature video, with optional MoGe scene
+        scale normalization (inference_wan21.py:247-287)."""
+        from .hostops.geometry import extri_intri_to_pose_encoding
+        from .hostops.camera import plucker_from_pose_encoding
+        intr = np.stack([[[c.fx, 0, c.cx], [0, c.fy, c.cy], [0, 0, 1]]
+                         for c in camera_params]).astype(np.float32)
+        extr = np.stack([c.w2c_mat for c in camera_params]).astype(np.float32)
+        if using_scale and self._has_moge:
+            from .cli.moge_scale import moge_scale_normalize
+            extr = moge_scale_normalize(image, extr, intr)
+        pose_enc = extri_intri_to_pose_encoding(extr[:, :3, :], intr,
+                                                (height, width))
+        return plucker_from_pose_encoding(pose_enc, (height, width))
+
+    # -- generation -------------------------------------------------------------
+
+    def generate_video(self, prompt: str, neg_prompt: str = "",
+                       image: Optional[np.ndarray] = None,
+                       image_path: Optional[str] = None,
+                       camera_params: Optional[List] = None,
+                       using_scale: bool = True,
+                       seed: Optional[int] = 1024,
+                       height: int = 336, width: int = 592,
+                       num_frames: int = 81, sample_steps: int = 50,
+                       cfg_scale: float = 5.0,
+                       tea_cache_l1_thresh: Optional[float] = None
+                       ) -> Tuple[np.ndarray, Dict[str, np.ndarray]]:
+        """Returns (uint8 frames (T, H, W, 3), geometry prediction dict)."""
+        if image is None:
+            from PIL import Image
+            image = np.asarray(Image.open(image_path).convert("RGB")) / 255.0
+        from PIL import Image as PILImage
+        img_resized = np.asarray(PILImage.fromarray(
+            (image * 255).astype(np.uint8)).resize((width, height))) / 255.0
+        image_pm1 = (img_resized * 2 - 1).astype(np.float32)
+
+        plucker_fea = None
+        if camera_params is not None:
+            plucker = self.prepare_camera(camera_params, image, height,
+                                          width, using_scale)
+            plucker_fea = self.pipe.encode_plucker(plucker)
+
+        emb = self.pipe.encode_image(image_pm1, num_frames, height, width)
+        ctx_pos = self.pipe.encode_prompt(prompt)
+        ctx_neg = self.pipe.encode_prompt(neg_prompt)
+        latents, prediction = self.pipe.denoise(
+            ctx_pos, ctx_neg, emb["clip_feature"], emb["y"], height, width,
+            num_frames=num_frames, num_inference_steps=sample_steps,
+            cfg_scale=cfg_scale, seed=seed, plucker_fea=plucker_fea,
+            tea_cache_l1_thresh=tea_cache_l1_thresh)
+        video = self.pipe.decode_video(latents)
+        pred_np = {k: np.asarray(v, np.float32)
+                   for k, v in (prediction or {}).items()}
+        return video, pred_np
+
+    # -- export -----------------------------------------------------------------
+
+    @staticmethod
+    def export(video: np.ndarray, prediction: Dict[str, np.ndarray],
+               output_dir: str, fps: int = 16, conf_threshold: float = 1.0,
+               stride: int = 4) -> None:
+        """MP4 + colored PLY (inference_wan21.py:366-399)."""
+        from .hostops.export import (get_pointclouds,
+                                     save_colored_pointcloud_ply, save_video)
+        os.makedirs(output_dir, exist_ok=True)
+        save_video(video, os.path.join(output_dir, "video.mp4"), fps=fps)
+        if prediction:
+            points = get_pointclouds(prediction, fix_first_frame=True)
+            valid = prediction["depth_conf"][0] >= conf_threshold
+            save_colored_pointcloud_ply(
+                points, video.astype(np.float32),
+                os.path.join(output_dir,
+                             f"recon_confthresh{conf_threshold}.ply"),
+                stride=stride, valid_mask=valid)

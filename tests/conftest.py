@@ -14,6 +14,12 @@ if "xla_llvm_disable_expensive_passes" not in flags:
     # LLVM O2 passes dominate compile time on this 1-core host and buy
     # nothing for correctness tests
     flags = (flags + " --xla_llvm_disable_expensive_passes=true").strip()
+if "collective_call_terminate_timeout" not in flags:
+    # 8 virtual device threads time-share ONE core: a device can reach a
+    # collective minutes after its peers; the default 40 s watchdog
+    # SIGABRTs the whole process
+    flags += (" --xla_cpu_collective_call_warn_stuck_timeout_seconds=300"
+              " --xla_cpu_collective_call_terminate_timeout_seconds=3000")
 os.environ["XLA_FLAGS"] = flags
 
 # A pytest plugin may have imported jax before this conftest ran; the config

@@ -68,6 +68,48 @@ def test_re10k_plucker_parity(tmp_path):
     np.testing.assert_allclose(our_emb, ref_emb, rtol=1e-4, atol=1e-5)
 
 
+@pytest.mark.skipif(not C.reference_available(), reason="reference absent")
+def test_camera_ctrl_process_pose_file_parity():
+    """Direction/interp trajectory entries -> Plucker vs the reference
+    CameraCtrl utilities (wan_video_camera_controller.py:115-229)."""
+    C.add_reference_to_path()
+    from FantasyWorld.diffsynth_wan22.models.wan_video_camera_controller \
+        import (process_pose_file as ref_process,
+                generate_camera_coordinates as ref_generate)
+    from fantasy_world_tpu.hostops.camera import (
+        generate_camera_coordinates, process_pose_file)
+
+    rng = np.random.default_rng(4)
+    n = 5
+    interp = []
+    for i in range(n):
+        angle = 0.05 * i
+        R = np.array([[np.cos(angle), 0, np.sin(angle), 0.02 * i],
+                      [0, 1, 0, 0.01 * i],
+                      [-np.sin(angle), 0, np.cos(angle), 0.03 * i]])
+        interp.append(R.flatten().tolist())
+
+    ours_entries = generate_camera_coordinates("push_in", n,
+                                               cameras_interp=interp)
+    ref_entries = ref_generate("push_in", n, cameras_interp=interp)
+    np.testing.assert_allclose(np.asarray(ours_entries),
+                               np.asarray(ref_entries, np.float64),
+                               rtol=1e-12)
+
+    ref_pl = ref_process(ref_entries, width=64, height=32,
+                         device="cpu").numpy()
+    our_pl = process_pose_file(ours_entries, width=64, height=32)
+    # reference returns (V, H, W, 6); ours (1, V, H, W, 6)
+    assert our_pl.shape[1:] == tuple(ref_pl.shape)
+    np.testing.assert_allclose(our_pl[0], ref_pl, rtol=1e-4, atol=1e-5)
+
+    # direction walk: the reference's non-interp loop hangs for length > 2
+    # (append outside the while body) -- check our intended semantics only
+    walk = generate_camera_coordinates("move_left", 4, speed=0.5)
+    assert len(walk) == 4
+    assert walk[3][10] - walk[0][10] == pytest.approx(3.0)
+
+
 def test_video_helpers(tmp_path):
     from PIL import Image
     from fantasy_world_tpu.data.video import (VideoData, crop_and_resize,

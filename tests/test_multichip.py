@@ -1,0 +1,70 @@
+"""Sharded-vs-single-device numerical equality of joint_forward.
+
+Runs the fusion forward twice on the 8-virtual-device CPU mesh -- once
+replicated (no mesh constraints) and once sharded over
+('data','seq','model') with params partitioned and activations constrained
+-- and asserts the outputs agree. This is the correctness check for the
+GSPMD re-design of the reference's Ulysses sequence parallelism
+(diffsynth_wan21/pipelines/wan_video.py:808-830): the collectives XLA
+inserts must not change the math.
+"""
+import numpy as np
+import pytest
+
+import conftest  # noqa: F401
+
+pytestmark = [pytest.mark.parity, pytest.mark.multichip]
+
+
+def test_joint_forward_sharded_equality():
+    import jax
+    import jax.numpy as jnp
+    from jax.sharding import NamedSharding, PartitionSpec as P
+    from fantasy_world_tpu.models.fusion.model import (
+        init_fusion, split_trainable, joint_forward)
+    from fantasy_world_tpu.parallel.sharding import (
+        make_mesh, param_specs, stacked_specs, shard_tree)
+    from __graft_entry__ import _demo_config
+
+    if jax.device_count() < 8:
+        pytest.skip("needs 8 virtual devices")
+
+    cfg = _demo_config(dim=64, layers=3, start_index=1, agg_dim=64,
+                       agg_depth=2)
+    params = init_fusion(0, cfg, jnp.float32)
+    lite, scan = split_trainable(params, cfg)
+
+    B, f, h2, w2 = 2, 2, 8, 8
+    rng = np.random.default_rng(0)
+    lat = jnp.asarray(rng.standard_normal((B, 16, f, h2, w2)), jnp.float32)
+    y = jnp.asarray(rng.standard_normal((B, 20, f, h2, w2)), jnp.float32)
+    ctx = jnp.asarray(rng.standard_normal((B, 16, 4096)) * 0.02, jnp.float32)
+    clip = jnp.zeros((B, 257, 1280), jnp.float32)
+    pl = jnp.asarray(rng.standard_normal(
+        (B, f * (h2 // 2) * (w2 // 2), 2048)) * 0.1, jnp.float32)
+    t = jnp.full((B,), 500.0)
+
+    # single-device (replicated) reference
+    ref, _ = jax.jit(lambda: joint_forward(lite, scan, cfg, lat, t, ctx,
+                                           clip, y, plucker_fea=pl))()
+    ref = np.asarray(ref)
+
+    mesh = make_mesh(data=2, seq=2, model=2)
+    with mesh:
+        lite_s = shard_tree(lite, mesh, param_specs(lite, mesh=mesh))
+        scan_s = shard_tree(scan, mesh, stacked_specs(scan, mesh=mesh))
+        sh = NamedSharding(mesh, P("data"))
+        args = [jax.device_put(a, sh) for a in (lat, y, ctx, clip, pl)]
+        lat_s, y_s, ctx_s, clip_s, pl_s = args
+
+        def fwd(lp, sp, l, t, c, cl, yy, pf):
+            n, _ = joint_forward(lp, sp, cfg, l, t, c, cl, yy,
+                                 plucker_fea=pf, mesh=mesh)
+            return n
+        out = jax.jit(fwd)(lite_s, scan_s, lat_s, t, ctx_s, clip_s, y_s,
+                           pl_s)
+        out = np.asarray(out)
+
+    assert np.isfinite(out).all()
+    # identical math up to reduction-order differences from the collectives
+    np.testing.assert_allclose(out, ref, rtol=2e-4, atol=2e-4)
