@@ -23,8 +23,70 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
+import functools
+
 from ..models.fusion.model import (FusionConfig, joint_forward,
                                    joint_forward_tea, prepare_scan_params)
+
+
+@functools.partial(jax.jit, static_argnames=("cfg", "cfg_scale"))
+def _denoise_scan(params, scan_params, cfg, latents, xs, ctx, clip2, y2,
+                  pl2, cfg_scale):
+    """All denoise steps but the last in one jitted scan. Params enter as
+    jit ARGUMENTS: a closure over lax.scan would embed the full 14B tree
+    as lowering-time constants (measured: multi-GB capture warnings and
+    pathological compile times)."""
+
+    def step_fn(lat, inputs):
+        timestep, sigma, sigma_next = inputs
+        lat2 = jnp.concatenate([lat] * 2, axis=0)
+        noise, _ = joint_forward(params, scan_params, cfg, lat2,
+                                 jnp.full((2,), timestep), ctx, clip2, y2,
+                                 plucker_fea=pl2)
+        pred = noise[1:2] + cfg_scale * (noise[0:1] - noise[1:2])
+        lat = lat + pred.astype(jnp.float32).astype(lat.dtype) * (
+            sigma_next - sigma)
+        return lat, None
+
+    latents, _ = jax.lax.scan(step_fn, latents, xs)
+    return latents
+
+
+@functools.partial(jax.jit, static_argnames=("cfg", "cfg_scale"))
+def _denoise_scan_tea(params, scan_params, cfg, latents, residual0, xs, ctx,
+                      clip2, y2, pl2, cfg_scale):
+    """TeaCache-gated variant: xs carries the host-planned per-step skip
+    boolean; the carry threads the cached block-stack residual."""
+
+    def step_fn(carry, inputs):
+        lat, res = carry
+        timestep, sigma, sigma_next, skip = inputs
+        lat2 = jnp.concatenate([lat] * 2, axis=0)
+        noise, res = joint_forward_tea(
+            params, scan_params, cfg, lat2, jnp.full((2,), timestep),
+            ctx, clip2, y2, plucker_fea=pl2, skip=skip, residual=res)
+        pred = noise[1:2] + cfg_scale * (noise[0:1] - noise[1:2])
+        lat = lat + pred.astype(jnp.float32).astype(lat.dtype) * (
+            sigma_next - sigma)
+        return (lat, res), None
+
+    (latents, _), _ = jax.lax.scan(step_fn, (latents, residual0), xs)
+    return latents
+
+
+@functools.partial(jax.jit, static_argnames=("cfg", "cfg_scale"))
+def _final_step(params, scan_params, cfg, latents, t_last, sigma, sigma_next,
+                ctx, clip2, y2, pl2, cfg_scale):
+    """Last denoise step with the geometry heads on, jitted (an eager call
+    would dispatch the full forward op-by-op)."""
+    lat2 = jnp.concatenate([latents] * 2, axis=0)
+    noise, prediction = joint_forward(params, scan_params, cfg, lat2, t_last,
+                                      ctx, clip2, y2, plucker_fea=pl2,
+                                      return_prediction=True)
+    pred = noise[1:2] + cfg_scale * (noise[0:1] - noise[1:2])
+    latents = latents + pred.astype(jnp.float32).astype(latents.dtype) * (
+        sigma_next - sigma)
+    return latents, prediction
 from ..models.wan import dit as dit_mod
 from ..models.wan.camera import (CameraPoseEncoderConfig,
                                  camera_pose_encoder_apply)
@@ -185,6 +247,7 @@ class FantasyWorldPipeline:
         pairs = sched.sigma_pairs()
         ts = jnp.asarray(sched.timesteps)
 
+        # steps 0..n-2 in one jitted scan; final step separately with heads
         if tea_cache_l1_thresh is not None:
             from .tea_cache import compute_skip_schedule
             skips = compute_skip_schedule(
@@ -193,48 +256,21 @@ class FantasyWorldPipeline:
             pt = cfg.dit.patch_size
             n_tok = f * (height // 8 // pt[1]) * (width // 8 // pt[2])
             residual0 = jnp.zeros((2, n_tok, cfg.dit.dim), dtype)
-
-            def step_fn(carry, inputs):
-                lat, res = carry
-                timestep, sigma, sigma_next, skip = inputs
-                lat2 = jnp.concatenate([lat] * 2, axis=0)
-                noise, res = joint_forward_tea(
-                    params, scan_params, cfg, lat2, jnp.full((2,), timestep),
-                    ctx, clip2, y2, plucker_fea=pl2, skip=skip, residual=res)
-                pred = noise[1:2] + cfg_scale * (noise[0:1] - noise[1:2])
-                lat = lat + pred.astype(jnp.float32).astype(lat.dtype) * (
-                    sigma_next - sigma)
-                return (lat, res), None
-
             xs = (ts[:-1], jnp.asarray(pairs[:-1, 0]),
                   jnp.asarray(pairs[:-1, 1]), jnp.asarray(skips[:-1]))
-            (latents, _), _ = jax.lax.scan(step_fn, (latents, residual0), xs)
+            latents = _denoise_scan_tea(params, scan_params, cfg, latents,
+                                        residual0, xs, ctx, clip2, y2, pl2,
+                                        cfg_scale)
         else:
-            def step_fn(lat, inputs):
-                timestep, sigma, sigma_next = inputs
-                lat2 = jnp.concatenate([lat] * 2, axis=0)
-                noise, _ = joint_forward(params, scan_params, cfg, lat2,
-                                         jnp.full((2,), timestep), ctx, clip2,
-                                         y2, plucker_fea=pl2)
-                pred = noise[1:2] + cfg_scale * (noise[0:1] - noise[1:2])
-                lat = lat + pred.astype(jnp.float32).astype(lat.dtype) * (
-                    sigma_next - sigma)
-                return lat, None
-
-            # steps 0..n-2 in one scan; final step separately with heads on
             xs = (ts[:-1], jnp.asarray(pairs[:-1, 0]),
                   jnp.asarray(pairs[:-1, 1]))
-            latents, _ = jax.lax.scan(step_fn, latents, xs)
+            latents = _denoise_scan(params, scan_params, cfg, latents, xs,
+                                    ctx, clip2, y2, pl2, cfg_scale)
 
-        t_last = jnp.full((2,), ts[-1])
-        lat2 = jnp.concatenate([latents] * 2, axis=0)
-        noise, prediction = joint_forward(params, scan_params, cfg, lat2,
-                                          t_last, ctx, clip2, y2,
-                                          plucker_fea=pl2,
-                                          return_prediction=True)
-        pred = noise[1:2] + cfg_scale * (noise[0:1] - noise[1:2])
-        latents = latents + pred.astype(jnp.float32).astype(latents.dtype) * (
-            float(pairs[-1, 1]) - float(pairs[-1, 0]))
+        latents, prediction = _final_step(
+            params, scan_params, cfg, latents, jnp.full((2,), ts[-1]),
+            jnp.float32(pairs[-1, 0]), jnp.float32(pairs[-1, 1]), ctx, clip2,
+            y2, pl2, cfg_scale)
         if prediction is not None:
             prediction = {k: v[:1] for k, v in prediction.items()}
         return latents, prediction

@@ -13,6 +13,7 @@ low model -- no device-side branching, each expert's weights stream once.
 from __future__ import annotations
 
 import dataclasses
+import functools
 from typing import Dict, Optional
 
 import jax
@@ -21,6 +22,38 @@ import numpy as np
 
 from ..models.fusion.model import FusionConfig, joint_forward
 from ..schedulers import FlowMatchScheduler
+
+
+@functools.partial(jax.jit, static_argnames=("cfg", "cfg_scale"))
+def _expert_scan(params, scan, cfg, latents, xs, ctx, y2, ctrl2, cfg_scale):
+    """One expert's denoise steps in a jitted scan; params as jit arguments
+    (closure capture would embed the 14B tree as lowering constants)."""
+
+    def step_fn(lat, inputs):
+        timestep, sigma, sigma_next = inputs
+        lat2 = jnp.concatenate([lat] * 2, axis=0)
+        noise, _ = joint_forward(params, scan, cfg, lat2,
+                                 jnp.full((2,), timestep), ctx, None, y2,
+                                 control_camera_latents=ctrl2)
+        pred = noise[1:2] + cfg_scale * (noise[0:1] - noise[1:2])
+        return lat + pred.astype(jnp.float32).astype(lat.dtype) * (
+            sigma_next - sigma), None
+
+    latents, _ = jax.lax.scan(step_fn, latents, xs)
+    return latents
+
+
+@functools.partial(jax.jit, static_argnames=("cfg", "cfg_scale"))
+def _expert_final_step(params, scan, cfg, latents, t_last, sigma, sigma_next,
+                       ctx, y2, ctrl2, cfg_scale):
+    lat2 = jnp.concatenate([latents] * 2, axis=0)
+    noise, prediction = joint_forward(
+        params, scan, cfg, lat2, t_last, ctx, None, y2,
+        control_camera_latents=ctrl2, return_prediction=True)
+    pred = noise[1:2] + cfg_scale * (noise[0:1] - noise[1:2])
+    latents = latents + pred.astype(jnp.float32).astype(latents.dtype) * (
+        sigma_next - sigma)
+    return latents, prediction
 
 
 def control_camera_latents_from_plucker(plucker: np.ndarray) -> np.ndarray:
@@ -78,44 +111,29 @@ class DualModelDenoiser:
         ts = sched.timesteps
         n_high = int((ts > self.timestep_boundary).sum())
 
-        def make_step(params, scan):
-            def step_fn(lat, inputs):
-                timestep, sigma, sigma_next = inputs
-                lat2 = jnp.concatenate([lat] * 2, axis=0)
-                noise, _ = joint_forward(params, scan, self.cfg, lat2,
-                                         jnp.full((2,), timestep), ctx,
-                                         None, y2,
-                                         control_camera_latents=ctrl2)
-                pred = noise[1:2] + cfg_scale * (noise[0:1] - noise[1:2])
-                return lat + pred.astype(jnp.float32).astype(lat.dtype) * (
-                    sigma_next - sigma), None
-            return step_fn
-
         # high-noise expert phase
         if n_high > 0:
             xs = (jnp.asarray(ts[:n_high]), jnp.asarray(pairs[:n_high, 0]),
                   jnp.asarray(pairs[:n_high, 1]))
-            latents, _ = jax.lax.scan(
-                make_step(self.params_high, self.scan_high), latents, xs)
+            latents = _expert_scan(self.params_high, self.scan_high,
+                                   self.cfg, latents, xs, ctx, y2, ctrl2,
+                                   cfg_scale)
         # low-noise expert phase (all but the final step)
         if n_high < len(ts) - 1:
             xs = (jnp.asarray(ts[n_high:-1]),
                   jnp.asarray(pairs[n_high:-1, 0]),
                   jnp.asarray(pairs[n_high:-1, 1]))
-            latents, _ = jax.lax.scan(
-                make_step(self.params_low, self.scan_low), latents, xs)
+            latents = _expert_scan(self.params_low, self.scan_low, self.cfg,
+                                   latents, xs, ctx, y2, ctrl2, cfg_scale)
 
         # final step with geometry heads on the active expert
         params, scan = ((self.params_high, self.scan_high)
                         if n_high >= len(ts)
                         else (self.params_low, self.scan_low))
-        lat2 = jnp.concatenate([latents] * 2, axis=0)
-        noise, prediction = joint_forward(
-            params, scan, self.cfg, lat2, jnp.full((2,), float(ts[-1])), ctx,
-            None, y2, control_camera_latents=ctrl2, return_prediction=True)
-        pred = noise[1:2] + cfg_scale * (noise[0:1] - noise[1:2])
-        latents = latents + pred.astype(jnp.float32).astype(latents.dtype) * (
-            float(pairs[-1, 1]) - float(pairs[-1, 0]))
+        latents, prediction = _expert_final_step(
+            params, scan, self.cfg, latents, jnp.full((2,), float(ts[-1])),
+            jnp.float32(pairs[-1, 0]), jnp.float32(pairs[-1, 1]), ctx, y2,
+            ctrl2, cfg_scale)
         if prediction is not None:
             prediction = {k: v[:1] for k, v in prediction.items()}
         return latents, prediction

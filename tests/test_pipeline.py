@@ -1,0 +1,51 @@
+"""Pipeline denoise loop: jitted scan + final-step heads + TeaCache path."""
+import numpy as np
+import pytest
+
+import conftest  # noqa: F401
+
+pytestmark = pytest.mark.parity
+
+
+def _tiny_pipe():
+    import jax.numpy as jnp
+    from fantasy_world_tpu.models.fusion.model import init_fusion
+    from fantasy_world_tpu.pipelines.wan_video import FantasyWorldPipeline
+    from __graft_entry__ import _demo_config
+
+    cfg = _demo_config(dim=64, layers=3, start_index=1, agg_dim=64,
+                       agg_depth=2)
+    params = init_fusion(0, cfg, jnp.float32)
+    return FantasyWorldPipeline(cfg=cfg, params={"fusion": params}), cfg
+
+
+def test_denoise_smoke_and_tea_path():
+    import jax.numpy as jnp
+    pipe, cfg = _tiny_pipe()
+
+    B, f, h, w = 1, 2, 64, 64             # latent 8x8, 3 latent frames? f=2
+    num_frames = 4 * (f - 1) + 1
+    ctx_pos = jnp.zeros((1, 16, 4096), jnp.float32)
+    ctx_neg = jnp.ones((1, 16, 4096), jnp.float32) * 0.01
+    clip = jnp.zeros((1, 257, 1280), jnp.float32)
+    y = jnp.zeros((1, 20, f, h // 8, w // 8), jnp.float32)
+    pl = jnp.zeros((1, f * (h // 16) * (w // 16), 2048), jnp.float32)
+
+    lat, pred = pipe.denoise(ctx_pos, ctx_neg, clip, y, h, w,
+                             num_frames=num_frames, num_inference_steps=3,
+                             seed=7, plucker_fea=pl)
+    assert lat.shape == (1, 16, f, h // 8, w // 8)
+    assert pred is not None and pred["pose_enc"].shape[0] == 1
+    assert bool(jnp.isfinite(lat).all())
+
+    # TeaCache path: threshold so large every eligible step skips; the
+    # 3-step schedule has first/last forced compute, middle skipped
+    lat_tea, pred_tea = pipe.denoise(ctx_pos, ctx_neg, clip, y, h, w,
+                                     num_frames=num_frames,
+                                     num_inference_steps=3, seed=7,
+                                     plucker_fea=pl,
+                                     tea_cache_l1_thresh=1e9)
+    assert lat_tea.shape == lat.shape
+    assert bool(jnp.isfinite(lat_tea).all())
+    # skipping the middle step changes the result (but not wildly)
+    assert not np.allclose(np.asarray(lat), np.asarray(lat_tea))
