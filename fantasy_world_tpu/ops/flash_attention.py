@@ -14,11 +14,10 @@ Design (see /opt/skills/guides/pallas_guide.md):
     valid across the online-softmax sweep.
   * q/k/v blocks stay bf16 in VMEM; logits and softmax statistics are f32.
   * head_dim is zero-padded to a lane multiple (zero lanes do not perturb
-    logits; zero value lanes are sliced off), sequence padding is masked via
-    broadcasted_iota against the true key length -- and the mask is dropped
-    at TRACE time for k blocks that are fully valid (only the ragged tail
-    block pays for it; `nk` copies of the body are specialized when the
-    last block is ragged).
+    logits; zero value lanes are sliced off). Ragged key lengths cost NO
+    masking passes: zero-padded keys score exactly 0 and contribute exactly
+    n_pad * exp2(-m) to the softmax sum, which the tail block subtracts
+    (see _fa_kernel).
 
 Performance notes (measured on v5e, 197 bf16 TFLOP/s):
   * the inner loop is VPU-bound, not MXU-bound, at these head dims; every
@@ -47,22 +46,20 @@ _NEG_INF = -1e30
 _LOG2E = 1.4426950408889634
 
 
-def _mask_tail(s, ik, block_k: int, kv_len: int, ragged: bool):
-    """Mask padded key columns. Free when the key length is block-aligned;
-    otherwise only the final k block carries padding, and `ragged` is set
-    there so every other block body skips the iota/compare/select passes."""
-    if not ragged:
-        return s
-    col = ik * block_k + jax.lax.broadcasted_iota(jnp.int32, s.shape, 1)
-    return jnp.where(col < kv_len, s, _NEG_INF)
-
-
 def _fa_kernel(q_ref, k_ref, v_ref, o_ref, acc_ref, m_ref, l_ref, *,
-               scale: float, kv_len: int, block_k: int):
-    """Online-softmax sweep over k blocks (exp2 domain)."""
+               scale: float, n_pad: int):
+    """Online-softmax sweep over k blocks (exp2 domain).
+
+    Padded key columns are NOT masked: the wrapper zero-pads k and v, so a
+    padded column scores exactly 0 and contributes exactly exp2(0 - m) to
+    the softmax sum (and nothing to the accumulator, v rows being zero).
+    The tail block subtracts that known contribution -- n_pad * exp2(-m) --
+    from l instead of paying iota/compare/select passes on every block.
+    (Padding clamps the running max at >= 0, which only costs underflow for
+    rows whose true max logit is < -126 in log2 -- unreachable for sane
+    attention inputs.)"""
     ik = pl.program_id(3)
     nk = pl.num_programs(3)
-    ragged = kv_len % block_k != 0
 
     @pl.when(ik == 0)
     def _init():
@@ -78,57 +75,40 @@ def _fa_kernel(q_ref, k_ref, v_ref, o_ref, acc_ref, m_ref, l_ref, *,
         q, k, (((1,), (1,)), ((), ())),
         preferred_element_type=jnp.float32)    # (BQ, BK), log2-domain logits
 
-    if ragged:
-        # specialize the body on "is this the tail block": all but the last
-        # block skip the masking passes entirely
-        def body(s, is_tail):
-            s = _mask_tail(s, ik, block_k, kv_len, is_tail)
-            m_prev = m_ref[...]                # (BQ, 128) replicated stat
-            m_cur = jnp.max(s, axis=-1, keepdims=True)
-            m_new = jnp.maximum(m_prev, jnp.broadcast_to(m_cur, m_prev.shape))
-            alpha = jnp.exp2(m_prev - m_new)
-            p = jnp.exp2(s - m_new[:, :1])
-            l_ref[...] = l_ref[...] * alpha + jnp.broadcast_to(
-                jnp.sum(p, axis=-1, keepdims=True), m_prev.shape)
-            m_ref[...] = m_new
-            pv = jax.lax.dot_general(
-                p.astype(v.dtype), v, (((1,), (0,)), ((), ())),
-                preferred_element_type=jnp.float32)
-            acc_ref[...] = acc_ref[...] * alpha[:, :1] + pv
-
-        jax.lax.cond(ik == nk - 1,
-                     lambda s: body(s, True), lambda s: body(s, False), s)
-    else:
-        m_prev = m_ref[...]
-        m_cur = jnp.max(s, axis=-1, keepdims=True)
-        m_new = jnp.maximum(m_prev, jnp.broadcast_to(m_cur, m_prev.shape))
-        alpha = jnp.exp2(m_prev - m_new)
-        p = jnp.exp2(s - m_new[:, :1])
-        l_ref[...] = l_ref[...] * alpha + jnp.broadcast_to(
-            jnp.sum(p, axis=-1, keepdims=True), m_prev.shape)
-        m_ref[...] = m_new
-        pv = jax.lax.dot_general(
-            p.astype(v.dtype), v, (((1,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32)
-        acc_ref[...] = acc_ref[...] * alpha[:, :1] + pv
+    m_prev = m_ref[...]                        # (BQ, 128) replicated stat
+    m_cur = jnp.max(s, axis=-1, keepdims=True)
+    m_new = jnp.maximum(m_prev, jnp.broadcast_to(m_cur, m_prev.shape))
+    alpha = jnp.exp2(m_prev - m_new)
+    p = jnp.exp2(s - m_new[:, :1])
+    l_ref[...] = l_ref[...] * alpha + jnp.broadcast_to(
+        jnp.sum(p, axis=-1, keepdims=True), m_prev.shape)
+    m_ref[...] = m_new
+    pv = jax.lax.dot_general(
+        p.astype(v.dtype), v, (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32)
+    acc_ref[...] = acc_ref[...] * alpha[:, :1] + pv
 
     @pl.when(ik == nk - 1)
     def _finalize():
-        o_ref[0] = (acc_ref[...] / l_ref[..., :1]).astype(o_ref.dtype)
+        l = l_ref[..., :1]
+        if n_pad:
+            l = l - n_pad * jnp.exp2(-m_ref[..., :1])
+        o_ref[0] = (acc_ref[...] / l).astype(o_ref.dtype)
 
 
-def _fa_kernel_onekv(q_ref, k_ref, v_ref, o_ref, *,
-                     scale: float, kv_len: int, block_k: int):
+def _fa_kernel_onekv(q_ref, k_ref, v_ref, o_ref, *, scale: float, n_pad: int):
     """Fast path: every key in one block -> plain (still max-shifted)
-    softmax, no scratch, no init/finalize conditionals, no rescale passes."""
+    softmax, no scratch, no init/finalize conditionals, no rescale passes.
+    Key padding handled by the same exact zero-pad correction as above."""
     q = (q_ref[0].astype(jnp.float32) * (scale * _LOG2E)).astype(q_ref.dtype)
     s = jax.lax.dot_general(
         q, k_ref[0], (((1,), (1,)), ((), ())),
         preferred_element_type=jnp.float32)
-    s = _mask_tail(s, 0, block_k, kv_len, kv_len % block_k != 0)
     m = jnp.max(s, axis=-1, keepdims=True)
     p = jnp.exp2(s - m)
     l = jnp.sum(p, axis=-1, keepdims=True)
+    if n_pad:
+        l = l - n_pad * jnp.exp2(-m)
     pv = jax.lax.dot_general(
         p.astype(v_ref.dtype), v_ref[0], (((1,), (0,)), ((), ())),
         preferred_element_type=jnp.float32)
@@ -177,8 +157,8 @@ def flash_attention(q: jnp.ndarray, k: jnp.ndarray, v: jnp.ndarray, *,
 
     if nk == 1:
         out = pl.pallas_call(
-            functools.partial(_fa_kernel_onekv, scale=scale, kv_len=Lk,
-                              block_k=block_k),
+            functools.partial(_fa_kernel_onekv, scale=scale,
+                              n_pad=lk_pad - Lk),
             grid=(B, H, nq, 1),
             in_specs=[qspec, kvspec, kvspec],
             out_specs=ospec,
@@ -190,8 +170,7 @@ def flash_attention(q: jnp.ndarray, k: jnp.ndarray, v: jnp.ndarray, *,
         )(qp, kp, vp)
     else:
         out = pl.pallas_call(
-            functools.partial(_fa_kernel, scale=scale, kv_len=Lk,
-                              block_k=block_k),
+            functools.partial(_fa_kernel, scale=scale, n_pad=lk_pad - Lk),
             grid=(B, H, nq, nk),
             in_specs=[qspec, kvspec, kvspec],
             out_specs=ospec,
