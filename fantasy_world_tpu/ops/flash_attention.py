@@ -115,6 +115,77 @@ def _fa_kernel_onekv(q_ref, k_ref, v_ref, o_ref, *, scale: float, n_pad: int):
     o_ref[0] = (pv / l).astype(o_ref.dtype)
 
 
+def _fa_kernel_pair(q_ref, k_ref, v_ref, o_ref, acc_ref, m_ref, l_ref, *,
+                    scale: float, n_pad: int, block_k: int):
+    """Two heads of head_dim<=64 per program at FULL MXU rate.
+
+    A 64-wide head pads to 128 lanes and runs every matmul at half MXU
+    utilization. Instead, lanes 0-63 carry head h0 and 64-127 head h1, and
+    the kernel builds block-diagonal key/value matrices
+
+        K' = [[k0, 0], [0, k1]]   (2*BK, 128)
+        V' = [[v0, 0], [0, v1]]   (2*BK, 128)
+
+    so  q_pair @ K'^T = [s0 | s1] (BQ, 2*BK)  and  p_pair @ V' lands h0's
+    output in lanes 0-63 and h1's in 64-127 -- both (BQ,128)-contraction
+    matmuls with zero wasted MXU columns. Softmax statistics are kept
+    per-head in lane halves of the (BQ, 128) stat scratch."""
+    ik = pl.program_id(3)
+    nk = pl.num_programs(3)
+    D2 = 64
+
+    @pl.when(ik == 0)
+    def _init():
+        acc_ref[...] = jnp.zeros_like(acc_ref)
+        m_ref[...] = jnp.full_like(m_ref, _NEG_INF)
+        l_ref[...] = jnp.zeros_like(l_ref)
+
+    q = (q_ref[0].astype(jnp.float32) * (scale * _LOG2E)).astype(q_ref.dtype)
+    kp = k_ref[0]                              # (BK, 128) two heads
+    vp = v_ref[0]
+    BK = kp.shape[0]
+    z = jnp.zeros((BK, D2), kp.dtype)
+    kd = jnp.concatenate(
+        [jnp.concatenate([kp[:, :D2], z], axis=1),
+         jnp.concatenate([z, kp[:, D2:]], axis=1)], axis=0)   # (2BK, 128)
+    vd = jnp.concatenate(
+        [jnp.concatenate([vp[:, :D2], z], axis=1),
+         jnp.concatenate([z, vp[:, D2:]], axis=1)], axis=0)
+
+    s = jax.lax.dot_general(
+        q, kd, (((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32)    # (BQ, 2BK) = [s0 | s1]
+
+    m_prev = m_ref[...]                        # lanes [:64]=h0, [64:]=h1
+    m0 = jnp.max(s[:, :BK], axis=-1, keepdims=True)
+    m1 = jnp.max(s[:, BK:], axis=-1, keepdims=True)
+    m_cur = jnp.concatenate([jnp.broadcast_to(m0, (m0.shape[0], D2)),
+                             jnp.broadcast_to(m1, (m1.shape[0], D2))], axis=1)
+    m_new = jnp.maximum(m_prev, m_cur)
+    alpha = jnp.exp2(m_prev - m_new)
+    m_bcast = jnp.concatenate(
+        [jnp.broadcast_to(m_new[:, :1], (s.shape[0], BK)),
+         jnp.broadcast_to(m_new[:, D2:D2 + 1], (s.shape[0], BK))], axis=1)
+    p = jnp.exp2(s - m_bcast)
+    l0 = jnp.sum(p[:, :BK], axis=-1, keepdims=True)
+    l1 = jnp.sum(p[:, BK:], axis=-1, keepdims=True)
+    l_cur = jnp.concatenate([jnp.broadcast_to(l0, (l0.shape[0], D2)),
+                             jnp.broadcast_to(l1, (l1.shape[0], D2))], axis=1)
+    l_ref[...] = l_ref[...] * alpha + l_cur
+    m_ref[...] = m_new
+    pv = jax.lax.dot_general(
+        p.astype(vd.dtype), vd, (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32)    # (BQ, 128) both heads
+    acc_ref[...] = acc_ref[...] * alpha + pv
+
+    @pl.when(ik == nk - 1)
+    def _finalize():
+        l = l_ref[...]
+        if n_pad:
+            l = l - n_pad * jnp.exp2(-m_ref[...])
+        o_ref[0] = (acc_ref[...] / l).astype(o_ref.dtype)
+
+
 def _pad_axis(x, axis, target):
     pad = target - x.shape[axis]
     if pad == 0:
@@ -136,6 +207,9 @@ def flash_attention(q: jnp.ndarray, k: jnp.ndarray, v: jnp.ndarray, *,
 
     block_q = min(block_q, -(-Lq // 128) * 128)
     block_k = min(block_k, -(-Lk // 128) * 128)
+
+    if D <= 64 and H % 2 == 0:
+        return _flash_attention_paired(q, k, v, scale, block_q, block_k)
 
     d_pad = -(-D // 128) * 128
     lq_pad = -(-Lq // block_q) * block_q
@@ -185,5 +259,47 @@ def flash_attention(q: jnp.ndarray, k: jnp.ndarray, v: jnp.ndarray, *,
                                      "arbitrary"),
             ),
         )(qp, kp, vp)
+
+    return out.reshape(B, lq_pad, H, d_pad)[:, :Lq, :, :D]
+
+
+def _flash_attention_paired(q, k, v, scale, block_q, block_k):
+    """head_dim <= 64, even H: two heads per program (see _fa_kernel_pair).
+    Layout (B, L, H*64); a 128-lane block column at index hp covers heads
+    (2*hp, 2*hp+1)."""
+    B, Lq, H, D = q.shape
+    Lk = k.shape[1]
+    d_pad = 64
+    lq_pad = -(-Lq // block_q) * block_q
+    lk_pad = -(-Lk // block_k) * block_k
+
+    qp = _pad_axis(_pad_axis(q, 3, d_pad), 1, lq_pad).reshape(B, lq_pad, H * d_pad)
+    kp = _pad_axis(_pad_axis(k, 3, d_pad), 1, lk_pad).reshape(B, lk_pad, H * d_pad)
+    vp = _pad_axis(_pad_axis(v, 3, d_pad), 1, lk_pad).reshape(B, lk_pad, H * d_pad)
+
+    nq = lq_pad // block_q
+    nk = lk_pad // block_k
+
+    qspec = pl.BlockSpec((1, block_q, 128), lambda b, h, iq, ik: (b, iq, h))
+    kvspec = pl.BlockSpec((1, block_k, 128), lambda b, h, iq, ik: (b, ik, h))
+    ospec = pl.BlockSpec((1, block_q, 128), lambda b, h, iq, ik: (b, iq, h))
+
+    out = pl.pallas_call(
+        functools.partial(_fa_kernel_pair, scale=scale, n_pad=lk_pad - Lk,
+                          block_k=block_k),
+        grid=(B, H // 2, nq, nk),
+        in_specs=[qspec, kvspec, kvspec],
+        out_specs=ospec,
+        out_shape=jax.ShapeDtypeStruct((B, lq_pad, H * d_pad), q.dtype),
+        scratch_shapes=[
+            pltpu.VMEM((block_q, 128), jnp.float32),
+            pltpu.VMEM((block_q, 128), jnp.float32),
+            pltpu.VMEM((block_q, 128), jnp.float32),
+        ],
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "parallel", "parallel",
+                                 "arbitrary"),
+        ),
+    )(qp, kp, vp)
 
     return out.reshape(B, lq_pad, H, d_pad)[:, :Lq, :, :D]
