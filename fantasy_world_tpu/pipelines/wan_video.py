@@ -29,13 +29,15 @@ from ..models.fusion.model import (FusionConfig, joint_forward,
                                    joint_forward_tea, prepare_scan_params)
 
 
-@functools.partial(jax.jit, static_argnames=("cfg", "cfg_scale"))
+@functools.partial(jax.jit, static_argnames=("cfg", "cfg_scale"),
+                   donate_argnums=(3,))
 def _denoise_scan(params, scan_params, cfg, latents, xs, ctx, clip2, y2,
                   pl2, cfg_scale):
     """All denoise steps but the last in one jitted scan. Params enter as
     jit ARGUMENTS: a closure over lax.scan would embed the full 14B tree
     as lowering-time constants (measured: multi-GB capture warnings and
-    pathological compile times)."""
+    pathological compile times). The latents carry is donated -- the
+    caller never reuses the input noise buffer."""
 
     def step_fn(lat, inputs):
         timestep, sigma, sigma_next = inputs
@@ -52,11 +54,13 @@ def _denoise_scan(params, scan_params, cfg, latents, xs, ctx, clip2, y2,
     return latents
 
 
-@functools.partial(jax.jit, static_argnames=("cfg", "cfg_scale"))
+@functools.partial(jax.jit, static_argnames=("cfg", "cfg_scale"),
+                   donate_argnums=(3, 4))
 def _denoise_scan_tea(params, scan_params, cfg, latents, residual0, xs, ctx,
                       clip2, y2, pl2, cfg_scale):
     """TeaCache-gated variant: xs carries the host-planned per-step skip
-    boolean; the carry threads the cached block-stack residual."""
+    boolean; the carry threads the cached block-stack residual. Both carry
+    buffers (latents, residual) are donated."""
 
     def step_fn(carry, inputs):
         lat, res = carry
@@ -74,7 +78,8 @@ def _denoise_scan_tea(params, scan_params, cfg, latents, residual0, xs, ctx,
     return latents
 
 
-@functools.partial(jax.jit, static_argnames=("cfg", "cfg_scale"))
+@functools.partial(jax.jit, static_argnames=("cfg", "cfg_scale"),
+                   donate_argnums=(3,))
 def _final_step(params, scan_params, cfg, latents, t_last, sigma, sigma_next,
                 ctx, clip2, y2, pl2, cfg_scale):
     """Last denoise step with the geometry heads on, jitted (an eager call

@@ -68,3 +68,14 @@ def test_joint_forward_sharded_equality():
     assert np.isfinite(out).all()
     # identical math up to reduction-order differences from the collectives
     np.testing.assert_allclose(out, ref, rtol=2e-4, atol=2e-4)
+
+
+def test_distributed_bootstrap_single_host():
+    """initialize() must no-op on a single host and report sane topology."""
+    from fantasy_world_tpu.parallel import distributed
+
+    assert distributed.initialize() is False     # no coordinator env -> no-op
+    info = distributed.runtime_info()
+    assert info["process_count"] == 1
+    assert info["global_device_count"] >= 1
+    assert not info["initialized"]
