@@ -23,7 +23,7 @@ import jax.numpy as jnp
 from ...core.params import (prng_split, prng_fold_in, init_linear, init_layernorm, np_normal, np_full)
 from ...ops import rope as rope_ops
 from ...ops.attention import dot_product_attention
-from ...ops.norms import layer_norm
+from ...ops.norms import layer_norm, layer_norm_modulate
 
 
 @dataclasses.dataclass(frozen=True)
@@ -105,9 +105,10 @@ def modulation_from_e0(p: Dict, e0: Optional[jnp.ndarray], batch: int):
 
 
 def _attn_residual(p, cfg, x, pos, e):
-    h = layer_norm(x, p["norm1"], cfg.ln_eps)
     if e is not None:
-        h = (h.astype(jnp.float32) * (1 + e[1]) + e[0]).astype(x.dtype)
+        h = layer_norm_modulate(x, e[0], e[1], p["norm1"], cfg.ln_eps)
+    else:
+        h = layer_norm(x, p["norm1"], cfg.ln_eps)
     return vggt_attention(p["attn"], cfg, h, pos) * p["ls1"]["gamma"].astype(x.dtype)
 
 

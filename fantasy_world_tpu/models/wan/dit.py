@@ -31,7 +31,7 @@ from ...core.params import (prng_split, init_linear, init_layernorm, init_rmsnor
                             np_normal, np_zeros)
 from ...ops import rope as rope_ops
 from ...ops.attention import dot_product_attention
-from ...ops.norms import rms_norm, layer_norm, modulate
+from ...ops.norms import rms_norm, layer_norm, layer_norm_modulate, modulate
 
 PyTree = Any
 
@@ -269,7 +269,7 @@ def dit_block_attn_half(p, x, context, t_mod, rope_cos, rope_sin,
     eps = cfg.eps if eps is None else eps
     sh_msa, sc_msa, g_msa, sh_mlp, sc_mlp, g_mlp = dit_block_modulation(p, t_mod)
     xd = x.dtype
-    h = modulate(layer_norm(x, None, eps).astype(jnp.float32), sh_msa, sc_msa).astype(xd)
+    h = layer_norm_modulate(x, sh_msa, sc_msa, None, eps)
     x = x + (g_msa * self_attention(p["self_attn"], h, rope_cos, rope_sin,
                                     cfg.num_heads, eps).astype(jnp.float32)).astype(xd)
     x = x + cross_attention(p["cross_attn"], layer_norm(x, p["norm3"], eps),
@@ -286,7 +286,7 @@ def dit_block_ffn_half(p, x, modifiers, cfg: WanDiTConfig, eps=None):
     eps = cfg.eps if eps is None else eps
     sh_mlp, sc_mlp, g_mlp = modifiers
     xd = x.dtype
-    h = modulate(layer_norm(x, None, eps).astype(jnp.float32), sh_mlp, sc_mlp).astype(xd)
+    h = layer_norm_modulate(x, sh_mlp, sc_mlp, None, eps)
     return x + (g_mlp * _gelu_tanh_mlp(p["ffn"], h).astype(jnp.float32)).astype(xd)
 
 
@@ -364,8 +364,7 @@ def head_apply(p, cfg: WanDiTConfig, x, t):
     hp = p["head"]
     mod = hp["modulation"].astype(jnp.float32) + t.astype(jnp.float32)[:, None]
     shift, scale = mod[:, 0:1], mod[:, 1:2]
-    h = (layer_norm(x, None, cfg.eps).astype(jnp.float32) * (1 + scale)
-         + shift).astype(x.dtype)
+    h = layer_norm_modulate(x, shift, scale, None, cfg.eps)
     return _linear(hp["head"], h)
 
 
