@@ -112,8 +112,10 @@ def convert_dpt_head(sd: Mapping, pre: str) -> Dict:
         "refinenet4": _convert_fusion_block(sd, pre + ".scratch.refinenet4",
                                             has_residual=False),
         "output_conv1": _conv(sd, pre + ".scratch.output_conv1"),
-        "output_conv2_0": _conv(sd, pre + ".scratch.output_conv2.0"),
-        "output_conv2_2": _conv(sd, pre + ".scratch.output_conv2.2"),
+        # absent in feature_only heads (track feature extractor)
+        **({"output_conv2_0": _conv(sd, pre + ".scratch.output_conv2.0"),
+            "output_conv2_2": _conv(sd, pre + ".scratch.output_conv2.2")}
+           if pre + ".scratch.output_conv2.0.weight" in sd else {}),
     }
 
 
@@ -174,4 +176,11 @@ def convert_vggt(sd: Mapping, prefix: str = "", depth: int = 24,
         p["depth_head"] = convert_dpt_head(sd, pr + "depth_head")
     if pr + "point_head.norm.weight" in sd:
         p["point_head"] = convert_dpt_head(sd, pr + "point_head")
+    if pr + "track_head.tracker.fmap_norm.weight" in sd:
+        from .track import convert_tracker
+        p["track_head"] = {
+            "feature_extractor": convert_dpt_head(
+                sd, pr + "track_head.feature_extractor"),
+            "tracker": convert_tracker(sd, pr + "track_head.tracker"),
+        }
     return p

@@ -188,6 +188,10 @@ class DPTHeadConfig:
     intermediate_layer_idx: Tuple[int, ...] = (23, 17, 11, 7)
     pos_embed: bool = True
     down_ratio: int = 1
+    # feature_only: stop after output_conv1 (which then keeps ``features``
+    # channels, dpt_head.py:115-118) and return fused feature maps instead
+    # of activated predictions -- the TrackHead feature extractor mode.
+    feature_only: bool = False
 
 
 def _init_conv2d(rng, cin, cout, k, dtype, bias=True):
@@ -260,10 +264,14 @@ def init_dpt_head(rng, cfg: DPTHeadConfig, dtype=jnp.bfloat16) -> Dict:
         "refinenet2": _init_fusion_block(rs[16], f, dtype),
         "refinenet3": _init_fusion_block(rs[17], f, dtype),
         "refinenet4": _init_fusion_block(rs[18], f, dtype, has_residual=False),
-        "output_conv1": _init_conv2d(rs[19], f, f // 2, 3, dtype),
-        "output_conv2_0": _init_conv2d(rs[20], f // 2, 32, 3, dtype),
-        "output_conv2_2": _init_conv2d(rs[21], 32, cfg.output_dim, 1, dtype),
     }
+    if cfg.feature_only:
+        p["output_conv1"] = _init_conv2d(rs[19], f, f, 3, dtype)
+    else:
+        p["output_conv1"] = _init_conv2d(rs[19], f, f // 2, 3, dtype)
+        p["output_conv2_0"] = _init_conv2d(rs[20], f // 2, 32, 3, dtype)
+        p["output_conv2_2"] = _init_conv2d(rs[21], 32, cfg.output_dim, 1,
+                                           dtype)
     return p
 
 
@@ -381,6 +389,9 @@ def dpt_head_forward(p: Dict, cfg: DPTHeadConfig,
     out = conv2d(p["output_conv1"]["kernel"], p["output_conv1"]["bias"], out)
 
     out = bilinear_align_corners(out, (H // cfg.down_ratio, W // cfg.down_ratio))
+    if cfg.feature_only:
+        # (B, T_out, features, H/d, W/d) -- dpt_head.py:256-257
+        return out.reshape(B, T_out, *out.shape[1:])
     if cfg.pos_embed:
         pe = jnp.asarray(_pos_embed_2d(out.shape[1], out.shape[2],
                                        out.shape[3], W, H))

@@ -1,8 +1,11 @@
 """VGGT geometry model consuming Wan DiT features (vggt/models/vggt.py).
 
 Owns the 5120->1024 projection, the fp32 timestep AdaLN embedding, the
-aggregator, and the camera/depth/point heads. The track head is disabled in
-the reference inference config (inference_wan21.py:193) and is not built.
+aggregator, and the camera/depth/point/track heads. The track head is
+disabled in the reference inference config (inference_wan21.py:193) and is
+off by default here too (enable_track=False); when enabled it runs the
+working CoTracker-style stack in track.py (the reference's own TrackHead
+cannot even be constructed -- track_head.py:49 NameError).
 """
 from __future__ import annotations
 
@@ -28,6 +31,7 @@ class VGGTConfig:
     enable_camera: bool = True
     enable_depth: bool = True
     enable_point: bool = True
+    enable_track: bool = False
     dpt_patch_size: int = 16
     dpt_layer_idx: Tuple[int, ...] = (23, 17, 11, 7)
     dpt_features: int = 256
@@ -47,6 +51,22 @@ class VGGTConfig:
                              features=self.dpt_features,
                              out_channels=self.dpt_out_channels,
                              intermediate_layer_idx=self.dpt_layer_idx)
+
+    @property
+    def track(self):
+        from .track import TrackConfig
+        return TrackConfig()
+
+    @property
+    def track_dpt(self) -> DPTHeadConfig:
+        # track_head.py:49-56: features=128, down_ratio=2, pos_embed=False
+        return DPTHeadConfig(dim_in=2 * self.embed_dim,
+                             patch_size=self.dpt_patch_size,
+                             output_dim=0, features=self.track.latent_dim,
+                             out_channels=self.dpt_out_channels,
+                             intermediate_layer_idx=self.dpt_layer_idx,
+                             pos_embed=False, down_ratio=2,
+                             feature_only=True)
 
 
 def init_vggt(rng, cfg: VGGTConfig, dtype=jnp.bfloat16) -> Dict:
@@ -70,6 +90,10 @@ def init_vggt(rng, cfg: VGGTConfig, dtype=jnp.bfloat16) -> Dict:
         p["depth_head"] = init_dpt_head(rs[6], cfg.dpt_head(2, "exp"), dtype)
     if cfg.enable_point:
         p["point_head"] = init_dpt_head(rs[7], cfg.dpt_head(4, "inv_log"), dtype)
+    if cfg.enable_track:
+        from .track import init_track_head
+        p["track_head"] = init_track_head(rs[4], cfg.track, cfg.track_dpt,
+                                          dtype)
     return p
 
 
@@ -103,7 +127,9 @@ def process_wan_input(p: Dict, cfg: VGGTConfig, wan_features: jnp.ndarray,
 def head_prediction(p: Dict, cfg: VGGTConfig,
                     aggregated_tokens: List[jnp.ndarray],
                     spatial_hw: Tuple[int, int],
-                    patch_start_idx: int) -> Dict[str, jnp.ndarray]:
+                    patch_start_idx: int,
+                    query_points: Optional[jnp.ndarray] = None
+                    ) -> Dict[str, jnp.ndarray]:
     """Camera/depth/point heads over the per-layer intermediates
     (VGGT._head_predction, vggt.py:134-154)."""
     out: Dict[str, jnp.ndarray] = {}
@@ -123,16 +149,23 @@ def head_prediction(p: Dict, cfg: VGGTConfig,
                                      aggregated_tokens, spatial_hw,
                                      patch_start_idx)
         out["world_points"], out["world_points_conf"] = pts, conf
+    if "track_head" in p and query_points is not None:
+        from .track import track_head_forward
+        coords, vis, conf = track_head_forward(
+            p["track_head"], cfg.track, cfg.track_dpt, aggregated_tokens,
+            spatial_hw, patch_start_idx, query_points)
+        out["track"], out["vis"], out["track_conf"] = coords[-1], vis, conf
     return out
 
 
 def vggt_forward(p: Dict, cfg: VGGTConfig, wan_features: jnp.ndarray,
                  timestep: jnp.ndarray,
-                 camera_token: Optional[jnp.ndarray] = None
+                 camera_token: Optional[jnp.ndarray] = None,
+                 query_points: Optional[jnp.ndarray] = None
                  ) -> Dict[str, jnp.ndarray]:
     """Standalone geometry pass (BASELINE config 1)."""
     patch_tokens, e0 = process_wan_input(p, cfg, wan_features, timestep)
     outputs, start = aggregator_forward(p["aggregator"], cfg.aggregator,
                                         patch_tokens, camera_token, e0)
     hw = wan_features.shape[2:4]
-    return head_prediction(p, cfg, outputs, hw, start)
+    return head_prediction(p, cfg, outputs, hw, start, query_points)
