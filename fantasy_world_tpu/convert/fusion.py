@@ -32,11 +32,22 @@ from .wan_dit import convert_wan_dit, convert_block, _lin
 from .vggt import convert_vggt, convert_vggt_block
 
 
-def _bicross(sd: Mapping, pre: str) -> Dict:
+def _bicross(sd: Mapping, pre: str, head_dim: int = 96) -> Dict:
+    from ..ops.rope import permute_qk_out_channels as perm
+
+    def _rope_lin(name):
+        # q/k projections carry rope: fold the de-interleave permutation
+        # into their output columns (see convert/wan_dit.py _attn)
+        p = _lin(sd, name)
+        p["kernel"] = perm(p["kernel"], head_dim)
+        if "bias" in p:
+            p["bias"] = perm(p["bias"], head_dim)
+        return p
+
     ba = pre + ".bicross_attention"
     return {
-        "m1_proj": _lin(sd, ba + ".cross_attn.m1_proj"),
-        "m2_proj": _lin(sd, ba + ".cross_attn.m2_proj"),
+        "m1_proj": _rope_lin(ba + ".cross_attn.m1_proj"),
+        "m2_proj": _rope_lin(ba + ".cross_attn.m2_proj"),
         "values_m1_proj": _lin(sd, ba + ".cross_attn.values_m1_proj"),
         "values_m2_proj": _lin(sd, ba + ".cross_attn.values_m2_proj"),
         "out_m1_proj": _lin(sd, ba + ".cross_attn.out_m1_proj"),
@@ -85,7 +96,7 @@ def convert_fusion_checkpoint(fusion_sd: Mapping, base_dit_sd: Mapping,
     out = {
         "dit": dit,
         "vggt": vggt,
-        "bicross": [_bicross(fusion_sd, f"IRGBlock.{i}")
+        "bicross": [_bicross(fusion_sd, f"IRGBlock.{i}", cfg.bicross.head_dim)
                     for i in range(cfg.num_irg)],
     }
     if any(k.startswith("camera_condition.pose_encoder.")

@@ -42,13 +42,25 @@ def _rms(sd, name) -> Dict:
     return {"scale": np.asarray(sd[name + ".weight"])}
 
 
-def _attn(sd, pre, image_kv=False) -> Dict:
+def _attn(sd, pre, image_kv=False, rope_head_dim: int = 0) -> Dict:
     p = {
         "q": _lin(sd, pre + ".q"), "k": _lin(sd, pre + ".k"),
         "v": _lin(sd, pre + ".v"), "o": _lin(sd, pre + ".o"),
         "norm_q": _rms(sd, pre + ".norm_q"),
         "norm_k": _rms(sd, pre + ".norm_k"),
     }
+    if rope_head_dim:
+        # fold the rope de-interleave permutation into the q/k output
+        # channels (and their per-channel RMS scales): the model then runs
+        # the layout-friendly half-split rotation (ops/rope.py
+        # apply_rope_half). Scores are invariant; v/o are untouched.
+        from ..ops.rope import permute_qk_out_channels as perm
+        for name in ("q", "k"):
+            p[name]["kernel"] = perm(p[name]["kernel"], rope_head_dim)
+            if "bias" in p[name]:
+                p[name]["bias"] = perm(p[name]["bias"], rope_head_dim)
+        p["norm_q"]["scale"] = perm(p["norm_q"]["scale"], rope_head_dim)
+        p["norm_k"]["scale"] = perm(p["norm_k"]["scale"], rope_head_dim)
     if image_kv:
         p["k_img"] = _lin(sd, pre + ".k_img")
         p["v_img"] = _lin(sd, pre + ".v_img")
@@ -72,7 +84,8 @@ def _camera_adapter(sd, pre) -> Dict:
 def convert_block(sd: Mapping, cfg: WanDiTConfig, i: int, prefix: str = "") -> Dict:
     pre = f"{prefix}blocks.{i}"
     p = {
-        "self_attn": _attn(sd, pre + ".self_attn"),
+        "self_attn": _attn(sd, pre + ".self_attn",
+                           rope_head_dim=cfg.head_dim),
         "cross_attn": _attn(sd, pre + ".cross_attn",
                             image_kv=cfg.has_image_input),
         "norm3": _ln(sd, pre + ".norm3"),

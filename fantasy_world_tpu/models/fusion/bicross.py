@@ -75,8 +75,8 @@ def bicross_apply(p: Dict, cfg: BicrossConfig, x1: jnp.ndarray,
 
     q = _heads(_linear(p["m1_proj"], x1n), n)
     k = _heads(_linear(p["m2_proj"], x2n), n)
-    q = rope_ops.apply_rope_interleaved(q, *rope_dit)
-    k = rope_ops.apply_rope_interleaved(k, *rope_agg)
+    q = rope_ops.apply_rope_half(q, *rope_dit)
+    k = rope_ops.apply_rope_half(k, *rope_agg)
     v1 = _heads(_linear(p["values_m1_proj"], x1n), n)
     v2 = _heads(_linear(p["values_m2_proj"], x2n), n)
 

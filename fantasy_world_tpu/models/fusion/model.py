@@ -188,11 +188,11 @@ def _forward_prologue(params: Dict, cfg: FusionConfig, latents, timestep,
     x = maybe_constrain(x, mesh, tok_spec)
 
     # rope tables (host-precomputed f64 angles)
-    cos_d, sin_d = rope_ops.cos_sin_from_angles(
+    cos_d, sin_d = rope_ops.cos_sin_half_from_angles(
         rope_ops.build_angles_3d(dcfg.head_dim, f, h, w))
-    rope_bi_dit = rope_ops.cos_sin_from_angles(
+    rope_bi_dit = rope_ops.cos_sin_half_from_angles(
         rope_ops.build_angles_3d(cfg.bicross.head_dim, f, h, w))
-    rope_bi_agg = rope_ops.cos_sin_from_angles(
+    rope_bi_agg = rope_ops.cos_sin_half_from_angles(
         rope_ops.build_angles_3d(cfg.bicross.head_dim, f, h, w,
                                  n_extra_per_frame=cfg.vggt.aggregator.patch_start_idx))
     return (x, ctx, t, t_mod, (f, h, w),

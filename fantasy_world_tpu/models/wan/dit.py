@@ -207,8 +207,11 @@ def self_attention(p, x, rope_cos, rope_sin, num_heads, eps=1e-6):
     q = rms_norm(_linear(p["q"], x), p["norm_q"]["scale"], eps)
     k = rms_norm(_linear(p["k"], x), p["norm_k"]["scale"], eps)
     v = _linear(p["v"], x)
-    q = rope_ops.apply_rope_interleaved(_split_heads(q, num_heads), rope_cos, rope_sin)
-    k = rope_ops.apply_rope_interleaved(_split_heads(k, num_heads), rope_cos, rope_sin)
+    # permutation-folded half-split rope: the converters de-interleave the
+    # q/k projection columns, so the contiguous rotate-half form applies
+    # (ops/rope.py apply_rope_half)
+    q = rope_ops.apply_rope_half(_split_heads(q, num_heads), rope_cos, rope_sin)
+    k = rope_ops.apply_rope_half(_split_heads(k, num_heads), rope_cos, rope_sin)
     o = dot_product_attention(q, k, _split_heads(v, num_heads))
     return _linear(p["o"], _merge_heads(o))
 
@@ -383,7 +386,7 @@ def prepare_inputs(p, cfg: WanDiTConfig, x, timestep, context,
     tokens, grid = patchify(p, cfg, x)
     f, h, w = grid
     angles = rope_ops.build_angles_3d(cfg.head_dim, f, h, w)
-    cos, sin = rope_ops.cos_sin_from_angles(angles)
+    cos, sin = rope_ops.cos_sin_half_from_angles(angles)
     return tokens, t, t_mod, ctx, grid, (cos, sin)
 
 

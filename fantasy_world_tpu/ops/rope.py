@@ -90,10 +90,15 @@ def cos_sin_from_angles(angles: np.ndarray, dtype=jnp.float32
 
 def apply_rope_interleaved(x: jnp.ndarray, cos: jnp.ndarray, sin: jnp.ndarray
                            ) -> jnp.ndarray:
-    """Rotate interleaved complex pairs.
+    """Rotate interleaved complex pairs (reference semantics; parity oracle).
 
     x: (..., seq, heads, head_dim); cos/sin: (seq, head_dim//2) broadcast
     over leading dims and heads. Computation in f32, returned in x.dtype.
+
+    NOT used on the hot path: the stride-2 even/odd lane access makes XLA
+    relayout the tensor (L-minor f32 copies, ~13 ms/DiT-layer measured on
+    v5e). The hot path uses ``apply_rope_half`` below with the de-interleave
+    permutation folded into the q/k projection weights at conversion time.
     """
     orig_dtype = x.dtype
     xf = x.astype(jnp.float32)
@@ -105,6 +110,61 @@ def apply_rope_interleaved(x: jnp.ndarray, cos: jnp.ndarray, sin: jnp.ndarray
     o1 = x1 * c - x2 * s
     o2 = x1 * s + x2 * c
     out = jnp.stack([o1, o2], axis=-1).reshape(shp)
+    return out.astype(orig_dtype)
+
+
+# -- permutation-folded half-split equivalent of the interleaved rotation --
+#
+# Attention scores are invariant under any fixed channel permutation applied
+# to BOTH q and k. Choosing the per-head de-interleave permutation
+# (2j -> j, 2j+1 -> j + d/2) turns the interleaved rotation into the
+# contiguous rotate-half form -- no strided lane access, so XLA keeps the
+# natural D-minor layout and fuses the rotation into neighbors. The
+# permutation is applied once to the q/k projection columns (plus their
+# per-channel RMS scales) by the checkpoint converters
+# (convert/wan_dit.py, convert/fusion.py); v / output projections are
+# untouched, so every activation outside q/k is bit-identical.
+
+def deinterleave_indices(head_dim: int) -> np.ndarray:
+    """Channel permutation per head: out[j] = in[idx[j]] with
+    idx = [0, 2, 4, ..., 1, 3, 5, ...]."""
+    return np.concatenate([np.arange(0, head_dim, 2),
+                           np.arange(1, head_dim, 2)])
+
+
+def permute_qk_out_channels(arr: np.ndarray, head_dim: int, axis: int = -1
+                            ) -> np.ndarray:
+    """Permute a weight/bias/scale along its output-channel axis by the
+    per-head de-interleave; the axis length must be a multiple of head_dim
+    (heads * head_dim, heads contiguous)."""
+    arr = np.asarray(arr)
+    n = arr.shape[axis]
+    idx = (np.arange(0, n, head_dim)[:, None]
+           + deinterleave_indices(head_dim)[None, :]).reshape(-1)
+    return np.take(arr, idx, axis=axis)
+
+
+def cos_sin_half_from_angles(angles: np.ndarray, dtype=jnp.float32
+                             ) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """(seq, d/2) angle table -> (seq, d) duplicated cos/sin tables for
+    ``apply_rope_half`` (f64 trig on host, cast once)."""
+    c = np.cos(angles)
+    s = np.sin(angles)
+    return (jnp.asarray(np.concatenate([c, c], -1), dtype),
+            jnp.asarray(np.concatenate([s, s], -1), dtype))
+
+
+def apply_rope_half(x: jnp.ndarray, cos: jnp.ndarray, sin: jnp.ndarray
+                    ) -> jnp.ndarray:
+    """Rotate contiguous half-split pairs: out = x*cos + rotate_half(x)*sin
+    with rotate_half(x) = [-x2, x1]. x: (..., seq, heads, head_dim);
+    cos/sin: (seq, head_dim). Equals ``apply_rope_interleaved`` composed
+    with the de-interleave channel permutation (tests/test_rope.py)."""
+    orig_dtype = x.dtype
+    xf = x.astype(jnp.float32)
+    d = xf.shape[-1]
+    rot = jnp.concatenate([-xf[..., d // 2:], xf[..., :d // 2]], axis=-1)
+    out = xf * cos[..., :, None, :] + rot * sin[..., :, None, :]
     return out.astype(orig_dtype)
 
 

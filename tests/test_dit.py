@@ -98,7 +98,7 @@ def test_wan_dit_camera_adapter_parity():
             plucker_context_lens=torch.ones(f, dtype=torch.long)).numpy()
 
     ang = rope_ops.build_angles_3d(cfg.head_dim, f, h, w)
-    cos, sin = rope_ops.cos_sin_from_angles(ang)
+    cos, sin = rope_ops.cos_sin_half_from_angles(ang)
     out = dit_block_apply(params["blocks"][0], jnp.asarray(x),
                           jnp.asarray(ctx), jnp.asarray(t_mod), cos, sin, cfg,
                           plucker_fea=jnp.asarray(plucker), apply_pose=True)
@@ -119,7 +119,7 @@ def test_split_block_equals_monolithic():
     ctx = jnp.asarray(rng.standard_normal((1, 277, 96)).astype(np.float32))
     t_mod = jnp.asarray(rng.standard_normal((1, 6, 96)).astype(np.float32))
     ang = rope_ops.build_angles_3d(cfg.head_dim, 3, 4, 6)
-    cos, sin = rope_ops.cos_sin_from_angles(ang)
+    cos, sin = rope_ops.cos_sin_half_from_angles(ang)
 
     full = dit_block_apply(bp, x, ctx, t_mod, cos, sin, cfg)
     part, mods = dit_block_attn_half(bp, x, ctx, t_mod, cos, sin, cfg)

@@ -61,10 +61,10 @@ def test_bicross_parity():
           for k, v in ref.state_dict().items()}
     # reference nests the projections under .cross_attn; our converter
     # expects the fusion checkpoint layout IRGBlock.i.bicross_attention.*
-    p = _bicross(sd, "b")
-    rope_dit = rope_ops.cos_sin_from_angles(
+    p = _bicross(sd, "b", head_dim=hidden // heads)
+    rope_dit = rope_ops.cos_sin_half_from_angles(
         rope_ops.build_angles_3d(head_dim, f, h, w))
-    rope_agg = rope_ops.cos_sin_from_angles(
+    rope_agg = rope_ops.cos_sin_half_from_angles(
         rope_ops.build_angles_3d(head_dim, f, h, w, n_extra_per_frame=n_extra))
     o1, o2 = bicross_apply(p, cfg, jnp.asarray(x1), jnp.asarray(x2),
                            rope_dit, rope_agg)
@@ -103,7 +103,8 @@ def test_bicross_temporal_mode_parity():
                      T=T, S=S, R=R, M=M)
 
     p = _bicross({"b.bicross_attention." + k: v.numpy()
-                  for k, v in ref.state_dict().items()}, "b")
+                  for k, v in ref.state_dict().items()}, "b",
+                 head_dim=hidden // heads)
     o1, o2 = bicross_apply_temporal(p, cfg, jnp.asarray(x1), jnp.asarray(x2),
                                     T, S, R, M)
     np.testing.assert_allclose(np.asarray(o1), r1.numpy(), rtol=2e-3,
@@ -177,16 +178,17 @@ def test_irg_block_parity():
     ap = convert_vggt_block({"g." + k: v.numpy()
                              for k, v in agg_blk.state_dict().items()}, "g")
     bp = _bicross({"b.bicross_attention." + k: v.numpy()
-                   for k, v in irg.bicross_attention.state_dict().items()}, "b")
+                   for k, v in irg.bicross_attention.state_dict().items()}, "b",
+                  head_dim=hidden // 4)
     bcfg = BicrossConfig(m1_dim=dit_dim, m2_dim=agg_dim, hidden=hidden,
                          num_heads=4)
     vcfg = VGGTBlockConfig(dim=agg_dim, num_heads=4)
 
-    cos_d, sin_d = rope_ops.cos_sin_from_angles(
+    cos_d, sin_d = rope_ops.cos_sin_half_from_angles(
         rope_ops.build_angles_3d(dit_dim // 4, f, h, w))
-    rope_bd = rope_ops.cos_sin_from_angles(
+    rope_bd = rope_ops.cos_sin_half_from_angles(
         rope_ops.build_angles_3d(hidden // 4, f, h, w))
-    rope_ba = rope_ops.cos_sin_from_angles(
+    rope_ba = rope_ops.cos_sin_half_from_angles(
         rope_ops.build_angles_3d(hidden // 4, f, h, w, n_extra_per_frame=n_extra))
 
     xj, mod_dit = dit_block_attn_half(dp, jnp.asarray(x_dit), jnp.asarray(ctx),

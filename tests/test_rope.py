@@ -106,3 +106,31 @@ def test_sinusoidal_embedding_parity():
     # f32 trig on angles up to ~1000 rad carries ~3e-5 absolute error vs the
     # reference's float64 path -- far below bf16 resolution downstream.
     np.testing.assert_allclose(out, ref_out, rtol=1e-4, atol=1e-4)
+
+
+def test_rope_half_equals_permuted_interleaved():
+    """apply_rope_half(perm(x)) == perm(apply_rope_interleaved(x)) -- the
+    weight-folded permutation scheme used by the hot path (ops/rope.py)."""
+    import numpy as np
+    import jax.numpy as jnp
+    from fantasy_world_tpu.ops import rope
+
+    rng = np.random.default_rng(0)
+    seq, heads, d = 23, 3, 96
+    x = rng.standard_normal((2, seq, heads, d)).astype(np.float32)
+    ang = rope.build_angles_3d(d, 2, 3, 4)[:seq]
+
+    cos_i, sin_i = rope.cos_sin_from_angles(ang)
+    ref = np.asarray(rope.apply_rope_interleaved(jnp.asarray(x), cos_i, sin_i))
+
+    idx = rope.deinterleave_indices(d)
+    cos_h, sin_h = rope.cos_sin_half_from_angles(ang)
+    out = np.asarray(rope.apply_rope_half(jnp.asarray(x[..., idx]),
+                                          cos_h, sin_h))
+    np.testing.assert_allclose(out, ref[..., idx], rtol=1e-6, atol=1e-6)
+
+    # permute_qk_out_channels applies the same permutation across heads
+    w = rng.standard_normal((5, heads * d)).astype(np.float32)
+    wp = rope.permute_qk_out_channels(w, d)
+    manual = w.reshape(5, heads, d)[..., idx].reshape(5, heads * d)
+    np.testing.assert_array_equal(wp, manual)
