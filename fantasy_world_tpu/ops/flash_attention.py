@@ -14,10 +14,15 @@ Design (see /opt/skills/guides/pallas_guide.md):
     valid across the online-softmax sweep.
   * q/k/v blocks stay bf16 in VMEM; logits and softmax statistics are f32.
   * head_dim is zero-padded to a lane multiple (zero lanes do not perturb
-    logits; zero value lanes are sliced off). Ragged key lengths cost NO
-    masking passes: zero-padded keys score exactly 0 and contribute exactly
-    n_pad * exp2(-m) to the softmax sum, which the tail block subtracts
-    (see _fa_kernel).
+    logits; zero value lanes are sliced off). The SEQUENCE axes are NOT
+    physically padded (a pad is a full-tensor HBM copy -- measured ~2 ms
+    per q/k/v at the 480P shape): the grid is ceil-divided and the final
+    ragged blocks are handled in-kernel. OOB q rows compute garbage that
+    the masked store drops; OOB k/v rows of the tail block are zeroed on
+    load (two (BK, D) selects, 8x cheaper than masking the (BQ, BK)
+    logits), which reproduces the zero-padded-key situation exactly: a
+    zeroed key scores 0 and contributes exactly n_pad * exp2(-m) to the
+    softmax sum, which the tail block subtracts (see _fa_kernel).
 
 Performance notes (measured on v5e, 197 bf16 TFLOP/s):
   * the inner loop is VPU-bound, not MXU-bound, at these head dims; every
@@ -70,6 +75,13 @@ def _fa_kernel(q_ref, k_ref, v_ref, o_ref, acc_ref, m_ref, l_ref, *,
     q = (q_ref[0].astype(jnp.float32) * (scale * _LOG2E)).astype(q_ref.dtype)
     k = k_ref[0]                               # (BK, D)
     v = v_ref[0]                               # (BK, D)
+    if n_pad:
+        # ragged tail: zero the out-of-bounds k/v rows so the exact
+        # zero-pad softmax correction below applies unchanged
+        rows = jax.lax.broadcasted_iota(jnp.int32, k.shape, 0)
+        ok = (ik < nk - 1) | (rows < k.shape[0] - n_pad)
+        k = jnp.where(ok, k, 0)
+        v = jnp.where(ok, v, 0)
 
     s = jax.lax.dot_general(
         q, k, (((1,), (1,)), ((), ())),
@@ -101,8 +113,15 @@ def _fa_kernel_onekv(q_ref, k_ref, v_ref, o_ref, *, scale: float, n_pad: int):
     softmax, no scratch, no init/finalize conditionals, no rescale passes.
     Key padding handled by the same exact zero-pad correction as above."""
     q = (q_ref[0].astype(jnp.float32) * (scale * _LOG2E)).astype(q_ref.dtype)
+    k = k_ref[0]
+    v = v_ref[0]
+    if n_pad:
+        rows = jax.lax.broadcasted_iota(jnp.int32, k.shape, 0)
+        ok = rows < k.shape[0] - n_pad
+        k = jnp.where(ok, k, 0)
+        v = jnp.where(ok, v, 0)
     s = jax.lax.dot_general(
-        q, k_ref[0], (((1,), (1,)), ((), ())),
+        q, k, (((1,), (1,)), ((), ())),
         preferred_element_type=jnp.float32)
     m = jnp.max(s, axis=-1, keepdims=True)
     p = jnp.exp2(s - m)
@@ -110,7 +129,7 @@ def _fa_kernel_onekv(q_ref, k_ref, v_ref, o_ref, *, scale: float, n_pad: int):
     if n_pad:
         l = l - n_pad * jnp.exp2(-m)
     pv = jax.lax.dot_general(
-        p.astype(v_ref.dtype), v_ref[0], (((1,), (0,)), ((), ())),
+        p.astype(v.dtype), v, (((1,), (0,)), ((), ())),
         preferred_element_type=jnp.float32)
     o_ref[0] = (pv / l).astype(o_ref.dtype)
 
@@ -144,6 +163,11 @@ def _fa_kernel_pair(q_ref, k_ref, v_ref, o_ref, acc_ref, m_ref, l_ref, *,
     kp = k_ref[0]                              # (BK, 128) two heads
     vp = v_ref[0]
     BK = kp.shape[0]
+    if n_pad:
+        rows = jax.lax.broadcasted_iota(jnp.int32, kp.shape, 0)
+        ok = (ik < nk - 1) | (rows < BK - n_pad)
+        kp = jnp.where(ok, kp, 0)
+        vp = jnp.where(ok, vp, 0)
     z = jnp.zeros((BK, D2), kp.dtype)
     kd = jnp.concatenate(
         [jnp.concatenate([kp[:, :D2], z], axis=1),
@@ -212,22 +236,22 @@ def flash_attention(q: jnp.ndarray, k: jnp.ndarray, v: jnp.ndarray, *,
         return _flash_attention_paired(q, k, v, scale, block_q, block_k)
 
     d_pad = -(-D // 128) * 128
-    lq_pad = -(-Lq // block_q) * block_q
-    lk_pad = -(-Lk // block_k) * block_k
 
-    # (B, L, H, D) -> pad -> (B, L, H*Dp): a pure reshape, no data movement
-    # beyond the pads themselves.
-    qp = _pad_axis(_pad_axis(q, 3, d_pad), 1, lq_pad).reshape(B, lq_pad, H * d_pad)
-    kp = _pad_axis(_pad_axis(k, 3, d_pad), 1, lk_pad).reshape(B, lk_pad, H * d_pad)
-    vp = _pad_axis(_pad_axis(v, 3, d_pad), 1, lk_pad).reshape(B, lk_pad, H * d_pad)
+    # (B, L, H, D) -> pad D only (zero lanes; free when D is already a lane
+    # multiple) -> reshape (B, L, H*Dp). The L axes stay ragged: the grid is
+    # ceil-divided and the kernels mask the tail blocks.
+    qp = _pad_axis(q, 3, d_pad).reshape(B, Lq, H * d_pad)
+    kp = _pad_axis(k, 3, d_pad).reshape(B, Lk, H * d_pad)
+    vp = _pad_axis(v, 3, d_pad).reshape(B, Lk, H * d_pad)
 
-    nq = lq_pad // block_q
-    nk = lk_pad // block_k
+    nq = -(-Lq // block_q)
+    nk = -(-Lk // block_k)
+    lk_pad = nk * block_k
 
     qspec = pl.BlockSpec((1, block_q, d_pad), lambda b, h, iq, ik: (b, iq, h))
     kvspec = pl.BlockSpec((1, block_k, d_pad), lambda b, h, iq, ik: (b, ik, h))
     ospec = pl.BlockSpec((1, block_q, d_pad), lambda b, h, iq, ik: (b, iq, h))
-    out_shape = jax.ShapeDtypeStruct((B, lq_pad, H * d_pad), q.dtype)
+    out_shape = jax.ShapeDtypeStruct((B, Lq, H * d_pad), q.dtype)
 
     if nk == 1:
         out = pl.pallas_call(
@@ -260,7 +284,8 @@ def flash_attention(q: jnp.ndarray, k: jnp.ndarray, v: jnp.ndarray, *,
             ),
         )(qp, kp, vp)
 
-    return out.reshape(B, lq_pad, H, d_pad)[:, :Lq, :, :D]
+    return out.reshape(B, Lq, H, d_pad)[..., :D] if d_pad != D else \
+        out.reshape(B, Lq, H, D)
 
 
 def _flash_attention_paired(q, k, v, scale, block_q, block_k):
@@ -270,15 +295,14 @@ def _flash_attention_paired(q, k, v, scale, block_q, block_k):
     B, Lq, H, D = q.shape
     Lk = k.shape[1]
     d_pad = 64
-    lq_pad = -(-Lq // block_q) * block_q
-    lk_pad = -(-Lk // block_k) * block_k
 
-    qp = _pad_axis(_pad_axis(q, 3, d_pad), 1, lq_pad).reshape(B, lq_pad, H * d_pad)
-    kp = _pad_axis(_pad_axis(k, 3, d_pad), 1, lk_pad).reshape(B, lk_pad, H * d_pad)
-    vp = _pad_axis(_pad_axis(v, 3, d_pad), 1, lk_pad).reshape(B, lk_pad, H * d_pad)
+    qp = _pad_axis(q, 3, d_pad).reshape(B, Lq, H * d_pad)
+    kp = _pad_axis(k, 3, d_pad).reshape(B, Lk, H * d_pad)
+    vp = _pad_axis(v, 3, d_pad).reshape(B, Lk, H * d_pad)
 
-    nq = lq_pad // block_q
-    nk = lk_pad // block_k
+    nq = -(-Lq // block_q)
+    nk = -(-Lk // block_k)
+    lk_pad = nk * block_k
 
     qspec = pl.BlockSpec((1, block_q, 128), lambda b, h, iq, ik: (b, iq, h))
     kvspec = pl.BlockSpec((1, block_k, 128), lambda b, h, iq, ik: (b, ik, h))
@@ -290,7 +314,7 @@ def _flash_attention_paired(q, k, v, scale, block_q, block_k):
         grid=(B, H // 2, nq, nk),
         in_specs=[qspec, kvspec, kvspec],
         out_specs=ospec,
-        out_shape=jax.ShapeDtypeStruct((B, lq_pad, H * d_pad), q.dtype),
+        out_shape=jax.ShapeDtypeStruct((B, Lq, H * d_pad), q.dtype),
         scratch_shapes=[
             pltpu.VMEM((block_q, 128), jnp.float32),
             pltpu.VMEM((block_q, 128), jnp.float32),
@@ -302,4 +326,5 @@ def _flash_attention_paired(q, k, v, scale, block_q, block_k):
         ),
     )(qp, kp, vp)
 
-    return out.reshape(B, lq_pad, H, d_pad)[:, :Lq, :, :D]
+    return out.reshape(B, Lq, H, d_pad)[..., :D] if d_pad != D else \
+        out.reshape(B, Lq, H, D)
