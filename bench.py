@@ -44,6 +44,23 @@ CHIP_PEAKS_TFLOPS = {              # bf16 peak per chip generation
 BUDGET_S = float(os.environ.get("BENCH_BUDGET_S", "420"))
 _T_START = time.perf_counter()
 
+# Two-level compile caching (measured 2026-08 on the tunneled v5e):
+#   * the persistent compilation cache skips XLA compile only; ~250-340 s of
+#     every run is TRACING + Pallas/Mosaic lowering of the fusion forward,
+#     which the cache cannot skip (measured: cache HIT still cost 344 s).
+#   * jax.experimental.serialize_executable snapshots the COMPILED
+#     executable, skipping trace+lower+compile entirely; reload through the
+#     tunnel is ~70 s. The .jax_cache dir lives in the repo workspace, so
+#     the driver's end-of-round run reuses executables built here.
+_CACHE_DIR = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                          ".jax_cache")
+try:
+    jax.config.update("jax_compilation_cache_dir", _CACHE_DIR)
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+    jax.config.update("jax_persistent_cache_min_entry_size_bytes", -1)
+except Exception:
+    pass
+
 
 def log(msg):
     print(f"[bench] {msg}", file=sys.stderr, flush=True)
@@ -148,9 +165,37 @@ def analytic_flops(num_layers, start_index) -> float:
     return fl * B
 
 
-def time_step(cfg, params, scan, reps=3):
+def _aot_forward(cfg, args, cache_name):
+    """AOT-compiled joint forward: load a serialized executable if one is
+    cached (skips trace+lower+compile, ~70 s vs ~340 s), else compile and
+    serialize for the next run."""
+    import pickle
+    from jax.experimental import serialize_executable as se
     from fantasy_world_tpu.models.fusion.model import joint_forward
 
+    path = os.path.join(_CACHE_DIR, f"bench_aot_{cache_name}.pkl")
+    if os.path.exists(path):
+        try:
+            with open(path, "rb") as fh:
+                compiled = se.deserialize_and_load(*pickle.load(fh))
+            log(f"{cache_name}: loaded AOT executable")
+            return compiled
+        except Exception as e:
+            log(f"{cache_name}: AOT load failed ({type(e).__name__}: {e}); "
+                f"recompiling")
+    fwd = jax.jit(lambda p, s, l, t, c, cl, y, pf: joint_forward(
+        p, s, cfg, l, t, c, cl, y, plucker_fea=pf)[0])
+    compiled = fwd.lower(*args).compile()
+    try:
+        os.makedirs(_CACHE_DIR, exist_ok=True)
+        with open(path, "wb") as fh:
+            pickle.dump(se.serialize(compiled), fh)
+    except Exception as e:
+        log(f"{cache_name}: AOT serialize failed ({type(e).__name__}: {e})")
+    return compiled
+
+
+def time_step(cfg, params, scan, cache_name, reps=3):
     latents = jnp.zeros((B, 16, F, H2, W2), jnp.bfloat16)
     y = jnp.zeros((B, 20, F, H2, W2), jnp.bfloat16)
     ctx = jnp.zeros((B, 512, 4096), jnp.bfloat16)
@@ -158,8 +203,8 @@ def time_step(cfg, params, scan, reps=3):
     plucker = jnp.zeros((B, L_DIT, 2048), jnp.bfloat16)
     t = jnp.full((B,), 500.0)
 
-    fwd = jax.jit(lambda p, s, l, t, c, cl, y, pf: joint_forward(
-        p, s, cfg, l, t, c, cl, y, plucker_fea=pf)[0])
+    args = (params, scan, latents, t, ctx, clip, y, plucker)
+    fwd = _aot_forward(cfg, args, cache_name)
     out = fwd(params, scan, latents, t, ctx, clip, y, plucker)
     fetch_scalar(out)                       # warm + compile barrier
     t0 = time.perf_counter()
@@ -211,7 +256,7 @@ def main():
     cfg_s, p_s, s_s = build(4, 2)          # 2 PCB + 2 IRG
     log(f"shallow build {time.perf_counter() - t0:.0f}s")
     t0 = time.perf_counter()
-    t_s = time_step(cfg_s, p_s, s_s)
+    t_s = time_step(cfg_s, p_s, s_s, "shallow")
     log(f"shallow compile+time {time.perf_counter() - t0:.0f}s -> "
         f"{t_s * 1e3:.0f} ms/step ({flops_shallow / t_s / 1e12:.0f} TFLOP/s)")
     del p_s, s_s
@@ -232,7 +277,7 @@ def main():
     try:
         t0 = time.perf_counter()
         cfg_d, p_d, s_d = build(6, 3)
-        t_d = time_step(cfg_d, p_d, s_d)
+        t_d = time_step(cfg_d, p_d, s_d, "deep")
         log(f"deep build+compile+time {time.perf_counter() - t0:.0f}s -> "
             f"{t_d * 1e3:.0f} ms/step ({flops_deep / t_d / 1e12:.0f} TFLOP/s)")
         del p_d, s_d
