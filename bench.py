@@ -165,6 +165,26 @@ def analytic_flops(num_layers, start_index) -> float:
     return fl * B
 
 
+def _source_fingerprint() -> str:
+    """md5 over the package sources: a code change must invalidate the AOT
+    executables, or a warm run would silently time stale kernels."""
+    import hashlib
+    here = os.path.dirname(os.path.abspath(__file__))
+    h = hashlib.md5()
+    with open(os.path.abspath(__file__), "rb") as fh:
+        h.update(fh.read())                # the bench config itself
+    for dirpath, dirnames, filenames in sorted(
+            os.walk(os.path.join(here, "fantasy_world_tpu"))):
+        dirnames.sort()
+        for fn in sorted(filenames):
+            if fn.endswith(".py"):
+                p = os.path.join(dirpath, fn)
+                h.update(p.encode())
+                with open(p, "rb") as fh:
+                    h.update(fh.read())
+    return h.hexdigest()[:12]
+
+
 def _aot_forward(cfg, args, cache_name):
     """AOT-compiled joint forward: load a serialized executable if one is
     cached (skips trace+lower+compile, ~70 s vs ~340 s), else compile and
@@ -173,7 +193,8 @@ def _aot_forward(cfg, args, cache_name):
     from jax.experimental import serialize_executable as se
     from fantasy_world_tpu.models.fusion.model import joint_forward
 
-    path = os.path.join(_CACHE_DIR, f"bench_aot_{cache_name}.pkl")
+    path = os.path.join(
+        _CACHE_DIR, f"bench_aot_{cache_name}_{_source_fingerprint()}.pkl")
     if os.path.exists(path):
         try:
             with open(path, "rb") as fh:

@@ -27,11 +27,19 @@ _INITIALIZED = False
 
 def is_multiprocess_env() -> bool:
     """True when launched under a multi-host coordinator (TPU pod metadata
-    or explicit JAX_COORDINATOR_ADDRESS / Slurm-style variables)."""
-    return any(os.environ.get(k) for k in (
-        "JAX_COORDINATOR_ADDRESS", "COORDINATOR_ADDRESS",
-        "MEGASCALE_COORDINATOR_ADDRESS", "TPU_WORKER_HOSTNAMES",
-        "SLURM_STEP_NODELIST", "SLURM_JOB_NODELIST"))
+    or explicit JAX_COORDINATOR_ADDRESS / Slurm-style variables).
+
+    TPU_WORKER_HOSTNAMES counts only when it lists MORE than one worker:
+    single-chip environments (e.g. the tunneled dev TPU here) export it as
+    'localhost', and bootstrapping a one-process coordination service only
+    adds failure modes."""
+    if any(os.environ.get(k) for k in (
+            "JAX_COORDINATOR_ADDRESS", "COORDINATOR_ADDRESS",
+            "MEGASCALE_COORDINATOR_ADDRESS",
+            "SLURM_STEP_NODELIST", "SLURM_JOB_NODELIST")):
+        return True
+    hostnames = os.environ.get("TPU_WORKER_HOSTNAMES", "")
+    return len([h for h in hostnames.split(",") if h.strip()]) > 1
 
 
 def initialize(coordinator_address: Optional[str] = None,
@@ -59,9 +67,11 @@ def initialize(coordinator_address: Optional[str] = None,
         jax.distributed.initialize(coordinator_address=coordinator_address,
                                    num_processes=num_processes,
                                    process_id=process_id)
-    except ValueError:
-        # a pod-ish environment variable was present but no coordinator
-        # could actually be resolved -- a single-host run, not an error
+    except (ValueError, RuntimeError):
+        # ValueError: a pod-ish environment variable was present but no
+        # coordinator could be resolved. RuntimeError: the XLA backend was
+        # already initialised (e.g. library imported after first jax use).
+        # Both mean single-host operation, not an error.
         if force:
             raise
         return False
