@@ -41,7 +41,7 @@ TARGET_HW_TFLOPS = 8 * 459.0       # v5p-8 bf16 peak, the target's hardware
 CHIP_PEAKS_TFLOPS = {              # bf16 peak per chip generation
     "v5 lite": 197.0, "v5e": 197.0, "v5p": 459.0, "v4": 275.0, "v6": 918.0,
 }
-BUDGET_S = float(os.environ.get("BENCH_BUDGET_S", "420"))
+BUDGET_S = float(os.environ.get("BENCH_BUDGET_S", "560"))
 _T_START = time.perf_counter()
 
 # Two-level compile caching (measured 2026-08 on the tunneled v5e):
@@ -165,14 +165,17 @@ def analytic_flops(num_layers, start_index) -> float:
     return fl * B
 
 
-def _source_fingerprint() -> str:
-    """md5 over the package sources: a code change must invalidate the AOT
-    executables, or a warm run would silently time stale kernels."""
+def _fingerprint(cfg, args) -> str:
+    """md5 over the package sources + the exact config and arg shapes: a
+    change to either must invalidate the AOT executables, or a warm run
+    would silently time stale kernels. (Harness-only edits to this file do
+    not invalidate anything -- the executable doesn't depend on them.)"""
     import hashlib
     here = os.path.dirname(os.path.abspath(__file__))
     h = hashlib.md5()
-    with open(os.path.abspath(__file__), "rb") as fh:
-        h.update(fh.read())                # the bench config itself
+    h.update(repr(cfg).encode())
+    for a in jax.tree_util.tree_leaves(args):
+        h.update(f"{a.shape}{a.dtype}".encode())
     for dirpath, dirnames, filenames in sorted(
             os.walk(os.path.join(here, "fantasy_world_tpu"))):
         dirnames.sort()
@@ -194,7 +197,7 @@ def _aot_forward(cfg, args, cache_name):
     from fantasy_world_tpu.models.fusion.model import joint_forward
 
     path = os.path.join(
-        _CACHE_DIR, f"bench_aot_{cache_name}_{_source_fingerprint()}.pkl")
+        _CACHE_DIR, f"bench_aot_{cache_name}_{_fingerprint(cfg, args)}.pkl")
     if os.path.exists(path):
         try:
             with open(path, "rb") as fh:
@@ -278,17 +281,22 @@ def main():
     log(f"shallow build {time.perf_counter() - t0:.0f}s")
     t0 = time.perf_counter()
     t_s = time_step(cfg_s, p_s, s_s, "shallow")
-    log(f"shallow compile+time {time.perf_counter() - t0:.0f}s -> "
+    shallow_phase_s = time.perf_counter() - t0
+    log(f"shallow compile+time {shallow_phase_s:.0f}s -> "
         f"{t_s * 1e3:.0f} ms/step ({flops_shallow / t_s / 1e12:.0f} TFLOP/s)")
     del p_s, s_s
     gc.collect()
     points = {"shallow_s": round(t_s, 4)}
 
+    # adaptive budget guard: the deep phase costs about as much as the
+    # shallow one (same-size AOT executable; tunnel load time varies
+    # 60-270 s run to run). Proceed only if that projection fits.
     elapsed = time.perf_counter() - _T_START
-    if elapsed > BUDGET_S * 0.55:
-        # budget guard: extrapolate from the shallow point alone by pure
-        # FLOPs ratio (ignores fixed overhead -> slightly pessimistic)
-        log(f"budget guard at {elapsed:.0f}s: skipping deep point")
+    if elapsed + 1.1 * shallow_phase_s > BUDGET_S:
+        # extrapolate from the shallow point alone by pure FLOPs ratio
+        # (ignores fixed overhead -> slightly pessimistic)
+        log(f"budget guard at {elapsed:.0f}s (deep projected "
+            f"{1.1 * shallow_phase_s:.0f}s): skipping deep point")
         full = t_s * flops_full / flops_shallow
         emit(full, flops_full, True, points)
         return
