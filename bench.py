@@ -214,6 +214,11 @@ def _aot_forward(cfg, args, cache_name):
         os.makedirs(_CACHE_DIR, exist_ok=True)
         with open(path, "wb") as fh:
             pickle.dump(se.serialize(compiled), fh)
+        import glob
+        for stale in glob.glob(
+                os.path.join(_CACHE_DIR, f"bench_aot_{cache_name}_*.pkl")):
+            if stale != path:
+                os.remove(stale)           # superseded fingerprint
     except Exception as e:
         log(f"{cache_name}: AOT serialize failed ({type(e).__name__}: {e})")
     return compiled
