@@ -159,13 +159,25 @@ def apply_rope_half(x: jnp.ndarray, cos: jnp.ndarray, sin: jnp.ndarray
     """Rotate contiguous half-split pairs: out = x*cos + rotate_half(x)*sin
     with rotate_half(x) = [-x2, x1]. x: (..., seq, heads, head_dim);
     cos/sin: (seq, head_dim). Equals ``apply_rope_interleaved`` composed
-    with the de-interleave channel permutation (tests/test_rope.py)."""
+    with the de-interleave channel permutation (tests/test_rope.py).
+
+    Written per-half with the concat LAST: the naive form materializes a
+    full-width f32 rotate_half tensor plus broadcast f32 tables before the
+    multiply (profiled at ~90 ms/step of neg/concat/convert/copy HBM
+    traffic at the 480P shape); here each half is one fused elementwise
+    chain and the concat is the only write. f32 math happens inside the
+    fusions, never in HBM."""
     orig_dtype = x.dtype
-    xf = x.astype(jnp.float32)
-    d = xf.shape[-1]
-    rot = jnp.concatenate([-xf[..., d // 2:], xf[..., :d // 2]], axis=-1)
-    out = xf * cos[..., :, None, :] + rot * sin[..., :, None, :]
-    return out.astype(orig_dtype)
+    d = x.shape[-1]
+    x1 = x[..., :d // 2].astype(jnp.float32)
+    x2 = x[..., d // 2:].astype(jnp.float32)
+    c1 = cos[..., :, None, :d // 2]
+    c2 = cos[..., :, None, d // 2:]
+    s1 = sin[..., :, None, :d // 2]
+    s2 = sin[..., :, None, d // 2:]
+    o1 = x1 * c1 - x2 * s1
+    o2 = x2 * c2 + x1 * s2
+    return jnp.concatenate([o1, o2], axis=-1).astype(orig_dtype)
 
 
 # ---------------------------------------------------------------------------
@@ -209,9 +221,16 @@ def apply_rope_2d(x: jnp.ndarray, positions: jnp.ndarray, *,
     xv, xh = xf[..., :half], xf[..., half:]
     out = []
     for feats, p in ((xv, positions[..., 0]), (xh, positions[..., 1])):
+        # per-quarter form, concat last (see apply_rope_half): no
+        # materialized rotate_half intermediate
         c = cos_t[p][..., :, None, :]   # (..., seq, 1, half)
         s = sin_t[p][..., :, None, :]
-        out.append(feats * c + _rotate_half(feats) * s)
+        q = half // 2
+        f1, f2 = feats[..., :q], feats[..., q:]
+        c1, c2 = c[..., :q], c[..., q:]
+        s1, s2 = s[..., :q], s[..., q:]
+        out.append(f1 * c1 - f2 * s1)
+        out.append(f2 * c2 + f1 * s2)
     return jnp.concatenate(out, axis=-1).astype(orig_dtype)
 
 
