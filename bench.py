@@ -204,9 +204,10 @@ def time_step(cfg, params, scan, cache_name, reps=3):
 
 
 def emit(value_s, flops_full, partial, points):
+    value_s = float(value_s)               # np.float64 from lstsq fits
     peak = chip_peak_tflops()
     implied = flops_full / value_s / 1e12
-    sane = implied <= peak * 1.02
+    sane = bool(implied <= peak * 1.02)
     # hardware-normalized comparison: scale the v5p-8 target budget to this
     # chip's peak so vs_baseline is a like-for-like utilization ratio
     target_here = TARGET_SEC_PER_STEP * (TARGET_HW_TFLOPS / peak)

@@ -187,14 +187,23 @@ def _forward_prologue(params: Dict, cfg: FusionConfig, latents, timestep,
     tok_spec = PS("data", "seq", None)           # (B, L, D) video tokens
     x = maybe_constrain(x, mesh, tok_spec)
 
-    # rope tables (host-precomputed f64 angles)
-    cos_d, sin_d = rope_ops.cos_sin_half_from_angles(
-        rope_ops.build_angles_3d(dcfg.head_dim, f, h, w))
-    rope_bi_dit = rope_ops.cos_sin_half_from_angles(
-        rope_ops.build_angles_3d(cfg.bicross.head_dim, f, h, w))
-    rope_bi_agg = rope_ops.cos_sin_half_from_angles(
+    # rope tables (host-precomputed f64 angles). The optimization barrier
+    # pins each (L, head_dim) table as-is: without it XLA constant-folds
+    # the downstream broadcast-over-heads + pad into ~334 MB f32 constants
+    # per table, which balloons the serialized executable from ~15 MB to
+    # ~370 MB (measured) -- that blob crosses the TPU tunnel on every AOT
+    # load (utils/aot_cache.py) at 60-420 s.
+    def pin(tables):
+        return tuple(jax.lax.optimization_barrier(jnp.asarray(t))
+                     for t in tables)
+
+    cos_d, sin_d = pin(rope_ops.cos_sin_half_from_angles(
+        rope_ops.build_angles_3d(dcfg.head_dim, f, h, w)))
+    rope_bi_dit = pin(rope_ops.cos_sin_half_from_angles(
+        rope_ops.build_angles_3d(cfg.bicross.head_dim, f, h, w)))
+    rope_bi_agg = pin(rope_ops.cos_sin_half_from_angles(
         rope_ops.build_angles_3d(cfg.bicross.head_dim, f, h, w,
-                                 n_extra_per_frame=cfg.vggt.aggregator.patch_start_idx))
+                                 n_extra_per_frame=cfg.vggt.aggregator.patch_start_idx)))
     return (x, ctx, t, t_mod, (f, h, w),
             (cos_d, sin_d), rope_bi_dit, rope_bi_agg)
 
