@@ -46,8 +46,8 @@ def _denoise_scan(params, scan_params, cfg, latents, xs, ctx, clip2, y2,
                                  jnp.full((2,), timestep), ctx, clip2, y2,
                                  plucker_fea=pl2)
         pred = noise[1:2] + cfg_scale * (noise[0:1] - noise[1:2])
-        lat = lat + pred.astype(jnp.float32).astype(lat.dtype) * (
-            sigma_next - sigma)
+        lat = (lat.astype(jnp.float32) + pred.astype(jnp.float32)
+               * (sigma_next - sigma)).astype(lat.dtype)
         return lat, None
 
     latents, _ = jax.lax.scan(step_fn, latents, xs)
@@ -70,8 +70,8 @@ def _denoise_scan_tea(params, scan_params, cfg, latents, residual0, xs, ctx,
             params, scan_params, cfg, lat2, jnp.full((2,), timestep),
             ctx, clip2, y2, plucker_fea=pl2, skip=skip, residual=res)
         pred = noise[1:2] + cfg_scale * (noise[0:1] - noise[1:2])
-        lat = lat + pred.astype(jnp.float32).astype(lat.dtype) * (
-            sigma_next - sigma)
+        lat = (lat.astype(jnp.float32) + pred.astype(jnp.float32)
+               * (sigma_next - sigma)).astype(lat.dtype)
         return (lat, res), None
 
     (latents, _), _ = jax.lax.scan(step_fn, (latents, residual0), xs)
@@ -89,8 +89,8 @@ def _final_step(params, scan_params, cfg, latents, t_last, sigma, sigma_next,
                                       ctx, clip2, y2, plucker_fea=pl2,
                                       return_prediction=True)
     pred = noise[1:2] + cfg_scale * (noise[0:1] - noise[1:2])
-    latents = latents + pred.astype(jnp.float32).astype(latents.dtype) * (
-        sigma_next - sigma)
+    latents = (latents.astype(jnp.float32) + pred.astype(jnp.float32)
+               * (sigma_next - sigma)).astype(latents.dtype)
     return latents, prediction
 from ..models.wan import dit as dit_mod
 from ..models.wan.camera import (CameraPoseEncoderConfig,

@@ -36,8 +36,8 @@ def _expert_scan(params, scan, cfg, latents, xs, ctx, y2, ctrl2, cfg_scale):
                                  jnp.full((2,), timestep), ctx, None, y2,
                                  control_camera_latents=ctrl2)
         pred = noise[1:2] + cfg_scale * (noise[0:1] - noise[1:2])
-        return lat + pred.astype(jnp.float32).astype(lat.dtype) * (
-            sigma_next - sigma), None
+        return (lat.astype(jnp.float32) + pred.astype(jnp.float32)
+                * (sigma_next - sigma)).astype(lat.dtype), None
 
     latents, _ = jax.lax.scan(step_fn, latents, xs)
     return latents
@@ -51,8 +51,8 @@ def _expert_final_step(params, scan, cfg, latents, t_last, sigma, sigma_next,
         params, scan, cfg, lat2, t_last, ctx, None, y2,
         control_camera_latents=ctrl2, return_prediction=True)
     pred = noise[1:2] + cfg_scale * (noise[0:1] - noise[1:2])
-    latents = latents + pred.astype(jnp.float32).astype(latents.dtype) * (
-        sigma_next - sigma)
+    latents = (latents.astype(jnp.float32) + pred.astype(jnp.float32)
+               * (sigma_next - sigma)).astype(latents.dtype)
     return latents, prediction
 
 

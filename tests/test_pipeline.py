@@ -7,7 +7,7 @@ import conftest  # noqa: F401
 pytestmark = pytest.mark.parity
 
 
-def _tiny_pipe():
+def _tiny_pipe(dtype=None):
     import jax.numpy as jnp
     from fantasy_world_tpu.models.fusion.model import init_fusion
     from fantasy_world_tpu.pipelines.wan_video import FantasyWorldPipeline
@@ -15,7 +15,7 @@ def _tiny_pipe():
 
     cfg = _demo_config(dim=64, layers=3, start_index=1, agg_dim=64,
                        agg_depth=2)
-    params = init_fusion(0, cfg, jnp.float32)
+    params = init_fusion(0, cfg, dtype or jnp.float32)
     return FantasyWorldPipeline(cfg=cfg, params={"fusion": params}), cfg
 
 
@@ -49,3 +49,25 @@ def test_denoise_smoke_and_tea_path():
     assert bool(jnp.isfinite(lat_tea).all())
     # skipping the middle step changes the result (but not wildly)
     assert not np.allclose(np.asarray(lat), np.asarray(lat_tea))
+
+
+def test_denoise_bf16_production_dtype():
+    """Production inference runs bf16 end-to-end; the scheduler's f32 sigma
+    math must not promote the scan carry (caught live on TPU: 'carry input
+    and carry output must have equal types' -- CPU tests ran f32 only)."""
+    import jax.numpy as jnp
+    pipe, cfg = _tiny_pipe(jnp.bfloat16)
+
+    f, h, w = 2, 64, 64
+    ctx_pos = jnp.zeros((1, 16, 4096), jnp.bfloat16)
+    ctx_neg = jnp.ones((1, 16, 4096), jnp.bfloat16) * 0.01
+    clip = jnp.zeros((1, 257, 1280), jnp.bfloat16)
+    y = jnp.zeros((1, 20, f, h // 8, w // 8), jnp.bfloat16)
+    pl = jnp.zeros((1, f * (h // 16) * (w // 16), 2048), jnp.bfloat16)
+
+    lat, pred = pipe.denoise(ctx_pos, ctx_neg, clip, y, h, w,
+                             num_frames=4 * (f - 1) + 1,
+                             num_inference_steps=3, seed=7, plucker_fea=pl)
+    assert lat.dtype == jnp.bfloat16
+    assert bool(jnp.isfinite(lat.astype(jnp.float32)).all())
+    assert pred is not None
