@@ -329,7 +329,8 @@ def joint_forward(params: Dict, scan_params: Dict, cfg: FusionConfig,
                   control_camera_latents: Optional[jnp.ndarray] = None,
                   uncond: bool = False,
                   return_prediction: bool = False,
-                  mesh=None, remat: bool = False):
+                  mesh=None, remat: bool = False,
+                  ulysses: bool = False, ulysses_min_lq: int = 2048):
     """One denoise evaluation (fusion/model_wan21.py:104-224).
 
     latents: (B, 16, f, h', w'); context: (B, 512, text_dim);
@@ -346,16 +347,25 @@ def joint_forward(params: Dict, scan_params: Dict, cfg: FusionConfig,
     remat: rematerialize each scan-body block on the backward pass -- the
     TPU counterpart of the reference's per-block gradient checkpointing
     (fusion/model_wan21.py:160-169; vram_management/gradient_checkpointing.py).
+
+    ulysses: route the long-sequence attentions (DiT self/cross, aggregator
+    global, bicross) through the explicit all_to_all sequence-parallel path
+    (parallel/ulysses.py) instead of leaving the resharding to GSPMD -- the
+    bandwidth-optimal layout of the reference's USP (ulysses_degree =
+    world_size, wan_video_new.py:316-341). Requires mesh; a seq axis of 1
+    makes it a no-op.
     """
+    from ...parallel.ulysses import ulysses_context
     dcfg = cfg.dit
     dp = params["dit"]
     (x, ctx, t, t_mod, fhw, ropes, rope_bi_dit, rope_bi_agg) = \
         _forward_prologue(params, cfg, latents, timestep, context,
                           clip_feature, y, control_camera_latents, mesh)
-    x, inters = _run_stack(params, scan_params, cfg, x, ctx, t_mod, timestep,
-                           ropes, rope_bi_dit, rope_bi_agg, fhw, plucker_fea,
-                           camera_token, uncond, return_prediction, mesh,
-                           remat)
+    with ulysses_context(mesh if ulysses else None, min_lq=ulysses_min_lq):
+        x, inters = _run_stack(params, scan_params, cfg, x, ctx, t_mod,
+                               timestep, ropes, rope_bi_dit, rope_bi_agg,
+                               fhw, plucker_fea, camera_token, uncond,
+                               return_prediction, mesh, remat)
     f, h, w = fhw
     out = dit_mod.head_apply(dp, dcfg, x, t)
     noise_pred = dit_mod.unpatchify(dcfg, out, (f, h, w))

@@ -60,6 +60,14 @@ def dot_product_attention(
     backend = backend or _auto_backend()
     if key_mask is not None:
         return _xla_attention_masked(q, k, v, key_mask, scale)
+    from ..parallel.ulysses import current_ulysses
+    ctx = current_ulysses()
+    if ctx is not None and q.shape[1] >= ctx[3]:
+        from ..parallel.ulysses import ulysses_attention
+        mesh, seq_axis, batch_axis, _ = ctx
+        return ulysses_attention(q, k, v, mesh=mesh, seq_axis=seq_axis,
+                                 batch_axis=batch_axis, scale=scale,
+                                 backend=backend)
     if backend == "pallas":
         from .flash_attention import flash_attention
         return flash_attention(q, k, v, scale=scale)

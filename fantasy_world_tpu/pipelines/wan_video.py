@@ -29,10 +29,11 @@ from ..models.fusion.model import (FusionConfig, joint_forward,
                                    joint_forward_tea, prepare_scan_params)
 
 
-@functools.partial(jax.jit, static_argnames=("cfg", "cfg_scale"),
+@functools.partial(jax.jit,
+                   static_argnames=("cfg", "cfg_scale", "mesh", "ulysses"),
                    donate_argnums=(3,))
 def _denoise_scan(params, scan_params, cfg, latents, xs, ctx, clip2, y2,
-                  pl2, cfg_scale):
+                  pl2, cfg_scale, mesh=None, ulysses=False):
     """All denoise steps but the last in one jitted scan. Params enter as
     jit ARGUMENTS: a closure over lax.scan would embed the full 14B tree
     as lowering-time constants (measured: multi-GB capture warnings and
@@ -44,7 +45,7 @@ def _denoise_scan(params, scan_params, cfg, latents, xs, ctx, clip2, y2,
         lat2 = jnp.concatenate([lat] * 2, axis=0)
         noise, _ = joint_forward(params, scan_params, cfg, lat2,
                                  jnp.full((2,), timestep), ctx, clip2, y2,
-                                 plucker_fea=pl2)
+                                 plucker_fea=pl2, mesh=mesh, ulysses=ulysses)
         pred = noise[1:2] + cfg_scale * (noise[0:1] - noise[1:2])
         lat = (lat.astype(jnp.float32) + pred.astype(jnp.float32)
                * (sigma_next - sigma)).astype(lat.dtype)
@@ -78,16 +79,18 @@ def _denoise_scan_tea(params, scan_params, cfg, latents, residual0, xs, ctx,
     return latents
 
 
-@functools.partial(jax.jit, static_argnames=("cfg", "cfg_scale"),
+@functools.partial(jax.jit,
+                   static_argnames=("cfg", "cfg_scale", "mesh", "ulysses"),
                    donate_argnums=(3,))
 def _final_step(params, scan_params, cfg, latents, t_last, sigma, sigma_next,
-                ctx, clip2, y2, pl2, cfg_scale):
+                ctx, clip2, y2, pl2, cfg_scale, mesh=None, ulysses=False):
     """Last denoise step with the geometry heads on, jitted (an eager call
     would dispatch the full forward op-by-op)."""
     lat2 = jnp.concatenate([latents] * 2, axis=0)
     noise, prediction = joint_forward(params, scan_params, cfg, lat2, t_last,
                                       ctx, clip2, y2, plucker_fea=pl2,
-                                      return_prediction=True)
+                                      return_prediction=True, mesh=mesh,
+                                      ulysses=ulysses)
     pred = noise[1:2] + cfg_scale * (noise[0:1] - noise[1:2])
     latents = (latents.astype(jnp.float32) + pred.astype(jnp.float32)
                * (sigma_next - sigma)).astype(latents.dtype)
@@ -222,13 +225,19 @@ class FantasyWorldPipeline:
                 seed: Optional[int] = None, plucker_fea=None,
                 torch_compat_noise: bool = False,
                 tea_cache_l1_thresh: Optional[float] = None,
-                tea_cache_model_id: str = "Wan2.1-I2V-14B-480P"):
+                tea_cache_model_id: str = "Wan2.1-I2V-14B-480P",
+                mesh=None, ulysses: bool = False):
         """Returns (final latents (1,16,f,h,w), geometry prediction dict).
 
         tea_cache_l1_thresh: enable TeaCache block-stack skipping at this
         relative-L1 drift threshold (reference default 0.05 for 480P); the
         skip schedule is planned on the host before the scan
         (pipelines/tea_cache.py), so the jitted loop stays trace-static.
+
+        mesh: optional Mesh(('data','seq','model')) for multi-chip denoise
+        (params should already be sharded over it); ulysses additionally
+        routes the long attentions through the explicit all_to_all
+        sequence-parallel path (parallel/ulysses.py).
         """
         if num_frames % 4 != 1:
             num_frames = (num_frames + 2) // 4 * 4 + 1
@@ -270,12 +279,13 @@ class FantasyWorldPipeline:
             xs = (ts[:-1], jnp.asarray(pairs[:-1, 0]),
                   jnp.asarray(pairs[:-1, 1]))
             latents = _denoise_scan(params, scan_params, cfg, latents, xs,
-                                    ctx, clip2, y2, pl2, cfg_scale)
+                                    ctx, clip2, y2, pl2, cfg_scale,
+                                    mesh=mesh, ulysses=ulysses)
 
         latents, prediction = _final_step(
             params, scan_params, cfg, latents, jnp.full((2,), ts[-1]),
             jnp.float32(pairs[-1, 0]), jnp.float32(pairs[-1, 1]), ctx, clip2,
-            y2, pl2, cfg_scale)
+            y2, pl2, cfg_scale, mesh=mesh, ulysses=ulysses)
         if prediction is not None:
             prediction = {k: v[:1] for k, v in prediction.items()}
         return latents, prediction
