@@ -76,6 +76,41 @@ def dot_product_attention(
     raise ValueError(f"unknown attention backend: {backend}")
 
 
+def attention_with_stats(q, k, v, *, scale: Optional[float] = None,
+                         backend: Optional[str] = None):
+    """Attention that also returns its softmax statistics for cross-shard
+    merging (parallel/ring.py): (o, m2, l) with m2/l (B, Lq, H) f32 in the
+    base-2 domain -- s2 = log2(e)*scale*(q.k), m2 = max_k s2,
+    l = sum_k exp2(s2 - m2), o = softmax(s)@v. Partial results over key
+    shards merge exactly:  m = max(m_a, m_b),
+    w_x = l_x * exp2(m_x - m),  o = (w_a*o_a + w_b*o_b) / (w_a + w_b).
+
+    Does NOT consult the ulysses context (it is the primitive that
+    sequence-parallel wrappers are built from)."""
+    if scale is None:
+        scale = q.shape[-1] ** -0.5
+    backend = backend or _auto_backend()
+    if backend == "pallas":
+        from .flash_attention import flash_attention
+        return flash_attention(q, k, v, scale=scale, return_stats=True)
+    return _xla_attention_stats(q, k, v, scale)
+
+
+_LOG2E = 1.4426950408889634
+
+
+@functools.partial(jax.jit, static_argnums=(3,))
+def _xla_attention_stats(q, k, v, scale):
+    s2 = jnp.einsum("bqhd,bkhd->bhqk", q, k,
+                    preferred_element_type=jnp.float32) * (scale * _LOG2E)
+    m2 = jnp.max(s2, axis=-1)                       # (B, H, Lq)
+    p = jnp.exp2(s2 - m2[..., None])
+    l = jnp.sum(p, axis=-1)                         # (B, H, Lq)
+    out = jnp.einsum("bhqk,bkhd->bqhd", (p / l[..., None]).astype(v.dtype),
+                     v, preferred_element_type=jnp.float32)
+    return (out.astype(q.dtype), m2.transpose(0, 2, 1), l.transpose(0, 2, 1))
+
+
 @functools.partial(jax.jit, static_argnums=(3,))
 def _xla_attention(q, k, v, scale):
     logits = jnp.einsum("bqhd,bkhd->bhqk", q, k,

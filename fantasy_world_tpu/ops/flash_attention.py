@@ -51,8 +51,8 @@ _NEG_INF = -1e30
 _LOG2E = 1.4426950408889634
 
 
-def _fa_kernel(q_ref, k_ref, v_ref, o_ref, acc_ref, m_ref, l_ref, *,
-               scale: float, n_pad: int):
+def _fa_kernel(q_ref, k_ref, v_ref, *refs,
+               scale: float, n_pad: int, with_stats: bool = False):
     """Online-softmax sweep over k blocks (exp2 domain).
 
     Padded key columns are NOT masked: the wrapper zero-pads k and v, so a
@@ -62,7 +62,18 @@ def _fa_kernel(q_ref, k_ref, v_ref, o_ref, acc_ref, m_ref, l_ref, *,
     from l instead of paying iota/compare/select passes on every block.
     (Padding clamps the running max at >= 0, which only costs underflow for
     rows whose true max logit is < -126 in log2 -- unreachable for sane
-    attention inputs.)"""
+    attention inputs.)
+
+    with_stats: two extra (1, BQ, 128) outputs receive the pad-corrected
+    softmax statistics per q row -- the base-2 running max m2 and the sum
+    l = sum(exp2(s2 - m2)) -- for cross-device merging (parallel/ring.py).
+    The stats store the full (BQ, 128) lane-replicated stat scratch as-is
+    (Mosaic requires 128-lane blocks; a lane-1 column store is rejected):
+    no relayout inside the kernel, the wrapper slices lane 0 outside."""
+    if with_stats:
+        o_ref, mstat_ref, lstat_ref, acc_ref, m_ref, l_ref = refs
+    else:
+        o_ref, acc_ref, m_ref, l_ref = refs
     ik = pl.program_id(3)
     nk = pl.num_programs(3)
 
@@ -106,12 +117,20 @@ def _fa_kernel(q_ref, k_ref, v_ref, o_ref, acc_ref, m_ref, l_ref, *,
         if n_pad:
             l = l - n_pad * jnp.exp2(-m_ref[..., :1])
         o_ref[0] = (acc_ref[...] / l).astype(o_ref.dtype)
+        if with_stats:
+            mstat_ref[0] = m_ref[...]
+            lstat_ref[0] = jnp.broadcast_to(l, lstat_ref.shape[1:])
 
 
-def _fa_kernel_onekv(q_ref, k_ref, v_ref, o_ref, *, scale: float, n_pad: int):
+def _fa_kernel_onekv(q_ref, k_ref, v_ref, *refs, scale: float, n_pad: int,
+                     with_stats: bool = False):
     """Fast path: every key in one block -> plain (still max-shifted)
     softmax, no scratch, no init/finalize conditionals, no rescale passes.
     Key padding handled by the same exact zero-pad correction as above."""
+    if with_stats:
+        o_ref, mstat_ref, lstat_ref = refs
+    else:
+        (o_ref,) = refs
     q = (q_ref[0].astype(jnp.float32) * (scale * _LOG2E)).astype(q_ref.dtype)
     k = k_ref[0]
     v = v_ref[0]
@@ -132,6 +151,9 @@ def _fa_kernel_onekv(q_ref, k_ref, v_ref, o_ref, *, scale: float, n_pad: int):
         p.astype(v.dtype), v, (((1,), (0,)), ((), ())),
         preferred_element_type=jnp.float32)
     o_ref[0] = (pv / l).astype(o_ref.dtype)
+    if with_stats:
+        mstat_ref[0] = jnp.broadcast_to(m, mstat_ref.shape[1:])
+        lstat_ref[0] = jnp.broadcast_to(l, lstat_ref.shape[1:])
 
 
 def _fa_kernel_pair(q_ref, k_ref, v_ref, o_ref, acc_ref, m_ref, l_ref, *,
@@ -219,24 +241,33 @@ def _pad_axis(x, axis, target):
     return jnp.pad(x, widths)
 
 
-@functools.partial(jax.jit, static_argnames=("scale", "block_q", "block_k"))
+@functools.partial(jax.jit, static_argnames=("scale", "block_q", "block_k",
+                                             "return_stats"))
 def flash_attention(q: jnp.ndarray, k: jnp.ndarray, v: jnp.ndarray, *,
                     scale: Optional[float] = None,
                     block_q: int = 1024,
-                    block_k: Optional[int] = None) -> jnp.ndarray:
+                    block_k: Optional[int] = None,
+                    return_stats: bool = False):
     """q: (B, Lq, H, D), k/v: (B, Lk, H, D) -> (B, Lq, H, D).
 
     block_k default (measured on v5e at the production shapes, 2026-08):
     2048 for the generic path (+8% on DiT self 40hx128@16317, +1.5% on
     bicross 12hx96; still inside the default 16M scoped-VMEM budget) and
     1024 for the paired-head path (2048 regressed VGGT global by 5% and
-    larger q blocks blow the VMEM stack)."""
+    larger q blocks blow the VMEM stack).
+
+    return_stats: additionally return the per-row softmax statistics
+    (m2, l), both (B, Lq, H) f32 in the BASE-2 domain: with
+    s2 = log2(e)*scale*(q.k), m2 = max_k s2 and l = sum_k exp2(s2 - m2).
+    o, m2, l are exactly mergeable across key shards (parallel/ring.py).
+    The stats request routes head_dim<=64 through the generic kernel
+    (the paired-head layout interleaves two heads per stat lane)."""
     if scale is None:
         scale = q.shape[-1] ** -0.5
     B, Lq, H, D = q.shape
     Lk = k.shape[1]
 
-    if D <= 64 and H % 2 == 0:
+    if D <= 64 and H % 2 == 0 and not return_stats:
         bk = min(block_k or 1024, -(-Lk // 128) * 128)
         bq = min(block_q, -(-Lq // 128) * 128)
         return _flash_attention_paired(q, k, v, scale, bq, bk)
@@ -261,14 +292,25 @@ def flash_attention(q: jnp.ndarray, k: jnp.ndarray, v: jnp.ndarray, *,
     kvspec = pl.BlockSpec((1, block_k, d_pad), lambda b, h, iq, ik: (b, ik, h))
     ospec = pl.BlockSpec((1, block_q, d_pad), lambda b, h, iq, ik: (b, iq, h))
     out_shape = jax.ShapeDtypeStruct((B, Lq, H * d_pad), q.dtype)
+    if return_stats:
+        # full (BQ, 128) lane-replicated stat stores (Mosaic's lane-block
+        # minimum); ~0.3 ms extra HBM write at the production shape, lane 0
+        # sliced off outside the kernel
+        sspec = pl.BlockSpec((1, block_q, 128),
+                             lambda b, h, iq, ik: (b, iq, h))
+        sshape = jax.ShapeDtypeStruct((B, Lq, H * 128), jnp.float32)
+        out_specs = [ospec, sspec, sspec]
+        out_shape = [out_shape, sshape, sshape]
+    else:
+        out_specs = ospec
 
     if nk == 1:
         out = pl.pallas_call(
             functools.partial(_fa_kernel_onekv, scale=scale,
-                              n_pad=lk_pad - Lk),
+                              n_pad=lk_pad - Lk, with_stats=return_stats),
             grid=(B, H, nq, 1),
             in_specs=[qspec, kvspec, kvspec],
-            out_specs=ospec,
+            out_specs=out_specs,
             out_shape=out_shape,
             compiler_params=pltpu.CompilerParams(
                 dimension_semantics=("parallel", "parallel", "parallel",
@@ -277,10 +319,11 @@ def flash_attention(q: jnp.ndarray, k: jnp.ndarray, v: jnp.ndarray, *,
         )(qp, kp, vp)
     else:
         out = pl.pallas_call(
-            functools.partial(_fa_kernel, scale=scale, n_pad=lk_pad - Lk),
+            functools.partial(_fa_kernel, scale=scale, n_pad=lk_pad - Lk,
+                              with_stats=return_stats),
             grid=(B, H, nq, nk),
             in_specs=[qspec, kvspec, kvspec],
-            out_specs=ospec,
+            out_specs=out_specs,
             out_shape=out_shape,
             scratch_shapes=[
                 pltpu.VMEM((block_q, d_pad), jnp.float32),
@@ -293,6 +336,12 @@ def flash_attention(q: jnp.ndarray, k: jnp.ndarray, v: jnp.ndarray, *,
             ),
         )(qp, kp, vp)
 
+    if return_stats:
+        out, m2, l = out
+        o = out.reshape(B, Lq, H, d_pad)[..., :D] if d_pad != D else \
+            out.reshape(B, Lq, H, D)
+        return (o, m2.reshape(B, Lq, H, 128)[..., 0],
+                l.reshape(B, Lq, H, 128)[..., 0])
     return out.reshape(B, Lq, H, d_pad)[..., :D] if d_pad != D else \
         out.reshape(B, Lq, H, D)
 

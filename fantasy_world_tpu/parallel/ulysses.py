@@ -64,8 +64,12 @@ def ulysses_attention(q: jnp.ndarray, k: jnp.ndarray, v: jnp.ndarray, *,
     (B, Lq, H, D) result with the same logical content as
     ``dot_product_attention(q, k, v)``.
 
-    Requires H % n == 0 (n = seq-axis size). Falls back to the plain
-    dispatch when n == 1 or the head count does not split.
+    Requires H % n == 0 (n = seq-axis size). When the head count does not
+    split (e.g. the 12-head bicross at seq degree 8), the call falls
+    through to ``ring_attention`` — rotating k/v shards have no head
+    constraint — completing the reference USP's ulysses x ring surface
+    (wan_video_new.py:320-325, ring_degree hooks). n == 1 is the plain
+    single-device dispatch.
     """
     from ..ops.attention import dot_product_attention
 
@@ -73,10 +77,16 @@ def ulysses_attention(q: jnp.ndarray, k: jnp.ndarray, v: jnp.ndarray, *,
         scale = q.shape[-1] ** -0.5
     n = mesh.shape[seq_axis]
     H = q.shape[2]
-    if n == 1 or H % n != 0:
+    if n == 1:
         with ulysses_context(None):  # plain path; don't re-enter dispatch
             return dot_product_attention(q, k, v, scale=scale,
                                          backend=backend)
+    if H % n != 0:
+        from .ring import ring_attention
+        with ulysses_context(None):
+            return ring_attention(q, k, v, mesh=mesh, seq_axis=seq_axis,
+                                  batch_axis=batch_axis, scale=scale,
+                                  backend=backend)
 
     B, Lq, _, D = q.shape
     Lk = k.shape[1]
