@@ -241,14 +241,18 @@ def _pad_axis(x, axis, target):
     return jnp.pad(x, widths)
 
 
-@functools.partial(jax.jit, static_argnames=("scale", "block_q", "block_k",
-                                             "return_stats"))
 def flash_attention(q: jnp.ndarray, k: jnp.ndarray, v: jnp.ndarray, *,
                     scale: Optional[float] = None,
                     block_q: int = 1024,
                     block_k: Optional[int] = None,
                     return_stats: bool = False):
     """q: (B, Lq, H, D), k/v: (B, Lk, H, D) -> (B, Lq, H, D).
+
+    Differentiable: the plain call carries a custom VJP whose backward runs
+    the Pallas kernels in _flash_backward (the XLA fallback cannot even
+    materialize the production logits, so TPU training needs this path).
+    The ``return_stats`` variant is forward-only (it is the primitive under
+    parallel/ring.py, whose merge is differentiated at the XLA level).
 
     block_k default (measured on v5e at the production shapes, 2026-08):
     2048 for the generic path (+8% on DiT self 40hx128@16317, +1.5% on
@@ -264,6 +268,19 @@ def flash_attention(q: jnp.ndarray, k: jnp.ndarray, v: jnp.ndarray, *,
     (the paired-head layout interleaves two heads per stat lane)."""
     if scale is None:
         scale = q.shape[-1] ** -0.5
+    if return_stats:
+        return _flash_forward(q, k, v, scale=scale, block_q=block_q,
+                              block_k=block_k, return_stats=True)
+    return _flash_diff(q, k, v, scale, block_q, block_k)
+
+
+@functools.partial(jax.jit, static_argnames=("scale", "block_q", "block_k",
+                                             "return_stats"))
+def _flash_forward(q: jnp.ndarray, k: jnp.ndarray, v: jnp.ndarray, *,
+                   scale: float,
+                   block_q: int = 1024,
+                   block_k: Optional[int] = None,
+                   return_stats: bool = False):
     B, Lq, H, D = q.shape
     Lk = k.shape[1]
 
@@ -386,3 +403,198 @@ def _flash_attention_paired(q, k, v, scale, block_q, block_k):
 
     return out.reshape(B, Lq, H, d_pad)[..., :D] if d_pad != D else \
         out.reshape(B, Lq, H, D)
+
+
+# ---------------------------------------------------------------------------
+# backward pass (custom VJP): FlashAttention-2-style Pallas kernels
+# ---------------------------------------------------------------------------
+#
+# With the forward's base-2 logits s2 = c*(q.k), c = scale*log2(e), and the
+# saved log-sum-exp lse2 = m2 + log2(l), the probabilities reconstruct as
+# p = exp2(s2 - lse2) and the chain-rule constants cancel exactly:
+#   dL/d(q.k) = ln(2) * c * p*(dp - delta) = scale * p*(dp - delta)
+# where dp = do.v^T and delta = rowsum(do*o). delta is recomputed in-kernel
+# per q block (one (BQ, D) elementwise pass -- cheaper than a residual
+# array). Two kernels: dq sweeps k blocks with a VMEM accumulator; dk/dv
+# sweeps q blocks, using transposed-contraction dot_generals (dim 0 vs
+# dim 0) so no block is ever physically transposed.
+#
+# Raggedness: OOB k/v rows are zeroed in the dq kernel (their k row nulls
+# the contribution); OOB q rows have garbage lse, so the dk/dv kernel
+# zeroes their p rows explicitly; OOB output rows are dropped by the
+# clipped stores either way.
+
+
+def _fa_bwd_dq_kernel(q_ref, k_ref, v_ref, o_ref, do_ref, lse_ref, dq_ref,
+                      dq_acc, delta_ref, *, scale: float, n_pad_k: int):
+    ik = pl.program_id(3)
+    nk = pl.num_programs(3)
+
+    @pl.when(ik == 0)
+    def _init():
+        dq_acc[...] = jnp.zeros_like(dq_acc)
+        do_f = do_ref[0].astype(jnp.float32)
+        o_f = o_ref[0].astype(jnp.float32)
+        delta_ref[...] = jnp.broadcast_to(
+            jnp.sum(do_f * o_f, axis=-1, keepdims=True), delta_ref.shape)
+
+    qs = (q_ref[0].astype(jnp.float32) * (scale * _LOG2E)).astype(q_ref.dtype)
+    k = k_ref[0]
+    v = v_ref[0]
+    if n_pad_k:
+        rows = jax.lax.broadcasted_iota(jnp.int32, k.shape, 0)
+        ok = (ik < nk - 1) | (rows < k.shape[0] - n_pad_k)
+        k = jnp.where(ok, k, 0)
+        v = jnp.where(ok, v, 0)
+
+    s2 = jax.lax.dot_general(qs, k, (((1,), (1,)), ((), ())),
+                             preferred_element_type=jnp.float32)
+    p = jnp.exp2(s2 - lse_ref[0][:, :1])
+    dp = jax.lax.dot_general(do_ref[0], v, (((1,), (1,)), ((), ())),
+                             preferred_element_type=jnp.float32)
+    ds = p * (dp - delta_ref[..., :1])
+    dq_acc[...] += jax.lax.dot_general(
+        ds.astype(k.dtype), k, (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32)
+
+    @pl.when(ik == nk - 1)
+    def _finalize():
+        dq_ref[0] = (dq_acc[...] * scale).astype(dq_ref.dtype)
+
+
+def _fa_bwd_dkv_kernel(k_ref, v_ref, q_ref, o_ref, do_ref, lse_ref,
+                       dk_ref, dv_ref, dk_acc, dv_acc, *,
+                       scale: float, n_pad_q: int):
+    iq = pl.program_id(3)
+    nq = pl.num_programs(3)
+
+    @pl.when(iq == 0)
+    def _init():
+        dk_acc[...] = jnp.zeros_like(dk_acc)
+        dv_acc[...] = jnp.zeros_like(dv_acc)
+
+    q = q_ref[0]
+    do = do_ref[0]
+    if n_pad_q:
+        # OOB q rows read garbage (NaN in interpret mode) and the dk/dv
+        # contractions SUM over q rows, so 0*NaN would poison every output
+        # row: zero the q/do rows themselves, and re-mask p and ds after
+        # the arithmetic (their OOB rows see garbage lse/dp/delta).
+        rows = jax.lax.broadcasted_iota(jnp.int32, q.shape, 0)
+        row_ok = (iq < nq - 1) | (rows[:, :1] < q.shape[0] - n_pad_q)
+        q = jnp.where(row_ok, q, 0)
+        do = jnp.where(row_ok, do, 0)
+    qs = (q.astype(jnp.float32) * (scale * _LOG2E)).astype(q.dtype)
+    s2 = jax.lax.dot_general(qs, k_ref[0], (((1,), (1,)), ((), ())),
+                             preferred_element_type=jnp.float32)
+    p = jnp.exp2(s2 - lse_ref[0][:, :1])
+    if n_pad_q:
+        p = jnp.where(row_ok, p, 0)
+    dv_acc[...] += jax.lax.dot_general(
+        p.astype(do.dtype), do, (((0,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32)
+    dp = jax.lax.dot_general(do, v_ref[0], (((1,), (1,)), ((), ())),
+                             preferred_element_type=jnp.float32)
+    delta = jnp.sum(do.astype(jnp.float32) * o_ref[0].astype(jnp.float32),
+                    axis=-1, keepdims=True)
+    ds = p * (dp - delta)
+    if n_pad_q:
+        ds = jnp.where(row_ok, ds, 0)
+    dk_acc[...] += jax.lax.dot_general(
+        ds.astype(q.dtype), q, (((0,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32)
+
+    @pl.when(iq == nq - 1)
+    def _finalize():
+        dk_ref[0] = (dk_acc[...] * scale).astype(dk_ref.dtype)
+        dv_ref[0] = dv_acc[...].astype(dv_ref.dtype)
+
+
+@functools.partial(jax.jit, static_argnames=("scale", "block_q", "block_k"))
+def _flash_backward(q, k, v, o, lse2, do, *, scale: float,
+                    block_q: int, block_k: Optional[int]):
+    """(dq, dk, dv) at the same raggedness discipline as forward, at
+    smaller blocks: the backward keeps four (BQ, BK) f32 temporaries live
+    at once (s2, p, dp, ds), so the forward's 1024x2048 blocking blows the
+    16M scoped-VMEM stack (measured: 19.2M on v5e); 512x1024 fits with
+    room for double-buffering."""
+    B, Lq, H, D = q.shape
+    Lk = k.shape[1]
+    block_q = min(block_q, 512, -(-Lq // 128) * 128)
+    block_k = min(block_k or 1024, 1024, -(-Lk // 128) * 128)
+    d_pad = -(-D // 128) * 128
+    nq = -(-Lq // block_q)
+    nk = -(-Lk // block_k)
+
+    qp = _pad_axis(q, 3, d_pad).reshape(B, Lq, H * d_pad)
+    kp = _pad_axis(k, 3, d_pad).reshape(B, Lk, H * d_pad)
+    vp = _pad_axis(v, 3, d_pad).reshape(B, Lk, H * d_pad)
+    op = _pad_axis(o, 3, d_pad).reshape(B, Lq, H * d_pad)
+    dop = _pad_axis(do, 3, d_pad).reshape(B, Lq, H * d_pad)
+    # lane-replicate lse (B, Lq, H) -> (B, Lq, H*128) so its blocks meet the
+    # 128-lane minimum; ~Lq*H*512B of HBM, trivial next to the matmuls
+    lse_rep = jnp.broadcast_to(lse2[..., None],
+                               (B, Lq, H, 128)).reshape(B, Lq, H * 128)
+
+    qblk = pl.BlockSpec((1, block_q, d_pad), lambda b, h, iq, ik: (b, iq, h))
+    kblk = pl.BlockSpec((1, block_k, d_pad), lambda b, h, iq, ik: (b, ik, h))
+    lse_q = pl.BlockSpec((1, block_q, 128), lambda b, h, iq, ik: (b, iq, h))
+
+    dq = pl.pallas_call(
+        functools.partial(_fa_bwd_dq_kernel, scale=scale,
+                          n_pad_k=nk * block_k - Lk),
+        grid=(B, H, nq, nk),
+        in_specs=[qblk, kblk, kblk, qblk, qblk, lse_q],
+        out_specs=qblk,
+        out_shape=jax.ShapeDtypeStruct((B, Lq, H * d_pad), q.dtype),
+        scratch_shapes=[pltpu.VMEM((block_q, d_pad), jnp.float32),
+                        pltpu.VMEM((block_q, 128), jnp.float32)],
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "parallel", "parallel",
+                                 "arbitrary")),
+    )(qp, kp, vp, op, dop, lse_rep)
+
+    # dk/dv grid: q innermost; index maps swap roles (dims 2=k, 3=q)
+    kblk2 = pl.BlockSpec((1, block_k, d_pad), lambda b, h, ik, iq: (b, ik, h))
+    qblk2 = pl.BlockSpec((1, block_q, d_pad), lambda b, h, ik, iq: (b, iq, h))
+    lse_q2 = pl.BlockSpec((1, block_q, 128), lambda b, h, ik, iq: (b, iq, h))
+    dk, dv = pl.pallas_call(
+        functools.partial(_fa_bwd_dkv_kernel, scale=scale,
+                          n_pad_q=nq * block_q - Lq),
+        grid=(B, H, nk, nq),
+        in_specs=[kblk2, kblk2, qblk2, qblk2, qblk2, lse_q2],
+        out_specs=[kblk2, kblk2],
+        out_shape=[jax.ShapeDtypeStruct((B, Lk, H * d_pad), k.dtype),
+                   jax.ShapeDtypeStruct((B, Lk, H * d_pad), v.dtype)],
+        scratch_shapes=[pltpu.VMEM((block_k, d_pad), jnp.float32),
+                        pltpu.VMEM((block_k, d_pad), jnp.float32)],
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "parallel", "parallel",
+                                 "arbitrary")),
+    )(kp, vp, qp, op, dop, lse_rep)
+
+    def _unpack(x, L):
+        x = x.reshape(B, L, H, d_pad)
+        return x[..., :D] if d_pad != D else x
+    return _unpack(dq, Lq), _unpack(dk, Lk), _unpack(dv, Lk)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4, 5))
+def _flash_diff(q, k, v, scale, block_q, block_k):
+    return _flash_forward(q, k, v, scale=scale, block_q=block_q,
+                          block_k=block_k, return_stats=False)
+
+
+def _flash_diff_fwd(q, k, v, scale, block_q, block_k):
+    o, m2, l = _flash_forward(q, k, v, scale=scale, block_q=block_q,
+                              block_k=block_k, return_stats=True)
+    return o, (q, k, v, o, m2 + jnp.log2(l))
+
+
+def _flash_diff_bwd(scale, block_q, block_k, res, do):
+    q, k, v, o, lse2 = res
+    return _flash_backward(q, k, v, o, lse2, do, scale=scale,
+                           block_q=block_q, block_k=block_k)
+
+
+_flash_diff.defvjp(_flash_diff_fwd, _flash_diff_bwd)

@@ -5,6 +5,11 @@ The reference ships only single-process training utilities
 training_loss); here the same rectified-flow objective (target = noise -
 sample, flow_match.py:76-78) is a pure jitted function over sharded param
 trees, scaling over the ('data','seq','model') mesh via GSPMD.
+
+On TPU the backward differentiates through the Pallas flash-attention
+kernels via their custom VJP (ops/flash_attention.py:_flash_backward) --
+the XLA fallback cannot materialize the production logits, so this is
+what makes training at real token counts possible at all.
 """
 from __future__ import annotations
 
