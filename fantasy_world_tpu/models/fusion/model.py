@@ -390,7 +390,8 @@ def joint_forward_tea(params: Dict, scan_params: Dict, cfg: FusionConfig,
                       plucker_fea: Optional[jnp.ndarray] = None,
                       skip: jnp.ndarray = None,
                       residual: jnp.ndarray = None,
-                      mesh=None):
+                      mesh=None, ulysses: bool = False,
+                      ulysses_min_lq: int = 2048):
     """TeaCache-gated denoise evaluation (wan_video.py:691-745 re-designed
     for XLA): when ``skip`` (a scalar bool tracer) is set, the PCB+IRG block
     stack is replaced by ``x += residual`` where ``residual`` is the
@@ -403,7 +404,13 @@ def joint_forward_tea(params: Dict, scan_params: Dict, cfg: FusionConfig,
     Returns (noise_pred, new_residual). Geometry heads are not supported
     here: the final step always computes, so callers run plain
     ``joint_forward(..., return_prediction=True)`` for it.
+
+    mesh / ulysses: same semantics as joint_forward -- GSPMD activation
+    constraints and the explicit all_to_all sequence-parallel attention
+    path; both branches of the skip cond keep the token sharding so the
+    carried residual stays distributed.
     """
+    from ...parallel.ulysses import ulysses_context
     dcfg = cfg.dit
     dp = params["dit"]
     (x, ctx, t, t_mod, fhw, ropes, rope_bi_dit, rope_bi_agg) = \
@@ -412,9 +419,11 @@ def joint_forward_tea(params: Dict, scan_params: Dict, cfg: FusionConfig,
     f, h, w = fhw
 
     def compute(x):
-        x_out, _ = _run_stack(params, scan_params, cfg, x, ctx, t_mod,
-                              timestep, ropes, rope_bi_dit, rope_bi_agg, fhw,
-                              plucker_fea, None, False, False, mesh, False)
+        with ulysses_context(mesh if ulysses else None, min_lq=ulysses_min_lq):
+            x_out, _ = _run_stack(params, scan_params, cfg, x, ctx, t_mod,
+                                  timestep, ropes, rope_bi_dit, rope_bi_agg,
+                                  fhw, plucker_fea, None, False, False, mesh,
+                                  False)
         return x_out, x_out - x
 
     def reuse(x):

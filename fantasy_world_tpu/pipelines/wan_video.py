@@ -55,10 +55,11 @@ def _denoise_scan(params, scan_params, cfg, latents, xs, ctx, clip2, y2,
     return latents
 
 
-@functools.partial(jax.jit, static_argnames=("cfg", "cfg_scale"),
+@functools.partial(jax.jit,
+                   static_argnames=("cfg", "cfg_scale", "mesh", "ulysses"),
                    donate_argnums=(3, 4))
 def _denoise_scan_tea(params, scan_params, cfg, latents, residual0, xs, ctx,
-                      clip2, y2, pl2, cfg_scale):
+                      clip2, y2, pl2, cfg_scale, mesh=None, ulysses=False):
     """TeaCache-gated variant: xs carries the host-planned per-step skip
     boolean; the carry threads the cached block-stack residual. Both carry
     buffers (latents, residual) are donated."""
@@ -69,7 +70,8 @@ def _denoise_scan_tea(params, scan_params, cfg, latents, residual0, xs, ctx,
         lat2 = jnp.concatenate([lat] * 2, axis=0)
         noise, res = joint_forward_tea(
             params, scan_params, cfg, lat2, jnp.full((2,), timestep),
-            ctx, clip2, y2, plucker_fea=pl2, skip=skip, residual=res)
+            ctx, clip2, y2, plucker_fea=pl2, skip=skip, residual=res,
+            mesh=mesh, ulysses=ulysses)
         pred = noise[1:2] + cfg_scale * (noise[0:1] - noise[1:2])
         lat = (lat.astype(jnp.float32) + pred.astype(jnp.float32)
                * (sigma_next - sigma)).astype(lat.dtype)
@@ -274,7 +276,8 @@ class FantasyWorldPipeline:
                   jnp.asarray(pairs[:-1, 1]), jnp.asarray(skips[:-1]))
             latents = _denoise_scan_tea(params, scan_params, cfg, latents,
                                         residual0, xs, ctx, clip2, y2, pl2,
-                                        cfg_scale)
+                                        cfg_scale, mesh=mesh,
+                                        ulysses=ulysses)
         else:
             xs = (ts[:-1], jnp.asarray(pairs[:-1, 0]),
                   jnp.asarray(pairs[:-1, 1]))

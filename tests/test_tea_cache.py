@@ -114,3 +114,69 @@ def test_joint_forward_tea_gating():
     np.testing.assert_allclose(np.asarray(noise_s), np.asarray(noise_c),
                                atol=1e-5)
     np.testing.assert_array_equal(np.asarray(res_s), np.asarray(res_c))
+
+
+@pytest.mark.multichip
+def test_joint_forward_tea_sharded_equality():
+    """The tea-gated forward must give the same answer on the 8-device mesh
+    (params sharded, activations constrained, both cond branches keeping the
+    token sharding) as replicated single-device -- for the compute branch
+    AND the reuse branch, whose carried residual is itself sharded."""
+    import jax
+    import jax.numpy as jnp
+    from jax.sharding import NamedSharding, PartitionSpec as P
+    from fantasy_world_tpu.models.fusion.model import (
+        init_fusion, split_trainable, joint_forward_tea)
+    from fantasy_world_tpu.parallel.sharding import (
+        make_mesh, param_specs, stacked_specs, shard_tree)
+    from __graft_entry__ import _demo_config
+
+    if jax.device_count() < 8:
+        pytest.skip("needs 8 virtual devices")
+
+    cfg = _demo_config(dim=64, layers=3, start_index=1, agg_dim=64,
+                       agg_depth=2)
+    params = init_fusion(0, cfg, jnp.float32)
+    lite, scan = split_trainable(params, cfg)
+
+    B, f, h2, w2 = 2, 2, 8, 8
+    rng = np.random.default_rng(7)
+    lat = jnp.asarray(rng.standard_normal((B, 16, f, h2, w2)), jnp.float32)
+    y = jnp.asarray(rng.standard_normal((B, 20, f, h2, w2)), jnp.float32)
+    ctx = jnp.asarray(rng.standard_normal((B, 16, 4096)) * 0.02, jnp.float32)
+    clip = jnp.zeros((B, 257, 1280), jnp.float32)
+    pl = jnp.asarray(rng.standard_normal(
+        (B, f * (h2 // 2) * (w2 // 2), 2048)) * 0.1, jnp.float32)
+    t = jnp.full((B,), 500.0)
+    n_tok = f * (h2 // 2) * (w2 // 2)
+    res0 = jnp.zeros((B, n_tok, cfg.dit.dim), jnp.float32)
+
+    ref_fwd = jax.jit(lambda skip, res: joint_forward_tea(
+        params, scan, cfg, lat, t, ctx, clip, y, plucker_fea=pl,
+        skip=skip, residual=res))
+    ref_c, rres_c = ref_fwd(jnp.asarray(False), res0)
+    ref_s, _ = ref_fwd(jnp.asarray(True), rres_c)
+    ref_c, ref_s = np.asarray(ref_c), np.asarray(ref_s)
+
+    mesh = make_mesh(data=2, seq=2, model=2)
+    with mesh:
+        lite_m = shard_tree(lite, mesh, param_specs(lite, mesh=mesh))
+        scan_m = shard_tree(scan, mesh, stacked_specs(scan, mesh=mesh))
+        sh = NamedSharding(mesh, P("data"))
+        lat_m, y_m, ctx_m, clip_m, pl_m, res_m = (
+            jax.device_put(a, sh) for a in (lat, y, ctx, clip, pl, res0))
+
+        def fwd(lp, sp, l, t, c, cl, yy, pf, skip, res):
+            return joint_forward_tea(lp, sp, cfg, l, t, c, cl, yy,
+                                     plucker_fea=pf, skip=skip,
+                                     residual=res, mesh=mesh)
+        jfwd = jax.jit(fwd)
+        out_c, res_c = jfwd(lite_m, scan_m, lat_m, t, ctx_m, clip_m, y_m,
+                            pl_m, jnp.asarray(False), res_m)
+        out_s, _ = jfwd(lite_m, scan_m, lat_m, t, ctx_m, clip_m, y_m,
+                        pl_m, jnp.asarray(True), res_c)
+
+    np.testing.assert_allclose(np.asarray(out_c), ref_c, rtol=2e-4,
+                               atol=2e-4)
+    np.testing.assert_allclose(np.asarray(out_s), ref_s, rtol=2e-4,
+                               atol=2e-4)
