@@ -36,6 +36,14 @@ Performance notes (measured on v5e, 197 bf16 TFLOP/s):
     or scratch init/finalize.
   * block_q = block_k = 1024 measured best across all five production
     shapes (vs 512/1024 default of round 1: +6% on DiT self-attention).
+  * FAILED EXPERIMENT (2026-08-17, don't retry): packing four 96-wide
+    bicross heads into 384 lanes via block-diagonal K'/V' (generalizing
+    the paired-head kernel) to avoid the 96->128 pad measured 45 useful
+    TFLOP/s vs 102 for this generic kernel at the production bicross
+    shape -- the (4BK, 384) block-diagonal concats plus per-head stat
+    reassembly are VPU passes that cost far more than the 25% MXU pad
+    waste, and BQ=1024 blows scoped VMEM (19M > 16M). The pad-128 path
+    is already at ~69% of chip peak counting padded FLOPs.
 """
 from __future__ import annotations
 
