@@ -54,6 +54,10 @@ class WanDiTConfig:
     # context are independent there -- Fun-Control-Camera keeps the VAE
     # embedding but drops CLIP (hash 47dbeab5..., wan22 wan_video_dit.py:841)
     require_vae_embedding: bool = True
+    # TI2V-5B-style first-frame latent fusion (wan22 WanModel flag; consumed
+    # by pipelines/units.py ImageEmbedderFused, which overwrites latent
+    # frame 0 with the VAE encoding of the input image)
+    fuse_vae_embedding_in_latents: bool = False
     add_control_adapter: bool = False
     in_dim_control_adapter: int = 24
     # per-layer camera AdaLN adapters on cross-attn of blocks [0, adapter_end)

@@ -9,9 +9,12 @@ reproduces the reference's ``return_condition=True`` early exit
 (wan_video_new.py:530-534) that FantasyWorld-Wan2.2 uses to collect
 (context_posi, context_nega, y) before its own denoise loop.
 
-Units for subsystems absent from this framework's scope (S2V, Animate, VAP,
-LongCat, VACE -- vestigial in the reference snapshot, SURVEY.md 2.3) are
-intentionally not built.
+The full conditioning-unit surface is built: the FantasyWorld-exercised
+units plus ImageEmbedderCLIP/Fused, FunControl, FunReference and
+SpeedControl (wan_video_new.py:834-1003). Units whose MODELS are absent
+from the reference snapshot itself (S2V, Animate, VAP, LongCat, VACE --
+their model classes do not exist in the trimmed repo, SURVEY.md 2.3
+"dead/vestigial") are intentionally not built.
 """
 from __future__ import annotations
 
@@ -171,6 +174,123 @@ class ImageEmbedderVAE(PipelineUnit):
         return {"y": y}
 
 
+class ImageEmbedderCLIP(PipelineUnit):
+    """CLIP-only image conditioning (wan_video_new.py:834-854): the 257x1280
+    penultimate-layer tokens, with the end image's tokens concatenated when
+    the DiT carries an image positional embedding."""
+
+    def __init__(self):
+        super().__init__(input_params=("input_image", "end_image", "height",
+                                       "width"))
+
+    def process(self, pipe, input_image, end_image, height, width):
+        if input_image is None or "clip" not in pipe.params \
+                or not pipe.cfg.dit.has_image_input:
+            return {}
+        from ..models.wan.clip import clip_encode_image, preprocess_image
+        dtype = pipe.params["fusion"]["dit"]["patch_embedding"]["kernel"].dtype
+
+        def enc(img):
+            x = preprocess_image(jnp.asarray(img, jnp.float32))
+            return clip_encode_image(pipe.params["clip"], pipe.clip_cfg,
+                                     x[None])
+        feat = enc(input_image)
+        if end_image is not None and pipe.cfg.dit.has_image_pos_emb:
+            feat = jnp.concatenate([feat, enc(end_image)], axis=1)
+        return {"clip_feature": feat.astype(dtype)}
+
+
+class ImageEmbedderFused(PipelineUnit):
+    """TI2V-5B-style fusion (wan_video_new.py:896-915): the input image's
+    VAE latent replaces latent frame 0 instead of entering through y."""
+
+    def __init__(self):
+        super().__init__(input_params=("input_image", "latents", "height",
+                                       "width"))
+
+    def process(self, pipe, input_image, latents, height, width):
+        if input_image is None \
+                or not pipe.cfg.dit.fuse_vae_embedding_in_latents:
+            return {}
+        from ..models.wan.vae import vae_encode
+        img = jnp.asarray(input_image, jnp.float32).transpose(2, 0, 1)
+        z = vae_encode(pipe.params["vae"], pipe.vae_cfg,
+                       img[None, :, None].astype(latents.dtype))
+        latents = latents.at[:, :, 0:1].set(z)
+        return {"latents": latents, "fuse_vae_embedding_in_latents": True,
+                "first_frame_latents": z}
+
+
+class FunControl(PipelineUnit):
+    """Fun-Control conditioning (wan_video_new.py:917-939): VAE-encode the
+    control video and stack it in front of the masked-image y channels;
+    absent CLIP/y conditioning is zero-filled to the DiT's expected
+    in_dim."""
+
+    def __init__(self):
+        super().__init__(input_params=("control_video", "num_frames",
+                                       "height", "width", "clip_feature",
+                                       "y", "noise"))
+
+    def process(self, pipe, control_video, num_frames, height, width,
+                clip_feature, y, noise):
+        if control_video is None:
+            return {}
+        from ..models.wan.vae import vae_encode
+        dtype = pipe.params["fusion"]["dit"]["patch_embedding"]["kernel"].dtype
+        video = jnp.asarray(control_video)        # (1, 3, T, H, W) in [-1,1]
+        control_latents = vae_encode(pipe.params["vae"], pipe.vae_cfg,
+                                     video.astype(dtype))
+        y_dim = (pipe.cfg.dit.in_dim - control_latents.shape[1]
+                 - noise.shape[1])
+        if clip_feature is None or y is None:
+            clip_feature = jnp.zeros((1, 257, 1280), dtype)
+            y = jnp.zeros((1, y_dim, (num_frames - 1) // 4 + 1,
+                           height // 8, width // 8), dtype)
+        else:
+            y = y[:, -y_dim:]
+        y = jnp.concatenate([control_latents, y], axis=1)
+        return {"clip_feature": clip_feature, "y": y}
+
+
+class FunReference(PipelineUnit):
+    """Fun-Reference conditioning (wan_video_new.py:942-962): VAE latent of
+    a reference still (plus its CLIP tokens when an image encoder is
+    loaded)."""
+
+    def __init__(self):
+        super().__init__(input_params=("reference_image", "height", "width"))
+
+    def process(self, pipe, reference_image, height, width):
+        if reference_image is None:
+            return {}
+        from ..models.wan.vae import vae_encode
+        dtype = pipe.params["fusion"]["dit"]["patch_embedding"]["kernel"].dtype
+        img = jnp.asarray(reference_image, jnp.float32).transpose(2, 0, 1)
+        ref_latents = vae_encode(pipe.params["vae"], pipe.vae_cfg,
+                                 img[None, :, None].astype(dtype))
+        if "clip" not in pipe.params:
+            return {"reference_latents": ref_latents}
+        from ..models.wan.clip import clip_encode_image, preprocess_image
+        x = preprocess_image(jnp.asarray(reference_image, jnp.float32))
+        feat = clip_encode_image(pipe.params["clip"], pipe.clip_cfg, x[None])
+        return {"reference_latents": ref_latents,
+                "clip_feature": feat.astype(dtype)}
+
+
+class SpeedControl(PipelineUnit):
+    """Motion-bucket conditioning passthrough (wan_video_new.py:994-1003)."""
+
+    def __init__(self):
+        super().__init__(input_params=("motion_bucket_id",))
+
+    def process(self, pipe, motion_bucket_id):
+        if motion_bucket_id is None:
+            return {}
+        return {"motion_bucket_id": jnp.asarray([motion_bucket_id],
+                                                jnp.float32)}
+
+
 class FunCameraControl(PipelineUnit):
     """Plucker video -> folded control-camera latents for the SimpleAdapter
     patchify path (wan_video_new.py:964-992)."""
@@ -203,8 +323,9 @@ class CfgMerger(PipelineUnit):
 
 DEFAULT_UNITS: Sequence[PipelineUnit] = (
     ShapeChecker(), NoiseInitializer(), PromptEmbedder(),
-    InputVideoEmbedder(), ImageEmbedderVAE(), FunCameraControl(),
-    CfgMerger(),
+    InputVideoEmbedder(), ImageEmbedderCLIP(), ImageEmbedderVAE(),
+    ImageEmbedderFused(), FunControl(), FunReference(), FunCameraControl(),
+    SpeedControl(), CfgMerger(),
 )
 
 
@@ -226,7 +347,9 @@ def run_condition(pipe, prompt: str, negative_prompt: str = "",
                          cfg_scale=cfg_scale, input_video=None,
                          denoising_strength=1.0, num_inference_steps=50,
                          mid_images_list=None, mid_images_id_list=None,
-                         **extra_shared)
+                         control_video=None, reference_image=None,
+                         motion_bucket_id=None, clip_feature=None, y=None,
+                         latents=None, noise=None, **extra_shared)
     for unit in units:
         inputs_shared, inputs_posi, inputs_nega = runner(
             unit, pipe, inputs_shared, inputs_posi, inputs_nega)

@@ -64,6 +64,129 @@ def test_shape_checker_and_noise():
     assert shared["noise"].shape == (1, 16, 21, 60, 106)
 
 
+class _DitCfg:
+    in_dim = 36
+    has_image_input = True
+    has_image_pos_emb = False
+    require_vae_embedding = True
+    fuse_vae_embedding_in_latents = False
+
+
+class _Cfg:
+    dit = _DitCfg()
+
+
+def _stub_vae_encode(marker=2.0):
+    import jax.numpy as jnp
+
+    def enc(p, cfg, video):
+        b, c, t, h, w = video.shape
+        return jnp.full((b, 16, (t - 1) // 4 + 1, h // 8, w // 8), marker,
+                        video.dtype)
+    return enc
+
+
+def _full_pipe():
+    import jax.numpy as jnp
+    pipe = _StubPipe()
+    pipe.cfg = _Cfg()
+    pipe.params = {"vae": {}, "fusion": {"dit": {"patch_embedding": {
+        "kernel": jnp.zeros((1, 1), jnp.float32)}}}}
+    return pipe
+
+
+def test_fun_control_unit(monkeypatch):
+    """Channel assembly (wan_video_new.py:917-939): control latents stacked
+    in front of y, zero-filled clip/y when absent, y_dim from dit.in_dim."""
+    import jax.numpy as jnp
+    from fantasy_world_tpu.models.wan import vae as vae_mod
+    from fantasy_world_tpu.pipelines.units import (PipelineUnitRunner,
+                                                   FunControl)
+    monkeypatch.setattr(vae_mod, "vae_encode", _stub_vae_encode(3.0))
+    pipe = _full_pipe()
+    ctrl = np.zeros((1, 3, 9, 64, 64), np.float32)
+    shared = {"control_video": ctrl, "num_frames": 9, "height": 64,
+              "width": 64, "clip_feature": None, "y": None,
+              "noise": jnp.zeros((1, 16, 3, 8, 8)), "cfg_scale": 5.0}
+    shared, _, _ = PipelineUnitRunner()(FunControl(), pipe, shared, {}, {})
+    # in_dim 36 - 16 control - 16 noise -> 4 zero-filled y channels
+    assert shared["y"].shape == (1, 20, 3, 8, 8)
+    np.testing.assert_array_equal(np.asarray(shared["y"][:, :16]), 3.0)
+    np.testing.assert_array_equal(np.asarray(shared["y"][:, 16:]), 0.0)
+    assert shared["clip_feature"].shape == (1, 257, 1280)
+
+
+def test_image_embedder_fused_unit(monkeypatch):
+    import jax.numpy as jnp
+    from fantasy_world_tpu.models.wan import vae as vae_mod
+    from fantasy_world_tpu.pipelines.units import (PipelineUnitRunner,
+                                                   ImageEmbedderFused)
+    monkeypatch.setattr(vae_mod, "vae_encode", _stub_vae_encode(7.0))
+    pipe = _full_pipe()
+    lat = jnp.zeros((1, 16, 3, 8, 8))
+    shared = {"input_image": np.zeros((64, 64, 3), np.float32),
+              "latents": lat, "height": 64, "width": 64, "cfg_scale": 5.0}
+    # flag off -> no-op
+    shared2, _, _ = PipelineUnitRunner()(ImageEmbedderFused(), pipe,
+                                         dict(shared), {}, {})
+    assert "first_frame_latents" not in shared2
+    # flag on -> frame 0 replaced, rest untouched
+    pipe.cfg.dit.fuse_vae_embedding_in_latents = True
+    shared3, _, _ = PipelineUnitRunner()(ImageEmbedderFused(), pipe,
+                                         dict(shared), {}, {})
+    pipe.cfg.dit.fuse_vae_embedding_in_latents = False
+    np.testing.assert_array_equal(np.asarray(shared3["latents"][:, :, 0]), 7.0)
+    np.testing.assert_array_equal(np.asarray(shared3["latents"][:, :, 1:]), 0.0)
+    assert shared3["fuse_vae_embedding_in_latents"] is True
+
+
+def test_fun_reference_and_speed_units(monkeypatch):
+    from fantasy_world_tpu.models.wan import vae as vae_mod
+    from fantasy_world_tpu.pipelines.units import (PipelineUnitRunner,
+                                                   FunReference, SpeedControl)
+    monkeypatch.setattr(vae_mod, "vae_encode", _stub_vae_encode(5.0))
+    pipe = _full_pipe()          # no "clip" params -> latents only
+    shared = {"reference_image": np.zeros((64, 64, 3), np.float32),
+              "height": 64, "width": 64, "cfg_scale": 5.0}
+    shared, _, _ = PipelineUnitRunner()(FunReference(), pipe, shared, {}, {})
+    assert shared["reference_latents"].shape == (1, 16, 1, 8, 8)
+    assert "clip_feature" not in shared
+
+    shared = {"motion_bucket_id": 31, "cfg_scale": 5.0}
+    shared, _, _ = PipelineUnitRunner()(SpeedControl(), pipe, shared, {}, {})
+    assert np.asarray(shared["motion_bucket_id"]).tolist() == [31.0]
+
+
+def test_image_embedder_clip_gating(monkeypatch):
+    """No clip params -> no-op; with stubbed encoder the end-image tokens
+    concatenate only under has_image_pos_emb (wan_video_new.py:841-852)."""
+    import jax.numpy as jnp
+    from fantasy_world_tpu.models.wan import clip as clip_mod
+    from fantasy_world_tpu.pipelines.units import (PipelineUnitRunner,
+                                                   ImageEmbedderCLIP)
+    pipe = _full_pipe()
+    img = np.zeros((64, 64, 3), np.float32)
+    shared = {"input_image": img, "end_image": img, "height": 64,
+              "width": 64, "cfg_scale": 5.0}
+    out, _, _ = PipelineUnitRunner()(ImageEmbedderCLIP(), pipe,
+                                     dict(shared), {}, {})
+    assert "clip_feature" not in out
+
+    monkeypatch.setattr(clip_mod, "preprocess_image", lambda x: x)
+    monkeypatch.setattr(clip_mod, "clip_encode_image",
+                        lambda p, cfg, x: jnp.ones((1, 257, 1280)))
+    pipe.params["clip"] = {}
+    pipe.clip_cfg = None
+    out, _, _ = PipelineUnitRunner()(ImageEmbedderCLIP(), pipe,
+                                     dict(shared), {}, {})
+    assert out["clip_feature"].shape == (1, 257, 1280)
+    pipe.cfg.dit.has_image_pos_emb = True
+    out, _, _ = PipelineUnitRunner()(ImageEmbedderCLIP(), pipe,
+                                     dict(shared), {}, {})
+    pipe.cfg.dit.has_image_pos_emb = False
+    assert out["clip_feature"].shape == (1, 514, 1280)
+
+
 def test_fun_camera_control_unit():
     import jax.numpy as jnp
     from fantasy_world_tpu.pipelines.units import (PipelineUnitRunner,
