@@ -81,6 +81,24 @@ def _denoise_scan_tea(params, scan_params, cfg, latents, residual0, xs, ctx,
     return latents
 
 
+@functools.partial(jax.jit, static_argnames=("cfg", "cfg_scale"))
+def _cfg_forward_window(params, scan_params, cfg, latents, timestep, ctx,
+                        clip2, y2, pl2_bcthw, cfg_scale):
+    """One CFG-pair noise prediction on a temporal latent window (the
+    per-window model_fn under temporal_tiled_forward). plucker features
+    arrive in pseudo-BCTHW layout (B, D, f, h', w') so the tiler can slice
+    them on the frame axis like latents; tokens are re-flattened here."""
+    lat2 = jnp.concatenate([latents] * 2, axis=0)
+    pl = None
+    if pl2_bcthw is not None:
+        B2, D, f, h2, w2 = pl2_bcthw.shape
+        pl = pl2_bcthw.transpose(0, 2, 3, 4, 1).reshape(B2, f * h2 * w2, D)
+    noise, _ = joint_forward(params, scan_params, cfg, lat2,
+                             jnp.full((2,), timestep), ctx, clip2, y2,
+                             plucker_fea=pl)
+    return noise[1:2] + cfg_scale * (noise[0:1] - noise[1:2])
+
+
 @functools.partial(jax.jit,
                    static_argnames=("cfg", "cfg_scale", "mesh", "ulysses"),
                    donate_argnums=(3,))
@@ -228,7 +246,9 @@ class FantasyWorldPipeline:
                 torch_compat_noise: bool = False,
                 tea_cache_l1_thresh: Optional[float] = None,
                 tea_cache_model_id: str = "Wan2.1-I2V-14B-480P",
-                mesh=None, ulysses: bool = False):
+                mesh=None, ulysses: bool = False,
+                sliding_window_size: Optional[int] = None,
+                sliding_window_stride: Optional[int] = None):
         """Returns (final latents (1,16,f,h,w), geometry prediction dict).
 
         tea_cache_l1_thresh: enable TeaCache block-stack skipping at this
@@ -240,6 +260,13 @@ class FantasyWorldPipeline:
         (params should already be sharded over it); ulysses additionally
         routes the long attentions through the explicit all_to_all
         sequence-parallel path (parallel/ulysses.py).
+
+        sliding_window_size/stride (latent frames): long-video denoise via
+        temporal latent tiling (reference TemporalTiler_BCTHW,
+        wan_video_new.py:1433-1484, 1522-1546) -- each step evaluates the
+        denoiser per temporal window and blends overlaps with 0.5-shifted
+        ramps. Like the reference, this is a noise-prediction mechanism:
+        the full-sequence geometry heads do not run (prediction is None).
         """
         if num_frames % 4 != 1:
             num_frames = (num_frames + 2) // 4 * 4 + 1
@@ -262,6 +289,13 @@ class FantasyWorldPipeline:
 
         pairs = sched.sigma_pairs()
         ts = jnp.asarray(sched.timesteps)
+
+        if sliding_window_size is not None:
+            return self._denoise_windowed(
+                params, scan_params, cfg, latents, ts, pairs, ctx, clip2,
+                y2, pl2, cfg_scale, f, height, width,
+                sliding_window_size, sliding_window_stride
+                or max(1, sliding_window_size // 2)), None
 
         # steps 0..n-2 in one jitted scan; final step separately with heads
         if tea_cache_l1_thresh is not None:
@@ -292,6 +326,33 @@ class FantasyWorldPipeline:
         if prediction is not None:
             prediction = {k: v[:1] for k, v in prediction.items()}
         return latents, prediction
+
+    def _denoise_windowed(self, params, scan_params, cfg, latents, ts,
+                          pairs, ctx, clip2, y2, pl2, cfg_scale, f, height,
+                          width, window_size, window_stride):
+        """Host step loop with per-step temporal tiling (the reference's
+        sliding_window path). One compiled program serves every full-size
+        window; a clamped tail window costs one extra compile."""
+        from .temporal_tiler import temporal_tiled_forward
+        pl_bcthw = None
+        if pl2 is not None:
+            pt = cfg.dit.patch_size
+            h2, w2 = height // 8 // pt[1], width // 8 // pt[2]
+            pl_bcthw = pl2.reshape(pl2.shape[0], f, h2, w2,
+                                   pl2.shape[-1]).transpose(0, 4, 1, 2, 3)
+        for i in range(len(ts)):
+            sigma, sigma_next = float(pairs[i, 0]), float(pairs[i, 1])
+            pred = temporal_tiled_forward(
+                lambda latents, y, plucker: _cfg_forward_window(
+                    params, scan_params, cfg, latents, jnp.float32(ts[i]),
+                    ctx, clip2, y, plucker, cfg_scale),
+                {"latents": latents, "y": y2, "plucker": pl_bcthw},
+                window_size, window_stride,
+                slice_names=("latents", "y", "plucker"))
+            latents = (latents.astype(jnp.float32)
+                       + pred.astype(jnp.float32)
+                       * (sigma_next - sigma)).astype(latents.dtype)
+        return latents
 
     # -- decode -------------------------------------------------------------
 

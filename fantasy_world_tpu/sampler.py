@@ -78,9 +78,13 @@ class FantasyWorldSampler:
                        height: int = 336, width: int = 592,
                        num_frames: int = 81, sample_steps: int = 50,
                        cfg_scale: float = 5.0,
-                       tea_cache_l1_thresh: Optional[float] = None
+                       tea_cache_l1_thresh: Optional[float] = None,
+                       mesh=None, ulysses: bool = False
                        ) -> Tuple[np.ndarray, Dict[str, np.ndarray]]:
-        """Returns (uint8 frames (T, H, W, 3), geometry prediction dict)."""
+        """Returns (uint8 frames (T, H, W, 3), geometry prediction dict).
+
+        mesh/ulysses: multi-chip denoise (see FantasyWorldPipeline.denoise);
+        params must already be sharded over the mesh."""
         if image is None:
             from PIL import Image
             image = np.asarray(Image.open(image_path).convert("RGB")) / 255.0
@@ -102,7 +106,8 @@ class FantasyWorldSampler:
             ctx_pos, ctx_neg, emb["clip_feature"], emb["y"], height, width,
             num_frames=num_frames, num_inference_steps=sample_steps,
             cfg_scale=cfg_scale, seed=seed, plucker_fea=plucker_fea,
-            tea_cache_l1_thresh=tea_cache_l1_thresh)
+            tea_cache_l1_thresh=tea_cache_l1_thresh, mesh=mesh,
+            ulysses=ulysses)
         video = self.pipe.decode_video(latents)
         pred_np = {k: np.asarray(v, np.float32)
                    for k, v in (prediction or {}).items()}

@@ -51,6 +51,46 @@ def test_denoise_smoke_and_tea_path():
     assert not np.allclose(np.asarray(lat), np.asarray(lat_tea))
 
 
+def test_denoise_sliding_window():
+    """Temporal tiling (TemporalTiler_BCTHW equivalent): a window covering
+    the whole sequence must reproduce the plain scan exactly (prediction is
+    None by design); a strided 2-frame window must still denoise finitely
+    and differ from the full-attention result."""
+    import jax.numpy as jnp
+    pipe, cfg = _tiny_pipe()
+
+    f, h, w = 3, 64, 64
+    num_frames = 4 * (f - 1) + 1
+    ctx_pos = jnp.zeros((1, 16, 4096), jnp.float32)
+    ctx_neg = jnp.ones((1, 16, 4096), jnp.float32) * 0.01
+    clip = jnp.zeros((1, 257, 1280), jnp.float32)
+    y = jnp.zeros((1, 20, f, h // 8, w // 8), jnp.float32)
+    pl = jnp.asarray(np.random.default_rng(0).standard_normal(
+        (1, f * (h // 16) * (w // 16), 2048)) * 0.1, jnp.float32)
+
+    lat_ref, _ = pipe.denoise(ctx_pos, ctx_neg, clip, y, h, w,
+                              num_frames=num_frames, num_inference_steps=2,
+                              seed=7, plucker_fea=pl)
+
+    lat_full, pred = pipe.denoise(ctx_pos, ctx_neg, clip, y, h, w,
+                                  num_frames=num_frames,
+                                  num_inference_steps=2, seed=7,
+                                  plucker_fea=pl, sliding_window_size=f,
+                                  sliding_window_stride=f)
+    assert pred is None
+    np.testing.assert_allclose(np.asarray(lat_full, np.float32),
+                               np.asarray(lat_ref, np.float32),
+                               rtol=2e-5, atol=2e-5)
+
+    lat_win, _ = pipe.denoise(ctx_pos, ctx_neg, clip, y, h, w,
+                              num_frames=num_frames, num_inference_steps=2,
+                              seed=7, plucker_fea=pl, sliding_window_size=2,
+                              sliding_window_stride=1)
+    assert lat_win.shape == lat_ref.shape
+    assert bool(jnp.isfinite(lat_win).all())
+    assert not np.allclose(np.asarray(lat_win), np.asarray(lat_ref))
+
+
 def test_denoise_bf16_production_dtype():
     """Production inference runs bf16 end-to-end; the scheduler's f32 sigma
     math must not promote the scan carry (caught live on TPU: 'carry input
