@@ -18,6 +18,11 @@ Round-1 fixes (VERDICT.md "What's weak" 1-2):
   * a JSON line is always emitted, with "partial": true if the deep point
     had to be skipped for budget.
 
+The headline value is bf16 (the reference's precision). When budget
+allows, the same depths are re-measured under the int8 w8a8 path
+(core/quant.py, the TPU-native form of the reference's fp8 serving
+option) and reported as points.int8_full_s / points.int8_speedup.
+
 Baseline: the reference publishes no numbers (BASELINE.md); the north-star
 target is a 50-step clip in <=60 s on v5p-8 => 1.1 s/step on 8x459=3672
 bf16 TFLOP/s. vs_baseline compares hardware-normalized throughput: the
@@ -165,6 +170,15 @@ def analytic_flops(num_layers, start_index) -> float:
     return fl * B
 
 
+def quantize(params, scan):
+    """int8 w8a8 rewrite of the dense hot path (core/quant.py) -- the
+    TPU-native form of the reference's fp8 serving option
+    (fusion/model_wan21.py:42). Measured v5e int8 MXU: 2.8x bf16."""
+    from fantasy_world_tpu.core.quant import quantize_tree
+    return jax.jit(lambda p, s: (quantize_tree(p), quantize_tree(s))
+                   )(params, scan)
+
+
 def _aot_forward(cfg, args, cache_name):
     """AOT-compiled joint forward via the library executable cache
     (fantasy_world_tpu/utils/aot_cache.py): loading a serialized
@@ -277,10 +291,16 @@ def main():
     import gc
     flops_full = analytic_flops(FULL_PCB + FULL_IRG, FULL_PCB)
 
-    measured = []          # (n_pcb, n_irg, t_step)
+    measured = []          # bf16: (n_pcb, n_irg, t_step)
+    measured_q = []        # int8 variant
     points = {}
     last_phase_s = None
-    for name, nl, si in POINTS:
+    # bf16 points first (the headline), then the int8 rerun of the same
+    # depths -- the budget guard keeps the driver run safe if the int8
+    # executables are cold.
+    for name, nl, si, quant in ([(n, l, s, False) for n, l, s in POINTS]
+                                + [(f"int8_{n}", l, s, True)
+                                   for n, l, s in POINTS]):
         if measured:
             # adaptive budget guard: the next phase costs about as much as
             # the previous one (similar-size AOT executable; tunnel load
@@ -289,11 +309,13 @@ def main():
             if elapsed + 1.1 * last_phase_s > BUDGET_S:
                 log(f"budget guard at {elapsed:.0f}s (next point projected "
                     f"{1.1 * last_phase_s:.0f}s): stopping at "
-                    f"{len(measured)} point(s)")
+                    f"{len(measured) + len(measured_q)} point(s)")
                 break
         try:
             t0 = time.perf_counter()
             cfg_p, p_p, s_p = build(nl, si)
+            if quant:
+                p_p, s_p = quantize(p_p, s_p)
             log(f"{name} build {time.perf_counter() - t0:.0f}s")
             t0 = time.perf_counter()
             t_p = time_step(cfg_p, p_p, s_p, name)
@@ -307,12 +329,19 @@ def main():
             log(f"{name} point failed ({type(e).__name__}: {str(e)[:200]})")
             if not measured:
                 raise
+            if quant:
+                continue
             break
-        measured.append((si, nl - si, t_p))
+        (measured_q if quant else measured).append((si, nl - si, t_p))
         points[f"{name}_s"] = round(t_p, 4)
 
     full, fit = extrapolate(measured)
     points["fit"] = fit
+    if len(measured_q) >= 2:
+        full_q, fit_q = extrapolate(measured_q)
+        points["int8_full_s"] = round(float(full_q), 4)
+        points["int8_fit"] = fit_q
+        points["int8_speedup"] = round(float(full) / float(full_q), 3)
     emit(full, flops_full, len(measured) < 2, points)
 
 

@@ -136,7 +136,14 @@ def init_linear(rng, in_dim: int, out_dim: int, *, bias: bool = True,
 
 
 def linear(p: Dict, x: jnp.ndarray, *, accum_dtype=jnp.float32) -> jnp.ndarray:
-    """x @ kernel (+ bias), accumulating in f32 on the MXU."""
+    """x @ kernel (+ bias), accumulating in f32 on the MXU.
+
+    Dispatches to the int8/fp8 path when ``p`` was rewritten by
+    core.quant.quantize_tree (the key check is on pytree structure, so it
+    is trace-time static under jit)."""
+    if "kernel" not in p:
+        from .quant import qlinear
+        return qlinear(p, x)
     y = jnp.dot(x, p["kernel"], preferred_element_type=accum_dtype)
     if "bias" in p:
         y = y + p["bias"].astype(accum_dtype)

@@ -185,11 +185,9 @@ def init_wan_dit(rng, cfg: WanDiTConfig, dtype=jnp.bfloat16) -> Dict:
 # apply
 # ---------------------------------------------------------------------------
 
-def _linear(p, x):
-    y = jnp.dot(x, p["kernel"], preferred_element_type=jnp.float32)
-    if "bias" in p:
-        y = y + p["bias"].astype(jnp.float32)
-    return y.astype(x.dtype)
+# core.params.linear: f32-accum matmul with int8/fp8 dispatch when the
+# param dict was rewritten by core.quant.quantize_tree.
+from ...core.params import linear as _linear  # noqa: E402
 
 
 def _gelu_tanh_mlp(p, x):
