@@ -32,21 +32,26 @@ def make_mesh(data: int = 1, seq: int = 1, model: int = 1,
 # (path regex, spec) -- first match wins. Paths are '/'-joined tree keys
 # with list indices, e.g. dit/blocks/3/self_attn/q/kernel.
 _DIT_ATTN = r"(dit|irg/\d+/dit)"
+_K = r"kernel(_q|_f8)?"   # float or int8/fp8-quantized kernel (core/quant.py)
 PARAM_RULES: List[Tuple[str, P]] = [
-    # column-parallel: shard output features of q/k/v and ffn up-projection
-    (r".*/(self_attn|cross_attn)/(q|k|v|k_img|v_img)/kernel$",
+    # column-parallel: shard output features of q/k/v and ffn up-projection.
+    # Quantized kernels shard like their float originals; their per-output-
+    # channel scales (N,) follow the bias.
+    (r".*/(self_attn|cross_attn)/(q|k|v|k_img|v_img)/" + _K + r"$",
      P(None, "model")),
-    (r".*/(self_attn|cross_attn)/(q|k|v|k_img|v_img)/bias$", P("model")),
-    (r".*/ffn/fc1/kernel$", P(None, "model")),
-    (r".*/ffn/fc1/bias$", P("model")),
-    # row-parallel: shard input features of the output projections
-    (r".*/(self_attn|cross_attn)/o/kernel$", P("model", None)),
-    (r".*/ffn/fc2/kernel$", P("model", None)),
+    (r".*/(self_attn|cross_attn)/(q|k|v|k_img|v_img)/(bias|kscale)$",
+     P("model")),
+    (r".*/ffn/fc1/" + _K + r"$", P(None, "model")),
+    (r".*/ffn/fc1/(bias|kscale)$", P("model")),
+    # row-parallel: shard input features of the output projections (their
+    # kscale is over the replicated output axis -> falls through to P())
+    (r".*/(self_attn|cross_attn)/o/" + _K + r"$", P("model", None)),
+    (r".*/ffn/fc2/" + _K + r"$", P("model", None)),
     # T5 tower follows the same pattern
-    (r"t5/blocks/\d+/attn/(q|k|v)/kernel$", P(None, "model")),
-    (r"t5/blocks/\d+/attn/o/kernel$", P("model", None)),
-    (r"t5/blocks/\d+/ffn/(gate|fc1)/kernel$", P(None, "model")),
-    (r"t5/blocks/\d+/ffn/fc2/kernel$", P("model", None)),
+    (r"t5/blocks/\d+/attn/(q|k|v)/" + _K + r"$", P(None, "model")),
+    (r"t5/blocks/\d+/attn/o/" + _K + r"$", P("model", None)),
+    (r"t5/blocks/\d+/ffn/(gate|fc1)/" + _K + r"$", P(None, "model")),
+    (r"t5/blocks/\d+/ffn/fc2/" + _K + r"$", P("model", None)),
     (r"t5/token_embedding$", P(None, "model")),
     # everything else (norms, embeddings, VGGT, bicross, VAE, CLIP): replicate
     (r".*", P()),

@@ -70,6 +70,74 @@ def test_joint_forward_sharded_equality():
     np.testing.assert_allclose(out, ref, rtol=2e-4, atol=2e-4)
 
 
+def test_joint_forward_sharded_equality_int8():
+    """int8 w8a8 params must shard like their float originals (kernel_q
+    column/row-parallel with kscale following the output channels --
+    parallel/sharding.py PARAM_RULES) and produce the same numbers sharded
+    as replicated: the dynamic per-token absmax reduces over the
+    contraction axis, so under row-parallel sharding XLA must all-reduce
+    the max before quantizing and all-reduce the int32 partials after."""
+    import jax
+    import jax.numpy as jnp
+    from jax.sharding import NamedSharding, PartitionSpec as P
+    from fantasy_world_tpu.core.quant import count_quantized, quantize_tree
+    from fantasy_world_tpu.models.fusion.model import (
+        init_fusion, split_trainable, joint_forward)
+    from fantasy_world_tpu.parallel.sharding import (
+        make_mesh, param_specs, stacked_specs, shard_tree, spec_for_path)
+    from __graft_entry__ import _demo_config
+
+    if jax.device_count() < 8:
+        pytest.skip("needs 8 virtual devices")
+
+    assert spec_for_path("dit/blocks/0/self_attn/q/kernel_q") == \
+        P(None, "model")
+    assert spec_for_path("dit/blocks/0/self_attn/q/kscale") == P("model")
+    assert spec_for_path("dit/blocks/0/ffn/fc2/kernel_q") == \
+        P("model", None)
+    assert spec_for_path("dit/blocks/0/ffn/fc2/kscale") == P()
+
+    cfg = _demo_config(dim=64, layers=3, start_index=1, agg_dim=64,
+                       agg_depth=2)
+    params = init_fusion(0, cfg, jnp.float32)
+    lite, scan = split_trainable(params, cfg)
+    lite = quantize_tree(lite, min_dim=16)
+    scan = quantize_tree(scan, min_dim=16)
+    assert count_quantized(scan) > 0
+
+    B, f, h2, w2 = 2, 2, 8, 8
+    rng = np.random.default_rng(1)
+    lat = jnp.asarray(rng.standard_normal((B, 16, f, h2, w2)), jnp.float32)
+    y = jnp.asarray(rng.standard_normal((B, 20, f, h2, w2)), jnp.float32)
+    ctx = jnp.asarray(rng.standard_normal((B, 16, 4096)) * 0.02, jnp.float32)
+    clip = jnp.zeros((B, 257, 1280), jnp.float32)
+    pl = jnp.asarray(rng.standard_normal(
+        (B, f * (h2 // 2) * (w2 // 2), 2048)) * 0.1, jnp.float32)
+    t = jnp.full((B,), 500.0)
+
+    ref, _ = jax.jit(lambda: joint_forward(lite, scan, cfg, lat, t, ctx,
+                                           clip, y, plucker_fea=pl))()
+    ref = np.asarray(ref)
+
+    mesh = make_mesh(data=2, seq=2, model=2)
+    with mesh:
+        lite_s = shard_tree(lite, mesh, param_specs(lite, mesh=mesh))
+        scan_s = shard_tree(scan, mesh, stacked_specs(scan, mesh=mesh))
+        sh = NamedSharding(mesh, P("data"))
+        lat_s, y_s, ctx_s, clip_s, pl_s = (
+            jax.device_put(a, sh) for a in (lat, y, ctx, clip, pl))
+
+        def fwd(lp, sp, l, t, c, cl, yy, pf):
+            n, _ = joint_forward(lp, sp, cfg, l, t, c, cl, yy,
+                                 plucker_fea=pf, mesh=mesh)
+            return n
+        out = np.asarray(jax.jit(fwd)(lite_s, scan_s, lat_s, t, ctx_s,
+                                      clip_s, y_s, pl_s))
+
+    assert np.isfinite(out).all()
+    np.testing.assert_allclose(out, ref, rtol=2e-4, atol=2e-4)
+
+
 def test_distributed_bootstrap_single_host():
     """initialize() must no-op on a single host and report sane topology."""
     from fantasy_world_tpu.parallel import distributed
