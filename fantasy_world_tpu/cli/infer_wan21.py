@@ -60,6 +60,10 @@ def parse_args(argv=None):
     p.add_argument("--tea_cache_l1_thresh", type=float, default=None,
                    help="enable TeaCache block-skip at this rel-L1 drift "
                         "threshold (reference suggests 0.05 for 480P)")
+    p.add_argument("--quant", type=str, default=None,
+                   choices=["int8", "fp8"],
+                   help="quantize the denoiser hot path: int8 w8a8 (MXU "
+                        "fast path) or fp8 weight storage (core/quant.py)")
     p.add_argument("--profile_dir", type=str, default=None,
                    help="capture a jax.profiler trace of the denoise loop "
                         "into this directory (view with xprof/tensorboard)")
@@ -118,6 +122,8 @@ def run(args) -> None:
     sampler = FantasyWorldSampler(
         args.wan_ckpt_path, args.model_ckpt, moge_ckpt=args.moge_ckpt,
         tokenizer_path=args.tokenizer_path, auto_download=args.auto_download)
+    if args.quant:
+        sampler.pipe.quantize(args.quant)
 
     image = np.asarray(Image.open(args.image_path).convert("RGB")) / 255.0
     t0 = time.perf_counter()

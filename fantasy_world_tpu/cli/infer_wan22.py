@@ -44,6 +44,11 @@ def parse_args(argv=None):
     p.add_argument("--auto_download", type=str2bool, default=True,
                    help="fetch missing checkpoints from ModelScope/HF "
                         "(ModelConfig.download_if_necessary equivalent)")
+    p.add_argument("--quant", type=str, default=None,
+                   choices=["int8", "fp8"],
+                   help="quantize both experts' dense hot paths: int8 w8a8 "
+                        "(MXU fast path) or fp8 weight storage "
+                        "(core/quant.py)")
     p.add_argument("--profile_dir", type=str, default=None,
                    help="capture a jax.profiler trace of the denoise loop")
     return p.parse_args(argv)
@@ -127,6 +132,8 @@ def run(args) -> None:
     denoiser = DualModelDenoiser(cfg=cfg, params_high=params_high,
                                  params_low=params_low,
                                  timestep_boundary=args.timestep_boundary)
+    if args.quant:
+        denoiser.quantize(args.quant)
 
     # ---- host preprocessing ---------------------------------------------
     with open(args.camera_json_path) as f:

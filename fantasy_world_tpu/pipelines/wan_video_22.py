@@ -87,6 +87,15 @@ class DualModelDenoiser:
         if self.scan_low is None:
             self.scan_low = prepare_scan_params(self.params_low, self.cfg)
 
+    def quantize(self, mode: str = "int8", **kw) -> None:
+        """int8 w8a8 / fp8-storage rewrite of both experts' dense hot
+        paths (core/quant.py; see FantasyWorldPipeline.quantize)."""
+        from ..core.quant import quantize_tree
+        self.params_high = quantize_tree(self.params_high, mode, **kw)
+        self.params_low = quantize_tree(self.params_low, mode, **kw)
+        self.scan_high = quantize_tree(self.scan_high, mode, **kw)
+        self.scan_low = quantize_tree(self.scan_low, mode, **kw)
+
     def denoise(self, context_pos, context_neg, y, height: int, width: int,
                 num_frames: int = 81, num_inference_steps: int = 50,
                 cfg_scale: float = 5.0, seed: Optional[int] = None,

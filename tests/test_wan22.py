@@ -108,3 +108,17 @@ def test_wan22_joint_forward_smoke():
                              control_camera_latents=ctrl)
     assert noise.shape == latents.shape
     assert bool(jnp.isfinite(noise).all())
+
+    # int8 w8a8 rewrite (DualModelDenoiser.quantize path) stays close to
+    # the float forward on the control-adapter config too
+    from fantasy_world_tpu.core.quant import count_quantized, quantize_tree
+    params_q = quantize_tree(params, min_dim=16)
+    scan_q = quantize_tree(scan, min_dim=16)
+    assert count_quantized(scan_q) > 0
+    noise_q, _ = joint_forward(params_q, scan_q, cfg, latents, t, ctx, None,
+                               y, control_camera_latents=ctrl)
+    a = np.asarray(noise, np.float64).ravel()
+    b = np.asarray(noise_q, np.float64).ravel()
+    cos = a @ b / (np.linalg.norm(a) * np.linalg.norm(b) + 1e-30)
+    assert bool(jnp.isfinite(noise_q).all())
+    assert cos > 0.99
