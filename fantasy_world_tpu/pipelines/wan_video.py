@@ -44,9 +44,11 @@ def _denoise_scan(params, scan_params, cfg, latents, xs, ctx, clip2, y2,
         timestep, sigma, sigma_next = inputs
         lat2 = jnp.concatenate([lat] * 2, axis=0)
         noise, _ = joint_forward(params, scan_params, cfg, lat2,
-                                 jnp.full((2,), timestep), ctx, clip2, y2,
-                                 plucker_fea=pl2, mesh=mesh, ulysses=ulysses)
-        pred = noise[1:2] + cfg_scale * (noise[0:1] - noise[1:2])
+                                 jnp.full((lat2.shape[0],), timestep),
+                                 ctx, clip2, y2, plucker_fea=pl2,
+                                 mesh=mesh, ulysses=ulysses)
+        nb = noise.shape[0] // 2
+        pred = noise[nb:] + cfg_scale * (noise[:nb] - noise[nb:])
         lat = (lat.astype(jnp.float32) + pred.astype(jnp.float32)
                * (sigma_next - sigma)).astype(lat.dtype)
         return lat, None
@@ -69,10 +71,12 @@ def _denoise_scan_tea(params, scan_params, cfg, latents, residual0, xs, ctx,
         timestep, sigma, sigma_next, skip = inputs
         lat2 = jnp.concatenate([lat] * 2, axis=0)
         noise, res = joint_forward_tea(
-            params, scan_params, cfg, lat2, jnp.full((2,), timestep),
+            params, scan_params, cfg, lat2,
+            jnp.full((lat2.shape[0],), timestep),
             ctx, clip2, y2, plucker_fea=pl2, skip=skip, residual=res,
             mesh=mesh, ulysses=ulysses)
-        pred = noise[1:2] + cfg_scale * (noise[0:1] - noise[1:2])
+        nb = noise.shape[0] // 2
+        pred = noise[nb:] + cfg_scale * (noise[:nb] - noise[nb:])
         lat = (lat.astype(jnp.float32) + pred.astype(jnp.float32)
                * (sigma_next - sigma)).astype(lat.dtype)
         return (lat, res), None
@@ -94,9 +98,10 @@ def _cfg_forward_window(params, scan_params, cfg, latents, timestep, ctx,
         B2, D, f, h2, w2 = pl2_bcthw.shape
         pl = pl2_bcthw.transpose(0, 2, 3, 4, 1).reshape(B2, f * h2 * w2, D)
     noise, _ = joint_forward(params, scan_params, cfg, lat2,
-                             jnp.full((2,), timestep), ctx, clip2, y2,
-                             plucker_fea=pl)
-    return noise[1:2] + cfg_scale * (noise[0:1] - noise[1:2])
+                             jnp.full((lat2.shape[0],), timestep),
+                             ctx, clip2, y2, plucker_fea=pl)
+    nb = noise.shape[0] // 2
+    return noise[nb:] + cfg_scale * (noise[:nb] - noise[nb:])
 
 
 @functools.partial(jax.jit,
@@ -111,7 +116,8 @@ def _final_step(params, scan_params, cfg, latents, t_last, sigma, sigma_next,
                                       ctx, clip2, y2, plucker_fea=pl2,
                                       return_prediction=True, mesh=mesh,
                                       ulysses=ulysses)
-    pred = noise[1:2] + cfg_scale * (noise[0:1] - noise[1:2])
+    nb = noise.shape[0] // 2
+    pred = noise[nb:] + cfg_scale * (noise[:nb] - noise[nb:])
     latents = (latents.astype(jnp.float32) + pred.astype(jnp.float32)
                * (sigma_next - sigma)).astype(latents.dtype)
     return latents, prediction
@@ -237,7 +243,20 @@ class FantasyWorldPipeline:
             g = torch.Generator("cpu").manual_seed(seed) if seed is not None else None
             return jnp.asarray(torch.randn(shape, generator=g,
                                            dtype=torch.float32).numpy())
+        if isinstance(seed, (list, tuple, np.ndarray)):
+            # per-clip seeds (batched eval sweeps): row i draws exactly
+            # what a single-clip run with seed[i] would
+            assert len(seed) == shape[0], "one seed per batch row"
+            return jnp.stack([
+                jax.random.normal(jax.random.PRNGKey(int(s)), shape[1:],
+                                  jnp.float32) for s in seed])
         key = jax.random.PRNGKey(0 if seed is None else seed)
+        if shape[0] > 1:
+            # one scalar seed for a batch: fold the row index in so rows
+            # are independent draws
+            return jnp.stack([
+                jax.random.normal(jax.random.fold_in(key, i), shape[1:],
+                                  jnp.float32) for i in range(shape[0])])
         return jax.random.normal(key, shape, jnp.float32)
 
     # -- camera -------------------------------------------------------------
@@ -260,7 +279,16 @@ class FantasyWorldPipeline:
                 mesh=None, ulysses: bool = False,
                 sliding_window_size: Optional[int] = None,
                 sliding_window_stride: Optional[int] = None):
-        """Returns (final latents (1,16,f,h,w), geometry prediction dict).
+        """Returns (final latents (B,16,f,h,w), geometry prediction dict).
+
+        Batched generation (WorldScore-style eval sweeps, BASELINE.md
+        staged config 5): pass B-row conditioning (context_pos/neg,
+        clip_feature, y, plucker_fea all leading-dim B) and B clips
+        denoise in one program as a CFG batch of 2B. Pass ``seed`` as a
+        list of B ints to make row i draw exactly the noise of a
+        single-clip run with seed[i]; a scalar seed folds the row index
+        in instead. Shard the batch over the mesh 'data' axis for
+        data-parallel sweeps.
 
         tea_cache_l1_thresh: enable TeaCache block-stack skipping at this
         relative-L1 drift threshold (reference default 0.05 for 480P); the
@@ -285,7 +313,8 @@ class FantasyWorldPipeline:
         sched = FlowMatchScheduler().set_timesteps(num_inference_steps)
 
         dtype = self.params["fusion"]["dit"]["patch_embedding"]["kernel"].dtype
-        latents = self.generate_noise((1, 16, f, height // 8, width // 8),
+        B = context_pos.shape[0]
+        latents = self.generate_noise((B, 16, f, height // 8, width // 8),
                                       seed, torch_compat_noise).astype(dtype)
 
         # batch the CFG pair: row 0 positive, row 1 negative
@@ -316,7 +345,7 @@ class FantasyWorldPipeline:
                 tea_cache_l1_thresh, tea_cache_model_id)
             pt = cfg.dit.patch_size
             n_tok = f * (height // 8 // pt[1]) * (width // 8 // pt[2])
-            residual0 = jnp.zeros((2, n_tok, cfg.dit.dim), dtype)
+            residual0 = jnp.zeros((2 * B, n_tok, cfg.dit.dim), dtype)
             xs = (ts[:-1], jnp.asarray(pairs[:-1, 0]),
                   jnp.asarray(pairs[:-1, 1]), jnp.asarray(skips[:-1]))
             latents = _denoise_scan_tea(params, scan_params, cfg, latents,
@@ -331,11 +360,12 @@ class FantasyWorldPipeline:
                                     mesh=mesh, ulysses=ulysses)
 
         latents, prediction = _final_step(
-            params, scan_params, cfg, latents, jnp.full((2,), ts[-1]),
+            params, scan_params, cfg, latents, jnp.full((2 * B,), ts[-1]),
             jnp.float32(pairs[-1, 0]), jnp.float32(pairs[-1, 1]), ctx, clip2,
             y2, pl2, cfg_scale, mesh=mesh, ulysses=ulysses)
         if prediction is not None:
-            prediction = {k: v[:1] for k, v in prediction.items()}
+            # heads ran on the CFG-doubled batch; keep the positive rows
+            prediction = {k: v[:B] for k, v in prediction.items()}
         return latents, prediction
 
     def _denoise_windowed(self, params, scan_params, cfg, latents, ts,

@@ -113,6 +113,66 @@ class FantasyWorldSampler:
                    for k, v in (prediction or {}).items()}
         return video, pred_np
 
+    def generate_videos(self, prompts: List[str],
+                        images: Optional[List[np.ndarray]] = None,
+                        image_paths: Optional[List[str]] = None,
+                        camera_params: Optional[List[List]] = None,
+                        neg_prompt: str = "", using_scale: bool = True,
+                        seeds: Optional[List[int]] = None,
+                        height: int = 336, width: int = 592,
+                        num_frames: int = 81, sample_steps: int = 50,
+                        cfg_scale: float = 5.0, mesh=None,
+                        ulysses: bool = False
+                        ) -> List[Tuple[np.ndarray, Dict[str, np.ndarray]]]:
+        """Batched eval sweep (BASELINE.md staged config 5): denoise B
+        clips in one compiled program as a CFG batch of 2B, sharded over
+        the mesh 'data' axis when one is given. Conditioning is encoded
+        per clip on the host; decode runs per clip (VAE memory). Row i
+        reproduces generate_video(prompt[i], ..., seed=seeds[i]) exactly
+        (per-row seed keys). Returns a list of (video, prediction)."""
+        import jax.numpy as jnp
+        from PIL import Image as PILImage
+
+        B = len(prompts)
+        if images is None:
+            images = [np.asarray(PILImage.open(p).convert("RGB")) / 255.0
+                      for p in image_paths]
+        seeds = seeds if seeds is not None else list(range(B))
+        assert len(images) == B and len(seeds) == B
+
+        ctx_p, ctx_n, clips, ys, pls = [], [], [], [], []
+        for i in range(B):
+            img = np.asarray(PILImage.fromarray(
+                (images[i] * 255).astype(np.uint8)).resize(
+                    (width, height))) / 255.0
+            image_pm1 = (img * 2 - 1).astype(np.float32)
+            if camera_params is not None:
+                plucker = self.prepare_camera(camera_params[i], images[i],
+                                              height, width, using_scale)
+                pls.append(self.pipe.encode_plucker(plucker))
+            emb = self.pipe.encode_image(image_pm1, num_frames, height,
+                                         width)
+            clips.append(emb["clip_feature"])
+            ys.append(emb["y"])
+            ctx_p.append(self.pipe.encode_prompt(prompts[i]))
+            ctx_n.append(self.pipe.encode_prompt(neg_prompt))
+
+        cat = lambda xs: jnp.concatenate(xs, axis=0)
+        latents, prediction = self.pipe.denoise(
+            cat(ctx_p), cat(ctx_n), cat(clips), cat(ys), height, width,
+            num_frames=num_frames, num_inference_steps=sample_steps,
+            cfg_scale=cfg_scale, seed=seeds,
+            plucker_fea=cat(pls) if pls else None, mesh=mesh,
+            ulysses=ulysses)
+
+        out = []
+        for i in range(B):
+            video = self.pipe.decode_video(latents[i:i + 1])
+            pred_np = {k: np.asarray(v[i:i + 1], np.float32)
+                       for k, v in (prediction or {}).items()}
+            out.append((video, pred_np))
+        return out
+
     # -- export -----------------------------------------------------------------
 
     @staticmethod

@@ -91,6 +91,52 @@ def test_denoise_sliding_window():
     assert not np.allclose(np.asarray(lat_win), np.asarray(lat_ref))
 
 
+def test_denoise_batched_matches_singles():
+    """Batched eval-sweep denoise (BASELINE staged config 5): a B=2 batch
+    with different conditioning per row must reproduce, row for row, the
+    two single-clip runs with the same seed (noise keys fold the clip
+    index, so batch size does not change the draw)."""
+    import jax.numpy as jnp
+    pipe, cfg = _tiny_pipe()
+
+    f, h, w = 2, 64, 64
+    num_frames = 4 * (f - 1) + 1
+    rng = np.random.default_rng(5)
+    ctx_a = jnp.zeros((1, 16, 4096), jnp.float32)
+    ctx_b = jnp.asarray(rng.standard_normal((1, 16, 4096)) * 0.02,
+                        jnp.float32)
+    ctx_neg = jnp.ones((1, 16, 4096), jnp.float32) * 0.01
+    clip = jnp.zeros((1, 257, 1280), jnp.float32)
+    y = jnp.zeros((1, 20, f, h // 8, w // 8), jnp.float32)
+    pl = jnp.asarray(rng.standard_normal(
+        (1, f * (h // 16) * (w // 16), 2048)) * 0.1, jnp.float32)
+    kw = dict(num_frames=num_frames, num_inference_steps=2)
+
+    lat_a, pred_a = pipe.denoise(ctx_a, ctx_neg, clip, y, h, w,
+                                 plucker_fea=pl, seed=11, **kw)
+    lat_b, _ = pipe.denoise(ctx_b, ctx_neg, clip, y, h, w,
+                            plucker_fea=pl, seed=13, **kw)
+
+    cat = lambda u, v: jnp.concatenate([u, v], axis=0)
+    lat2, pred2 = pipe.denoise(
+        cat(ctx_a, ctx_b), cat(ctx_neg, ctx_neg), cat(clip, clip),
+        cat(y, y), h, w, plucker_fea=cat(pl, pl), seed=[11, 13], **kw)
+
+    assert lat2.shape[0] == 2
+    np.testing.assert_allclose(np.asarray(lat2[0:1], np.float32),
+                               np.asarray(lat_a, np.float32),
+                               rtol=2e-5, atol=2e-5)
+    np.testing.assert_allclose(np.asarray(lat2[1:2], np.float32),
+                               np.asarray(lat_b, np.float32),
+                               rtol=2e-5, atol=2e-5)
+    assert not np.allclose(np.asarray(lat2[0]), np.asarray(lat2[1]))
+    for k, v in pred2.items():
+        assert v.shape[0] == 2
+        np.testing.assert_allclose(np.asarray(v[0:1], np.float32),
+                                   np.asarray(pred_a[k], np.float32),
+                                   rtol=2e-4, atol=2e-4)
+
+
 def test_denoise_bf16_production_dtype():
     """Production inference runs bf16 end-to-end; the scheduler's f32 sigma
     math must not promote the scan carry (caught live on TPU: 'carry input
