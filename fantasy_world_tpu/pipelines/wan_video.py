@@ -85,9 +85,11 @@ def _denoise_scan_tea(params, scan_params, cfg, latents, residual0, xs, ctx,
     return latents
 
 
-@functools.partial(jax.jit, static_argnames=("cfg", "cfg_scale"))
+@functools.partial(jax.jit,
+                   static_argnames=("cfg", "cfg_scale", "mesh", "ulysses"))
 def _cfg_forward_window(params, scan_params, cfg, latents, timestep, ctx,
-                        clip2, y2, pl2_bcthw, cfg_scale):
+                        clip2, y2, pl2_bcthw, cfg_scale, mesh=None,
+                        ulysses=False):
     """One CFG-pair noise prediction on a temporal latent window (the
     per-window model_fn under temporal_tiled_forward). plucker features
     arrive in pseudo-BCTHW layout (B, D, f, h', w') so the tiler can slice
@@ -99,7 +101,8 @@ def _cfg_forward_window(params, scan_params, cfg, latents, timestep, ctx,
         pl = pl2_bcthw.transpose(0, 2, 3, 4, 1).reshape(B2, f * h2 * w2, D)
     noise, _ = joint_forward(params, scan_params, cfg, lat2,
                              jnp.full((lat2.shape[0],), timestep),
-                             ctx, clip2, y2, plucker_fea=pl)
+                             ctx, clip2, y2, plucker_fea=pl, mesh=mesh,
+                             ulysses=ulysses)
     nb = noise.shape[0] // 2
     return noise[nb:] + cfg_scale * (noise[:nb] - noise[nb:])
 
@@ -335,7 +338,8 @@ class FantasyWorldPipeline:
                 params, scan_params, cfg, latents, ts, pairs, ctx, clip2,
                 y2, pl2, cfg_scale, f, height, width,
                 sliding_window_size, sliding_window_stride
-                or max(1, sliding_window_size // 2)), None
+                or max(1, sliding_window_size // 2),
+                mesh=mesh, ulysses=ulysses), None
 
         # steps 0..n-2 in one jitted scan; final step separately with heads
         if tea_cache_l1_thresh is not None:
@@ -370,7 +374,8 @@ class FantasyWorldPipeline:
 
     def _denoise_windowed(self, params, scan_params, cfg, latents, ts,
                           pairs, ctx, clip2, y2, pl2, cfg_scale, f, height,
-                          width, window_size, window_stride):
+                          width, window_size, window_stride, mesh=None,
+                          ulysses=False):
         """Host step loop with per-step temporal tiling (the reference's
         sliding_window path). One compiled program serves every full-size
         window; a clamped tail window costs one extra compile."""
@@ -386,7 +391,8 @@ class FantasyWorldPipeline:
             pred = temporal_tiled_forward(
                 lambda latents, y, plucker: _cfg_forward_window(
                     params, scan_params, cfg, latents, jnp.float32(ts[i]),
-                    ctx, clip2, y, plucker, cfg_scale),
+                    ctx, clip2, y, plucker, cfg_scale, mesh=mesh,
+                    ulysses=ulysses),
                 {"latents": latents, "y": y2, "plucker": pl_bcthw},
                 window_size, window_stride,
                 slice_names=("latents", "y", "plucker"))
