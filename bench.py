@@ -85,7 +85,7 @@ def fetch_scalar(x) -> float:
     return float(np.asarray(jax.device_get(x.ravel()[0]), np.float32))
 
 
-def build(num_layers, start_index):
+def build(num_layers, start_index, quant=False):
     from fantasy_world_tpu.core.params import abstract_init
     from fantasy_world_tpu.models.fusion.model import (
         FusionConfig, init_fusion, prepare_scan_params)
@@ -111,12 +111,21 @@ def build(num_layers, start_index):
         bicross=BicrossConfig(),
         start_index=start_index)
     # abstract shapes (no host RNG), then zero-fill directly in HBM --
-    # weight values are irrelevant for timing
+    # weight values are irrelevant for timing. The quantized (int8 w8a8,
+    # core/quant.py -- the TPU-native form of the reference's fp8 serving
+    # option, fusion/model_wan21.py:42) variant derives the quantized tree
+    # STRUCTURE abstractly too: quantizing materialized bf16 params on
+    # device would keep bf16 + f32 + int8 copies live at once and OOM the
+    # deep points (measured RESOURCE_EXHAUSTED at 6 layers).
     with abstract_init():
         host = init_fusion(0, cfg, jnp.bfloat16)
         host = (host, prepare_scan_params(host, cfg))
     abstract = jax.tree_util.tree_map(
         lambda x: jax.ShapeDtypeStruct(x.shape, x.dtype), host)
+    if quant:
+        from fantasy_world_tpu.core.quant import quantize_tree
+        abstract = jax.eval_shape(
+            lambda t: (quantize_tree(t[0]), quantize_tree(t[1])), abstract)
     make = jax.jit(lambda: jax.tree_util.tree_map(
         lambda s: jnp.zeros(s.shape, s.dtype), abstract))
     params, scan = make()
@@ -168,15 +177,6 @@ def analytic_flops(num_layers, start_index) -> float:
                    + 2 * L_DIT * BD * D + 2 * L_AGG * BD * A)   # out projs
     fl += n_irg * (per_frame + per_global + per_bicross)
     return fl * B
-
-
-def quantize(params, scan):
-    """int8 w8a8 rewrite of the dense hot path (core/quant.py) -- the
-    TPU-native form of the reference's fp8 serving option
-    (fusion/model_wan21.py:42). Measured v5e int8 MXU: 2.8x bf16."""
-    from fantasy_world_tpu.core.quant import quantize_tree
-    return jax.jit(lambda p, s: (quantize_tree(p), quantize_tree(s))
-                   )(params, scan)
 
 
 def _aot_forward(cfg, args, cache_name):
@@ -313,9 +313,7 @@ def main():
                 break
         try:
             t0 = time.perf_counter()
-            cfg_p, p_p, s_p = build(nl, si)
-            if quant:
-                p_p, s_p = quantize(p_p, s_p)
+            cfg_p, p_p, s_p = build(nl, si, quant=quant)
             log(f"{name} build {time.perf_counter() - t0:.0f}s")
             t0 = time.perf_counter()
             t_p = time_step(cfg_p, p_p, s_p, name)
