@@ -36,6 +36,15 @@ Performance notes (measured on v5e, 197 bf16 TFLOP/s):
     or scratch init/finalize.
   * block_q = block_k = 1024 measured best across all five production
     shapes (vs 512/1024 default of round 1: +6% on DiT self-attention).
+  * FAILED EXPERIMENT (2026-08-17, don't retry): int8-QK flash attention.
+    Pre-quantized per-row int8 q/k (scales lane-replicated, rescale of the
+    int32 logits fused into the softmax scale) with the production 4-D
+    grid/blocking measured 0.94x vs this bf16 kernel at the DiT self shape
+    (2,16384,40,128): the inner loop is VPU-bound (softmax), so doubling
+    MXU rate on QK^T buys nothing and the extra f32 rescale pass over the
+    (BQ, BK) logits costs ~6%. Accuracy was fine (cos 0.99997); speed is
+    the reason it's dead. int8 stays weights+dense-activations only
+    (core/quant.py).
   * FAILED EXPERIMENT (2026-08-17, don't retry): packing four 96-wide
     bicross heads into 384 lanes via block-diagonal K'/V' (generalizing
     the paired-head kernel) to avoid the 96->128 pad measured 45 useful
