@@ -1,0 +1,122 @@
+"""Serve FantasyWorld generation over HTTP with batched denoising.
+
+Deployment surface around the reference's one-shot CLI capability
+(inference_wan21.py): a device-owning worker drains same-shape jobs from
+an HTTP queue and denoises them as ONE CFG-batched program
+(sampler.generate_videos, CFG batch of 2B rows over the mesh 'data' axis),
+then exports MP4 + PLY per job.
+
+    python -m fantasy_world_tpu.cli.serve \
+        --ckpt_dir ./models/Wan2.1-I2V-14B-480P --model_ckpt model.pth \
+        --port 8000 --max_batch 4
+
+    curl -X POST localhost:8000/v1/generate -d '{
+        "prompt": "a boat sails past a lighthouse",
+        "image_path": "examples/images/input_image.png",
+        "camera_json": "examples/cameras/camera_data.json", "seed": 7}'
+    curl localhost:8000/v1/jobs/<job_id>
+"""
+from __future__ import annotations
+
+import argparse
+import json
+import os
+
+import numpy as np
+
+
+def parse_args(argv=None):
+    p = argparse.ArgumentParser(description="fantasy-world-tpu server")
+    p.add_argument("--ckpt_dir", type=str, required=True)
+    p.add_argument("--model_ckpt", type=str, required=True)
+    p.add_argument("--moge_ckpt", type=str, default=None)
+    p.add_argument("--tokenizer_path", type=str, default=None)
+    p.add_argument("--auto_download", action="store_true")
+    p.add_argument("--host", type=str, default="127.0.0.1")
+    p.add_argument("--port", type=int, default=8000)
+    p.add_argument("--max_batch", type=int, default=4)
+    p.add_argument("--linger_s", type=float, default=2.0,
+                   help="wait this long after the first queued job for "
+                        "same-shape jobs to fill the batch")
+    p.add_argument("--output_root", type=str, default="serve_outputs")
+    p.add_argument("--mesh_data", type=int, default=1)
+    p.add_argument("--mesh_seq", type=int, default=1)
+    p.add_argument("--mesh_model", type=int, default=1)
+    p.add_argument("--ulysses", action="store_true")
+    return p.parse_args(argv)
+
+
+def make_batch_fn(sampler, args, mesh=None):
+    """jobs -> result dicts via one generate_videos call + per-job export."""
+    from ..hostops.camera import cameras_json_to_camera_list
+    from ..serving.server import DEFAULTS
+
+    def batch_fn(jobs):
+        reqs = [{**DEFAULTS, **j.request} for j in jobs]
+        r0 = reqs[0]
+        camera_params = None
+        if any(r.get("camera_json") for r in reqs):
+            camera_params = []
+            for r in reqs:
+                if not r.get("camera_json"):
+                    raise ValueError("mixed camera/no-camera batch")
+                with open(r["camera_json"]) as f:
+                    camera_params.append(cameras_json_to_camera_list(
+                        json.load(f),
+                        image_size=(r["height"], r["width"])))
+        results = sampler.generate_videos(
+            prompts=[r["prompt"] for r in reqs],
+            image_paths=[r["image_path"] for r in reqs],
+            camera_params=camera_params,
+            neg_prompt=r0["neg_prompt"],
+            using_scale=all(r["using_scale"] for r in reqs),
+            seeds=[r["seed"] if r["seed"] is not None else 1024
+                   for r in reqs],
+            height=r0["height"], width=r0["width"],
+            num_frames=r0["num_frames"], sample_steps=r0["sample_steps"],
+            cfg_scale=r0["cfg_scale"], mesh=mesh, ulysses=args.ulysses)
+        out = []
+        for job, req, (video, pred) in zip(jobs, reqs, results):
+            out_dir = req.get("output_dir") or os.path.join(args.output_root,
+                                                            job.id)
+            sampler.export(video, pred, out_dir,
+                           conf_threshold=req.get("conf_threshold", 1.0),
+                           stride=req.get("stride", 4))
+            out.append({"output_dir": os.path.abspath(out_dir),
+                        "video": "video.mp4",
+                        "frames": int(np.asarray(video).shape[0])})
+        return out
+
+    return batch_fn
+
+
+def main(argv=None) -> None:
+    args = parse_args(argv)
+    from ..sampler import FantasyWorldSampler
+    from ..serving.server import GenerationServer
+
+    mesh = None
+    if args.mesh_data * args.mesh_seq * args.mesh_model > 1:
+        from ..parallel.sharding import make_mesh
+        mesh = make_mesh(data=args.mesh_data, seq=args.mesh_seq,
+                         model=args.mesh_model)
+
+    sampler = FantasyWorldSampler(args.ckpt_dir, args.model_ckpt,
+                                  moge_ckpt=args.moge_ckpt,
+                                  tokenizer_path=args.tokenizer_path,
+                                  auto_download=args.auto_download)
+    server = GenerationServer(make_batch_fn(sampler, args, mesh),
+                              host=args.host, port=args.port,
+                              max_batch=args.max_batch,
+                              linger_s=args.linger_s)
+    print(f"serving on http://{args.host}:{server.port}  "
+          f"(max_batch={args.max_batch}, linger={args.linger_s}s)",
+          flush=True)
+    try:
+        server.serve_forever()
+    except KeyboardInterrupt:
+        server.shutdown()
+
+
+if __name__ == "__main__":
+    main()

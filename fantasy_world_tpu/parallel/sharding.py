@@ -146,6 +146,36 @@ def shard_tree(tree, mesh: Mesh, specs=None):
         is_leaf=lambda x: isinstance(x, P))
 
 
+def shard_opt_state(opt_state, params, mesh: Mesh):
+    """Place optimizer state on the mesh device set.
+
+    ``jit(opt.init)`` leaves scalar state (adam counts, schedule steps) with
+    a committed single-device sharding; Orbax restore then pins it there,
+    and a later jit over mesh-sharded params rejects the mixed device sets.
+    Subtrees structured like ``params`` (adam mu/nu) copy the param
+    shardings leaf-for-leaf so first/second moments shard exactly like their
+    weights; every other array leaf replicates over the mesh.
+    """
+    tdef = jax.tree_util.tree_structure(params)
+    replicated = NamedSharding(mesh, P())
+
+    def target_sharding(p):
+        s = getattr(p, "sharding", None)
+        return s if isinstance(s, NamedSharding) else replicated
+
+    shardings = jax.tree_util.tree_map(target_sharding, params)
+
+    def is_params_like(node):
+        return jax.tree_util.tree_structure(node) == tdef
+
+    def place(node):
+        if is_params_like(node):
+            return jax.tree_util.tree_map(jax.device_put, node, shardings)
+        return jax.device_put(node, replicated)
+
+    return jax.tree_util.tree_map(place, opt_state, is_leaf=is_params_like)
+
+
 def activation_spec(mesh: Mesh, kind: str = "tokens") -> P:
     if kind == "tokens":      # (B, L, D)
         return P("data", "seq", None)

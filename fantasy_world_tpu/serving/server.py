@@ -1,0 +1,243 @@
+"""Batched generation server: HTTP job API over the sampler's batch path.
+
+The reference is a pair of one-shot CLI scripts (inference_wan21.py,
+inference_wan22.py); this adds the deployment surface around the same
+capability: submit generation jobs over HTTP, a single device-owning
+worker thread drains the queue and runs compatible jobs through ONE
+compiled CFG-batched denoise (sampler.generate_videos -- batch of B clips
+= CFG batch of 2B rows, shardable over the mesh 'data' axis), results are
+exported to disk and polled by job id.
+
+Deliberately stdlib-only (http.server + threading): no framework deps in
+the image, and the server is IO-light -- all heavy work stays in the
+worker thread that owns the TPU.
+
+    POST /v1/generate   {"prompt": ..., "image_path": ..., ...} -> {"job_id"}
+    GET  /v1/jobs/<id>  -> {"status": queued|running|done|error, ...}
+    GET  /v1/health     -> {"ok": true, "queued": N}
+
+Jobs are batchable together when their compiled-shape-relevant settings
+match (height/width/frames/steps/cfg/neg_prompt); the worker drains up to
+``max_batch`` same-key jobs per cycle, after a ``linger_s`` wait that lets
+a burst fill the batch.
+"""
+from __future__ import annotations
+
+import json
+import queue
+import threading
+import time
+import uuid
+from dataclasses import dataclass, field
+from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
+from typing import Callable, Dict, List, Optional
+
+
+BATCH_KEY_FIELDS = ("height", "width", "num_frames", "sample_steps",
+                    "cfg_scale", "neg_prompt")
+
+DEFAULTS = {
+    "neg_prompt": "", "height": 336, "width": 592, "num_frames": 81,
+    "sample_steps": 50, "cfg_scale": 5.0, "using_scale": True, "seed": None,
+}
+
+
+@dataclass
+class Job:
+    id: str
+    request: Dict
+    status: str = "queued"            # queued | running | done | error
+    result: Optional[Dict] = None
+    error: Optional[str] = None
+    submitted: float = field(default_factory=time.time)
+    finished: Optional[float] = None
+
+    def batch_key(self):
+        return tuple(self.request.get(k, DEFAULTS.get(k))
+                     for k in BATCH_KEY_FIELDS)
+
+    def public(self) -> Dict:
+        out = {"job_id": self.id, "status": self.status,
+               "submitted": self.submitted}
+        if self.result is not None:
+            out["result"] = self.result
+        if self.error is not None:
+            out["error"] = self.error
+        if self.finished is not None:
+            out["finished"] = self.finished
+        return out
+
+
+class BatchWorker(threading.Thread):
+    """Single consumer of the job queue; owns the device.
+
+    batch_fn(jobs) -> list of JSON-serializable result dicts, one per job
+    (same order). An exception marks every job in the batch as error.
+    """
+
+    def __init__(self, batch_fn: Callable[[List[Job]], List[Dict]],
+                 max_batch: int = 4, linger_s: float = 0.2):
+        super().__init__(daemon=True, name="generation-worker")
+        self.batch_fn = batch_fn
+        self.max_batch = max_batch
+        self.linger_s = linger_s
+        self.queue: "queue.Queue[Optional[Job]]" = queue.Queue()
+        self._pending: List[Job] = []     # same-key jobs deferred to later cycles
+        self._stop = False
+
+    def submit(self, job: Job) -> None:
+        self.queue.put(job)
+
+    def stop(self) -> None:
+        self._stop = True
+        self.queue.put(None)
+
+    def _take(self, timeout: Optional[float]) -> Optional[Job]:
+        try:
+            return self.queue.get(timeout=timeout)
+        except queue.Empty:
+            return None
+
+    def _drain_batch(self) -> List[Job]:
+        """Block for one job, linger for more, keep only same-key ones;
+        different-key jobs go to _pending for the next cycle."""
+        if self._pending:
+            first = self._pending.pop(0)
+        else:
+            first = self._take(None)
+            if first is None:
+                return []
+        batch, key = [first], first.batch_key()
+        deadline = time.time() + self.linger_s
+        source = self._pending
+        # first scan any deferred jobs, then the live queue until linger ends
+        keep = []
+        for job in source:
+            if len(batch) < self.max_batch and job.batch_key() == key:
+                batch.append(job)
+            else:
+                keep.append(job)
+        self._pending = keep
+        while len(batch) < self.max_batch:
+            job = self._take(max(0.0, deadline - time.time()))
+            if job is None:
+                if self._stop or time.time() >= deadline:
+                    break
+                continue
+            if job.batch_key() == key:
+                batch.append(job)
+            else:
+                self._pending.append(job)
+        return batch
+
+    def run(self) -> None:
+        while not self._stop:
+            batch = self._drain_batch()
+            if not batch:
+                if self._stop:
+                    return
+                continue
+            for job in batch:
+                job.status = "running"
+            try:
+                results = self.batch_fn(batch)
+                if len(results) != len(batch):
+                    raise RuntimeError(
+                        f"batch_fn returned {len(results)} results for "
+                        f"{len(batch)} jobs")
+                for job, res in zip(batch, results):
+                    job.result, job.status = res, "done"
+                    job.finished = time.time()
+            except Exception as e:          # noqa: BLE001 -- job-level fault wall
+                for job in batch:
+                    job.status, job.error = "error", f"{type(e).__name__}: {e}"
+                    job.finished = time.time()
+
+
+class GenerationServer:
+    """HTTP front over a BatchWorker + job registry."""
+
+    def __init__(self, batch_fn, host: str = "127.0.0.1", port: int = 8000,
+                 max_batch: int = 4, linger_s: float = 0.2):
+        self.jobs: Dict[str, Job] = {}
+        self._lock = threading.Lock()
+        self.worker = BatchWorker(batch_fn, max_batch=max_batch,
+                                  linger_s=linger_s)
+        handler = self._make_handler()
+        self.httpd = ThreadingHTTPServer((host, port), handler)
+        self.port = self.httpd.server_address[1]    # resolved when port=0
+
+    # -- job registry ----------------------------------------------------------
+
+    def submit(self, request: Dict) -> Job:
+        job = Job(id=uuid.uuid4().hex[:12], request=request)
+        with self._lock:
+            self.jobs[job.id] = job
+        self.worker.submit(job)
+        return job
+
+    def get(self, job_id: str) -> Optional[Job]:
+        with self._lock:
+            return self.jobs.get(job_id)
+
+    def queued_count(self) -> int:
+        with self._lock:
+            return sum(j.status == "queued" for j in self.jobs.values())
+
+    # -- lifecycle --------------------------------------------------------------
+
+    def start(self) -> None:
+        self.worker.start()
+        threading.Thread(target=self.httpd.serve_forever, daemon=True,
+                         name="generation-http").start()
+
+    def serve_forever(self) -> None:
+        self.worker.start()
+        self.httpd.serve_forever()
+
+    def shutdown(self) -> None:
+        self.httpd.shutdown()
+        self.worker.stop()
+
+    # -- http -------------------------------------------------------------------
+
+    def _make_handler(self):
+        server = self
+
+        class Handler(BaseHTTPRequestHandler):
+            def _send(self, code: int, payload: Dict):
+                body = json.dumps(payload).encode()
+                self.send_response(code)
+                self.send_header("Content-Type", "application/json")
+                self.send_header("Content-Length", str(len(body)))
+                self.end_headers()
+                self.wfile.write(body)
+
+            def do_POST(self):
+                if self.path != "/v1/generate":
+                    return self._send(404, {"error": "not found"})
+                try:
+                    n = int(self.headers.get("Content-Length", "0"))
+                    req = json.loads(self.rfile.read(n) or b"{}")
+                except (ValueError, json.JSONDecodeError) as e:
+                    return self._send(400, {"error": f"bad json: {e}"})
+                if not isinstance(req, dict) or "prompt" not in req:
+                    return self._send(400, {"error": "'prompt' is required"})
+                job = server.submit(req)
+                self._send(202, {"job_id": job.id, "status": job.status})
+
+            def do_GET(self):
+                if self.path == "/v1/health":
+                    return self._send(200, {"ok": True,
+                                            "queued": server.queued_count()})
+                if self.path.startswith("/v1/jobs/"):
+                    job = server.get(self.path.rsplit("/", 1)[1])
+                    if job is None:
+                        return self._send(404, {"error": "unknown job"})
+                    return self._send(200, job.public())
+                self._send(404, {"error": "not found"})
+
+            def log_message(self, *a):     # quiet; the worker logs itself
+                pass
+
+        return Handler

@@ -1,0 +1,106 @@
+"""Serving layer: job API, same-shape batching, error isolation.
+
+Uses a stub batch_fn (no model, no device) -- what's under test is the
+queue/batching/registry machinery in fantasy_world_tpu/serving/server.py
+and the request plumbing of cli/serve.py's batch function.
+"""
+import json
+import time
+import urllib.error
+import urllib.request
+
+import pytest
+
+
+def _post(port, payload):
+    req = urllib.request.Request(
+        f"http://127.0.0.1:{port}/v1/generate",
+        data=json.dumps(payload).encode(),
+        headers={"Content-Type": "application/json"})
+    with urllib.request.urlopen(req) as r:
+        return json.loads(r.read()), r.status
+
+
+def _get(port, path):
+    with urllib.request.urlopen(f"http://127.0.0.1:{port}{path}") as r:
+        return json.loads(r.read()), r.status
+
+
+def _wait_done(port, job_id, timeout=10.0):
+    deadline = time.time() + timeout
+    while time.time() < deadline:
+        body, _ = _get(port, f"/v1/jobs/{job_id}")
+        if body["status"] in ("done", "error"):
+            return body
+        time.sleep(0.02)
+    raise TimeoutError(f"job {job_id} not done")
+
+
+@pytest.fixture()
+def server():
+    from fantasy_world_tpu.serving.server import GenerationServer
+
+    calls = []
+
+    def batch_fn(jobs):
+        calls.append([j.request["prompt"] for j in jobs])
+        out = []
+        for j in jobs:
+            if j.request["prompt"] == "boom":
+                raise RuntimeError("synthetic failure")
+            out.append({"echo": j.request["prompt"],
+                        "batch_size": len(jobs)})
+        return out
+
+    srv = GenerationServer(batch_fn, port=0, max_batch=4, linger_s=0.15)
+    srv.calls = calls
+    srv.start()
+    yield srv
+    srv.shutdown()
+
+
+def test_submit_poll_and_batching(server):
+    port = server.port
+    body, status = _get(port, "/v1/health")
+    assert status == 200 and body["ok"]
+
+    # burst of 3 same-shape jobs within the linger window -> one batch
+    ids = [_post(port, {"prompt": f"p{i}"})[0]["job_id"] for i in range(3)]
+    results = [_wait_done(port, i) for i in ids]
+    assert all(r["status"] == "done" for r in results)
+    assert [r["result"]["echo"] for r in results] == ["p0", "p1", "p2"]
+    assert any(len(c) > 1 for c in server.calls), \
+        f"no batching happened: {server.calls}"
+
+
+def test_shape_mismatch_splits_batches(server):
+    port = server.port
+    a = _post(port, {"prompt": "a", "height": 336})[0]["job_id"]
+    b = _post(port, {"prompt": "b", "height": 480})[0]["job_id"]
+    ra, rb = _wait_done(port, a), _wait_done(port, b)
+    assert ra["status"] == rb["status"] == "done"
+    # different heights may never share a call
+    for call in server.calls:
+        assert not ({"a", "b"} <= set(call))
+
+
+def test_error_isolation_and_validation(server):
+    port = server.port
+    jid = _post(port, {"prompt": "boom"})[0]["job_id"]
+    r = _wait_done(port, jid)
+    assert r["status"] == "error" and "synthetic failure" in r["error"]
+
+    # server keeps working after a failed batch
+    ok = _post(port, {"prompt": "fine"})[0]["job_id"]
+    assert _wait_done(port, ok)["status"] == "done"
+
+    # request validation
+    with pytest.raises(urllib.error.HTTPError) as ei:
+        _post(port, {"no_prompt": 1})
+    assert ei.value.code == 400
+    body, _ = _get(port, "/v1/health")
+    assert body["ok"]
+
+    with pytest.raises(urllib.error.HTTPError) as ei:
+        _get(port, "/v1/jobs/doesnotexist")
+    assert ei.value.code == 404
