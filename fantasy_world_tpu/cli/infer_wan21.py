@@ -72,10 +72,17 @@ def parse_args(argv=None):
 
 def load_fusion_params(wan_ckpt_path: str, model_ckpt: str, cfg,
                        dtype):
-    """Assemble the full param set from the reference checkpoint layout."""
+    """Assemble the full param set from the reference checkpoint layout,
+    or mmap-restore a pre-converted Orbax bundle (cli/convert.py)."""
     import jax.numpy as jnp
-    from ..convert.orbax_io import (load_torch_state_dict,
+    from ..convert.orbax_io import (is_bundle, load_bundle,
+                                    load_torch_state_dict,
                                     load_sharded_state_dict, cast_tree)
+
+    if is_bundle(wan_ckpt_path):
+        bundle = load_bundle(wan_ckpt_path,
+                             ("fusion", "vae", "clip", "t5"))
+        return {k: cast_tree(v, dtype) for k, v in bundle.items()}
     from ..convert.fusion import convert_fusion_checkpoint
     from ..convert.wan_vae import convert_wan_vae
     from ..convert.encoders import convert_t5, convert_clip_vision

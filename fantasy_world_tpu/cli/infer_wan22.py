@@ -105,28 +105,40 @@ def run(args) -> None:
 
     cfg = wan22_fusion_config()
     dtype = jnp.bfloat16
-    lora_dir = os.path.join(args.wan_ckpt_path, "PAI",
-                            "Wan2.2-Fun-Reward-LoRAs")
-    params_high = load_expert(
-        args.wan_ckpt_path, "high_noise_model/diffusion_pytorch_model*.safetensors",
-        os.path.join(lora_dir, "Wan2.2-Fun-A14B-InP-high-noise-HPS2.1.safetensors"),
-        args.model_ckpt_high, cfg, dtype)
-    params_low = load_expert(
-        args.wan_ckpt_path, "low_noise_model/diffusion_pytorch_model*.safetensors",
-        os.path.join(lora_dir, "Wan2.2-Fun-A14B-InP-low-noise-HPS2.1.safetensors"),
-        args.model_ckpt_low, cfg, dtype)
+    from ..convert.orbax_io import is_bundle, load_bundle
+    if is_bundle(args.wan_ckpt_path):
+        # pre-converted Orbax bundle (cli/convert.py --variant wan22):
+        # LoRA already merged into the experts at conversion time
+        bundle = load_bundle(args.wan_ckpt_path,
+                             ("fusion_high", "fusion_low", "vae", "t5"))
+        params_high = cast_tree(bundle["fusion_high"], dtype)
+        params_low = cast_tree(bundle["fusion_low"], dtype)
+        shared = {"fusion": params_high,
+                  "vae": cast_tree(bundle["vae"], dtype),
+                  "t5": cast_tree(bundle["t5"], dtype)}
+    else:
+        lora_dir = os.path.join(args.wan_ckpt_path, "PAI",
+                                "Wan2.2-Fun-Reward-LoRAs")
+        params_high = load_expert(
+            args.wan_ckpt_path, "high_noise_model/diffusion_pytorch_model*.safetensors",
+            os.path.join(lora_dir, "Wan2.2-Fun-A14B-InP-high-noise-HPS2.1.safetensors"),
+            args.model_ckpt_high, cfg, dtype)
+        params_low = load_expert(
+            args.wan_ckpt_path, "low_noise_model/diffusion_pytorch_model*.safetensors",
+            os.path.join(lora_dir, "Wan2.2-Fun-A14B-InP-low-noise-HPS2.1.safetensors"),
+            args.model_ckpt_low, cfg, dtype)
 
-    vae_sd = load_torch_state_dict(os.path.join(args.wan_ckpt_path,
-                                                "Wan2.1_VAE.pth"))
-    t5_sd = load_torch_state_dict(os.path.join(
-        args.wan_ckpt_path, "models_t5_umt5-xxl-enc-bf16.pth"))
-    shared = {
-        "fusion": params_high,
-        "vae": cast_tree(convert_wan_vae(
-            {("model." + k) if not k.startswith("model.") else k: v
-             for k, v in vae_sd.items()}), dtype),
-        "t5": cast_tree(convert_t5(t5_sd), dtype),
-    }
+        vae_sd = load_torch_state_dict(os.path.join(args.wan_ckpt_path,
+                                                    "Wan2.1_VAE.pth"))
+        t5_sd = load_torch_state_dict(os.path.join(
+            args.wan_ckpt_path, "models_t5_umt5-xxl-enc-bf16.pth"))
+        shared = {
+            "fusion": params_high,
+            "vae": cast_tree(convert_wan_vae(
+                {("model." + k) if not k.startswith("model.") else k: v
+                 for k, v in vae_sd.items()}), dtype),
+            "t5": cast_tree(convert_t5(t5_sd), dtype),
+        }
     pipe = FantasyWorldPipeline(cfg=cfg, params=shared,
                                 tokenizer_path=args.tokenizer_path)
     denoiser = DualModelDenoiser(cfg=cfg, params_high=params_high,

@@ -97,3 +97,47 @@ def convert_checkpoint_file(path: str, out_dir: Optional[str] = None,
     if out_dir:
         save_orbax(tree, os.path.join(out_dir, name))
     return name, tree
+
+
+# -- pre-converted bundles ----------------------------------------------------
+#
+# The reference re-parses torch checkpoints on every run (ModelManager,
+# model_manager.py:348-379). Converting the ~28 GB layout costs minutes of
+# host work; a bundle is the converted pytree saved once (cli/convert.py)
+# and mmap-restored on every later run. Layout:
+#     <dir>/bundle.json            {"components": [...], "format": 1}
+#     <dir>/<component>/           one Orbax dir per top-level tree
+
+BUNDLE_MANIFEST = "bundle.json"
+
+
+def is_bundle(path: str) -> bool:
+    return bool(path) and os.path.isfile(os.path.join(path, BUNDLE_MANIFEST))
+
+
+def save_bundle(components: Mapping[str, object], path: str) -> str:
+    """Save {name: pytree} as an Orbax bundle directory."""
+    import json
+    path = os.path.abspath(path)
+    os.makedirs(path, exist_ok=True)
+    for name, tree in components.items():
+        save_orbax(tree, os.path.join(path, name))
+    with open(os.path.join(path, BUNDLE_MANIFEST), "w") as f:
+        json.dump({"components": sorted(components), "format": 1}, f)
+    return path
+
+
+def load_bundle(path: str, components=None) -> Dict[str, object]:
+    """Restore an Orbax bundle; `components` optionally restricts/orders
+    which trees load (a missing requested component raises KeyError)."""
+    import json
+    path = os.path.abspath(path)
+    with open(os.path.join(path, BUNDLE_MANIFEST)) as f:
+        manifest = json.load(f)
+    have = set(manifest["components"])
+    want = list(components) if components is not None else manifest["components"]
+    missing = [c for c in want if c not in have]
+    if missing:
+        raise KeyError(f"bundle {path} lacks components {missing}; "
+                       f"has {sorted(have)}")
+    return {name: load_orbax(os.path.join(path, name)) for name in want}

@@ -1,0 +1,56 @@
+"""Orbax bundle roundtrip + loader fast-path dispatch.
+
+The bundle (convert/orbax_io.py, cli/convert.py) is the once-only converted
+form of the reference's torch checkpoint layout, replacing ModelManager's
+per-run re-parse (diffsynth_wan21/models/model_manager.py:348-379).
+"""
+import numpy as np
+import pytest
+
+
+def _tiny_tree(seed):
+    rng = np.random.default_rng(seed)
+    import jax.numpy as jnp
+    return {"w": jnp.asarray(rng.standard_normal((4, 8)), jnp.bfloat16),
+            "inner": {"b": jnp.asarray(rng.standard_normal(8), jnp.float32)}}
+
+
+def test_bundle_roundtrip(tmp_path):
+    from fantasy_world_tpu.convert.orbax_io import (save_bundle, load_bundle,
+                                                    is_bundle)
+
+    comps = {"fusion": _tiny_tree(0), "vae": _tiny_tree(1)}
+    path = save_bundle(comps, tmp_path / "b")
+    assert is_bundle(path)
+    assert not is_bundle(str(tmp_path))
+
+    out = load_bundle(path)
+    assert sorted(out) == ["fusion", "vae"]
+    for name in comps:
+        np.testing.assert_array_equal(
+            np.asarray(out[name]["w"], np.float32),
+            np.asarray(comps[name]["w"], np.float32))
+        np.testing.assert_array_equal(np.asarray(out[name]["inner"]["b"]),
+                                      np.asarray(comps[name]["inner"]["b"]))
+
+    # component selection + missing-component error
+    only = load_bundle(path, ("vae",))
+    assert sorted(only) == ["vae"]
+    with pytest.raises(KeyError):
+        load_bundle(path, ("fusion", "clip"))
+
+
+def test_load_fusion_params_bundle_fast_path(tmp_path):
+    import jax.numpy as jnp
+    from fantasy_world_tpu.convert.orbax_io import save_bundle
+    from fantasy_world_tpu.cli.infer_wan21 import load_fusion_params
+
+    comps = {name: _tiny_tree(i) for i, name in
+             enumerate(("fusion", "vae", "clip", "t5"))}
+    path = save_bundle(comps, tmp_path / "wan21.bundle")
+    # cfg is unused on the bundle path; model_ckpt likewise
+    params = load_fusion_params(str(path), "unused.pth", None, jnp.bfloat16)
+    assert sorted(params) == ["clip", "fusion", "t5", "vae"]
+    assert params["fusion"]["w"].dtype == jnp.bfloat16
+    # cast_tree normalizes every leaf to the requested dtype
+    assert params["t5"]["inner"]["b"].dtype == jnp.bfloat16
