@@ -67,6 +67,21 @@ def parse_args(argv=None):
     p.add_argument("--profile_dir", type=str, default=None,
                    help="capture a jax.profiler trace of the denoise loop "
                         "into this directory (view with xprof/tensorboard)")
+    p.add_argument("--mesh_data", type=int, default=1)
+    p.add_argument("--mesh_seq", type=int, default=1)
+    p.add_argument("--mesh_model", type=int, default=1,
+                   help="multi-chip denoise: data x seq x model mesh over "
+                        "jax.devices() (parallel/sharding.py)")
+    p.add_argument("--ulysses", type=str2bool, default=False,
+                   help="all_to_all sequence-parallel attention over the "
+                        "'seq' axis (parallel/ulysses.py)")
+    p.add_argument("--segment_size", type=int, default=None,
+                   help="run the denoise scan in host-level segments of "
+                        "this many steps (enables progress prints and "
+                        "preemption resume)")
+    p.add_argument("--gen_ckpt_path", type=str, default=None,
+                   help="partial-state checkpoint: a preempted generation "
+                        "resumes from its last finished segment")
     return p.parse_args(argv)
 
 
@@ -131,6 +146,17 @@ def run(args) -> None:
         tokenizer_path=args.tokenizer_path, auto_download=args.auto_download)
     if args.quant:
         sampler.pipe.quantize(args.quant)
+    mesh = None
+    if args.mesh_data * args.mesh_seq * args.mesh_model > 1:
+        from ..parallel.sharding import make_mesh
+        mesh = make_mesh(data=args.mesh_data, seq=args.mesh_seq,
+                         model=args.mesh_model)
+        sampler.pipe.shard(mesh)
+
+    progress = None
+    if args.segment_size:
+        progress = lambda done, total: print(
+            f"[denoise] step {done}/{total}", flush=True)
 
     image = np.asarray(Image.open(args.image_path).convert("RGB")) / 255.0
     t0 = time.perf_counter()
@@ -140,7 +166,10 @@ def run(args) -> None:
             camera_params=cameras, using_scale=args.using_scale,
             seed=args.seed, height=args.height, width=args.width,
             num_frames=args.frames, sample_steps=args.sample_steps,
-            tea_cache_l1_thresh=args.tea_cache_l1_thresh)
+            tea_cache_l1_thresh=args.tea_cache_l1_thresh,
+            mesh=mesh, ulysses=args.ulysses,
+            segment_size=args.segment_size, progress_callback=progress,
+            gen_ckpt_path=args.gen_ckpt_path)
     dt = time.perf_counter() - t0
     print(f"[timing] generate {args.sample_steps} steps + decode: {dt:.1f}s "
           f"({dt / args.sample_steps:.2f} s/step incl. compile)")

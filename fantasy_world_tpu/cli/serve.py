@@ -43,6 +43,14 @@ def parse_args(argv=None):
     p.add_argument("--mesh_seq", type=int, default=1)
     p.add_argument("--mesh_model", type=int, default=1)
     p.add_argument("--ulysses", action="store_true")
+    p.add_argument("--segment_size", type=int, default=None,
+                   help="run each batch's denoise scan in host segments of "
+                        "this many steps; jobs then report live progress "
+                        "via GET /v1/jobs/<id>")
+    p.add_argument("--quant", type=str, default=None, choices=["int8", "fp8"],
+                   help="quantize the denoiser hot path before serving "
+                        "(int8 w8a8 MXU fast path / fp8 storage, "
+                        "core/quant.py)")
     return p.parse_args(argv)
 
 
@@ -64,6 +72,11 @@ def make_batch_fn(sampler, args, mesh=None):
                     camera_params.append(cameras_json_to_camera_list(
                         json.load(f),
                         image_size=(r["height"], r["width"])))
+        progress = None
+        if args.segment_size:
+            def progress(done, total):
+                for j in jobs:
+                    j.progress = {"done": done, "total": total}
         results = sampler.generate_videos(
             prompts=[r["prompt"] for r in reqs],
             image_paths=[r["image_path"] for r in reqs],
@@ -74,7 +87,9 @@ def make_batch_fn(sampler, args, mesh=None):
                    for r in reqs],
             height=r0["height"], width=r0["width"],
             num_frames=r0["num_frames"], sample_steps=r0["sample_steps"],
-            cfg_scale=r0["cfg_scale"], mesh=mesh, ulysses=args.ulysses)
+            cfg_scale=r0["cfg_scale"], mesh=mesh, ulysses=args.ulysses,
+            segment_size=args.segment_size, progress_callback=progress,
+            tea_cache_l1_thresh=r0["tea_cache_l1_thresh"])
         out = []
         for job, req, (video, pred) in zip(jobs, reqs, results):
             out_dir = req.get("output_dir") or os.path.join(args.output_root,
@@ -105,6 +120,10 @@ def main(argv=None) -> None:
                                   moge_ckpt=args.moge_ckpt,
                                   tokenizer_path=args.tokenizer_path,
                                   auto_download=args.auto_download)
+    if args.quant:
+        sampler.pipe.quantize(args.quant)
+    if mesh is not None:
+        sampler.pipe.shard(mesh)
     server = GenerationServer(make_batch_fn(sampler, args, mesh),
                               host=args.host, port=args.port,
                               max_batch=args.max_batch,

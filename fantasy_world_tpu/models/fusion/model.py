@@ -133,14 +133,17 @@ def prepare_scan_params(params: Dict, cfg: FusionConfig) -> Dict:
     return {"pcb": pcb_segs, "irg": irg_segs}
 
 
-def split_trainable(params: Dict, cfg: FusionConfig):
+def split_trainable(params: Dict, cfg: FusionConfig, scan: Dict = None):
     """(params, cfg) -> (params_lite, scan_params) with no weight aliasing:
     the per-layer block lists live only in the scan stacks, everything else
     (embeddings, heads, special tokens) in params_lite. joint_forward reads
     blocks exclusively from scan_params, so gradients flow through exactly
     one copy of every weight -- the layout the training step differentiates.
+    Pass an already-prepared ``scan`` to skip restacking (the stack of a
+    14B tree is a real host-memory spike).
     """
-    scan = prepare_scan_params(params, cfg)
+    if scan is None:
+        scan = prepare_scan_params(params, cfg)
     lite = {
         "dit": {k: v for k, v in params["dit"].items() if k != "blocks"},
         "vggt": {k: (v if k != "aggregator" else
@@ -390,6 +393,7 @@ def joint_forward_tea(params: Dict, scan_params: Dict, cfg: FusionConfig,
                       plucker_fea: Optional[jnp.ndarray] = None,
                       skip: jnp.ndarray = None,
                       residual: jnp.ndarray = None,
+                      control_camera_latents: Optional[jnp.ndarray] = None,
                       mesh=None, ulysses: bool = False,
                       ulysses_min_lq: int = 2048):
     """TeaCache-gated denoise evaluation (wan_video.py:691-745 re-designed
@@ -415,7 +419,7 @@ def joint_forward_tea(params: Dict, scan_params: Dict, cfg: FusionConfig,
     dp = params["dit"]
     (x, ctx, t, t_mod, fhw, ropes, rope_bi_dit, rope_bi_agg) = \
         _forward_prologue(params, cfg, latents, timestep, context,
-                          clip_feature, y, None, mesh)
+                          clip_feature, y, control_camera_latents, mesh)
     f, h, w = fhw
 
     def compute(x):

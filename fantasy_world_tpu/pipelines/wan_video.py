@@ -81,8 +81,8 @@ def _denoise_scan_tea(params, scan_params, cfg, latents, residual0, xs, ctx,
                * (sigma_next - sigma)).astype(lat.dtype)
         return (lat, res), None
 
-    (latents, _), _ = jax.lax.scan(step_fn, (latents, residual0), xs)
-    return latents
+    (latents, residual), _ = jax.lax.scan(step_fn, (latents, residual0), xs)
+    return latents, residual
 
 
 @functools.partial(jax.jit,
@@ -157,6 +157,23 @@ class FantasyWorldPipeline:
 
     def __post_init__(self):
         self._scan_params = prepare_scan_params(self.params["fusion"], self.cfg)
+
+    def shard(self, mesh) -> None:
+        """Shard the denoiser over a Mesh(('data','seq','model')): the
+        fusion tree is split into lite (embeddings/heads, no block lists)
+        + scan stacks and placed per parallel/sharding.py's megatron
+        column/row rules; encoders/VAE stay on the default device (they
+        run once per clip outside the mesh program). Call after load (and
+        after quantize, if used); pass the same mesh to denoise()."""
+        from ..models.fusion.model import split_trainable
+        from ..parallel.sharding import (param_specs, stacked_specs,
+                                         shard_tree)
+        lite, scan = split_trainable(self.params["fusion"], self.cfg,
+                                     scan=self._scan_params)
+        self.params = dict(self.params, fusion=shard_tree(
+            lite, mesh, param_specs(lite, mesh=mesh)))
+        self._scan_params = shard_tree(scan, mesh,
+                                       stacked_specs(scan, mesh=mesh))
 
     def quantize(self, mode: str = "int8", **kw) -> None:
         """Rewrite the denoiser's big dense kernels to int8 (w8a8, 2.8x
@@ -281,7 +298,10 @@ class FantasyWorldPipeline:
                 tea_cache_model_id: str = "Wan2.1-I2V-14B-480P",
                 mesh=None, ulysses: bool = False,
                 sliding_window_size: Optional[int] = None,
-                sliding_window_stride: Optional[int] = None):
+                sliding_window_stride: Optional[int] = None,
+                segment_size: Optional[int] = None,
+                progress_callback=None,
+                gen_ckpt_path: Optional[str] = None):
         """Returns (final latents (B,16,f,h,w), geometry prediction dict).
 
         Batched generation (WorldScore-style eval sweeps, BASELINE.md
@@ -309,6 +329,19 @@ class FantasyWorldPipeline:
         denoiser per temporal window and blends overlaps with 0.5-shifted
         ramps. Like the reference, this is a noise-prediction mechanism:
         the full-sequence geometry heads do not run (prediction is None).
+
+        segment_size / progress_callback / gen_ckpt_path (deployment
+        features the reference lacks -- its loop is all-or-nothing): run
+        the denoise scan in host-level segments of ``segment_size`` steps.
+        After each segment the carry is synced, ``progress_callback(done,
+        total)`` fires, and -- when ``gen_ckpt_path`` is set -- the partial
+        state (step, latents[, TeaCache residual]) is written atomically so
+        a preempted generation resumes from the last finished segment on
+        the next identically-conditioned call. The result is numerically
+        identical to the single-scan path (same step ops in the same
+        order); segmenting only changes how many steps each compiled scan
+        covers (equal-length segments reuse one executable, a ragged tail
+        costs one more). Defaults keep the original one-scan behavior.
         """
         if num_frames % 4 != 1:
             num_frames = (num_frames + 2) // 4 * 4 + 1
@@ -327,6 +360,22 @@ class FantasyWorldPipeline:
         pl2 = (None if plucker_fea is None else
                jnp.concatenate([plucker_fea] * 2, axis=0).astype(dtype))
 
+        if mesh is not None:
+            # conditioning comes out of the single-device encoder jits;
+            # place it on the mesh (CFG batch over 'data' when divisible,
+            # replicated otherwise) so the mesh-spanning scan accepts it
+            from jax.sharding import NamedSharding, PartitionSpec as P
+            dsz = mesh.shape.get("data", 1)
+
+            def place(x):
+                if x is None:
+                    return None
+                spec = P("data") if x.shape[0] % dsz == 0 else P()
+                return jax.device_put(x, NamedSharding(mesh, spec))
+
+            latents, ctx, clip2, y2, pl2 = map(
+                place, (latents, ctx, clip2, y2, pl2))
+
         params, scan_params, cfg = (self.params["fusion"], self._scan_params,
                                     self.cfg)
 
@@ -334,48 +383,145 @@ class FantasyWorldPipeline:
         ts = jnp.asarray(sched.timesteps)
 
         if sliding_window_size is not None:
-            return self._denoise_windowed(
+            latents = self._denoise_windowed(
                 params, scan_params, cfg, latents, ts, pairs, ctx, clip2,
                 y2, pl2, cfg_scale, f, height, width,
                 sliding_window_size, sliding_window_stride
                 or max(1, sliding_window_size // 2),
-                mesh=mesh, ulysses=ulysses), None
+                mesh=mesh, ulysses=ulysses,
+                progress_callback=progress_callback)
+            if mesh is not None:
+                latents = jax.device_put(latents, jax.devices()[0])
+            return latents, None
 
         # steps 0..n-2 in one jitted scan; final step separately with heads
-        if tea_cache_l1_thresh is not None:
+        tea = tea_cache_l1_thresh is not None
+        residual = None
+        if tea:
             from .tea_cache import compute_skip_schedule
             skips = compute_skip_schedule(
                 params["dit"], cfg.dit, sched.timesteps,
                 tea_cache_l1_thresh, tea_cache_model_id)
             pt = cfg.dit.patch_size
             n_tok = f * (height // 8 // pt[1]) * (width // 8 // pt[2])
-            residual0 = jnp.zeros((2 * B, n_tok, cfg.dit.dim), dtype)
+            residual = jnp.zeros((2 * B, n_tok, cfg.dit.dim), dtype)
+            if mesh is not None:
+                from jax.sharding import NamedSharding, PartitionSpec as P
+                dsz = mesh.shape.get("data", 1)
+                residual = jax.device_put(residual, NamedSharding(
+                    mesh, P("data") if (2 * B) % dsz == 0 else P()))
             xs = (ts[:-1], jnp.asarray(pairs[:-1, 0]),
                   jnp.asarray(pairs[:-1, 1]), jnp.asarray(skips[:-1]))
-            latents = _denoise_scan_tea(params, scan_params, cfg, latents,
-                                        residual0, xs, ctx, clip2, y2, pl2,
-                                        cfg_scale, mesh=mesh,
-                                        ulysses=ulysses)
         else:
             xs = (ts[:-1], jnp.asarray(pairs[:-1, 0]),
                   jnp.asarray(pairs[:-1, 1]))
-            latents = _denoise_scan(params, scan_params, cfg, latents, xs,
-                                    ctx, clip2, y2, pl2, cfg_scale,
-                                    mesh=mesh, ulysses=ulysses)
+
+        n_scan = len(sched.timesteps) - 1
+        if (segment_size is None and progress_callback is None
+                and gen_ckpt_path is None):
+            if tea:
+                latents, _ = _denoise_scan_tea(
+                    params, scan_params, cfg, latents, residual, xs, ctx,
+                    clip2, y2, pl2, cfg_scale, mesh=mesh, ulysses=ulysses)
+            else:
+                latents = _denoise_scan(params, scan_params, cfg, latents,
+                                        xs, ctx, clip2, y2, pl2, cfg_scale,
+                                        mesh=mesh, ulysses=ulysses)
+        else:
+            latents = self._denoise_segmented(
+                params, scan_params, cfg, latents, residual, xs, ctx, clip2,
+                y2, pl2, cfg_scale, mesh, ulysses, n_scan,
+                segment_size or n_scan, progress_callback, gen_ckpt_path,
+                tea)
 
         latents, prediction = _final_step(
             params, scan_params, cfg, latents, jnp.full((2 * B,), ts[-1]),
             jnp.float32(pairs[-1, 0]), jnp.float32(pairs[-1, 1]), ctx, clip2,
             y2, pl2, cfg_scale, mesh=mesh, ulysses=ulysses)
+        if gen_ckpt_path:
+            import os
+            # sync before declaring done, then drop the partial state so a
+            # later call with the same path starts fresh
+            np.asarray(jax.device_get(latents.ravel()[0]))
+            if os.path.exists(gen_ckpt_path):
+                os.remove(gen_ckpt_path)
+        if progress_callback:
+            progress_callback(n_scan + 1, n_scan + 1)
         if prediction is not None:
             # heads ran on the CFG-doubled batch; keep the positive rows
             prediction = {k: v[:B] for k, v in prediction.items()}
+        if mesh is not None:
+            # gather off the mesh: the decode/export stages run on the
+            # default device, whose jits reject mesh-committed inputs
+            dev0 = jax.devices()[0]
+            latents = jax.device_put(latents, dev0)
+            if prediction is not None:
+                prediction = jax.device_put(prediction, dev0)
         return latents, prediction
+
+    def _denoise_segmented(self, params, scan_params, cfg, latents, residual,
+                           xs, ctx, clip2, y2, pl2, cfg_scale, mesh, ulysses,
+                           n_scan, seg, progress_callback, gen_ckpt_path,
+                           tea):
+        """Host segment loop around the denoise scan: sync + progress +
+        atomic partial-state checkpoint after every segment, resume from
+        the last finished one (the reference's loop is all-or-nothing)."""
+        import os
+        start = 0
+        if gen_ckpt_path and os.path.exists(gen_ckpt_path):
+            data = np.load(gen_ckpt_path)
+            if (int(data["n_scan"]) == n_scan
+                    and tuple(data["latents"].shape) == latents.shape):
+                start = int(data["step"])
+
+                def restore(x, like):
+                    x = jnp.asarray(x).astype(like.dtype)
+                    # match the incoming carry's placement: a mesh-spanning
+                    # scan rejects default-device-committed arrays
+                    return (jax.device_put(x, like.sharding)
+                            if mesh is not None else x)
+
+                latents = restore(data["latents"], latents)
+                if tea and "residual" in data:
+                    residual = restore(data["residual"], residual)
+        total = n_scan + 1                     # + the final head step
+        if progress_callback and start:
+            progress_callback(start, total)
+        i = start
+        while i < n_scan:
+            j = min(i + max(1, seg), n_scan)
+            xs_seg = tuple(a[i:j] for a in xs)
+            if tea:
+                latents, residual = _denoise_scan_tea(
+                    params, scan_params, cfg, latents, residual, xs_seg,
+                    ctx, clip2, y2, pl2, cfg_scale, mesh=mesh,
+                    ulysses=ulysses)
+            else:
+                latents = _denoise_scan(params, scan_params, cfg, latents,
+                                        xs_seg, ctx, clip2, y2, pl2,
+                                        cfg_scale, mesh=mesh,
+                                        ulysses=ulysses)
+            i = j
+            # sync so progress/checkpoints reflect FINISHED device work
+            # (block_until_ready returns early on the tunneled platform)
+            np.asarray(jax.device_get(latents.ravel()[0]))
+            if gen_ckpt_path:
+                state = {"step": np.asarray(i), "n_scan": np.asarray(n_scan),
+                         "latents": np.asarray(latents, np.float32)}
+                if tea and residual is not None:
+                    state["residual"] = np.asarray(residual, np.float32)
+                tmp = gen_ckpt_path + ".tmp"
+                with open(tmp, "wb") as fh:
+                    np.savez(fh, **state)
+                os.replace(tmp, gen_ckpt_path)
+            if progress_callback:
+                progress_callback(i, total)
+        return latents
 
     def _denoise_windowed(self, params, scan_params, cfg, latents, ts,
                           pairs, ctx, clip2, y2, pl2, cfg_scale, f, height,
                           width, window_size, window_stride, mesh=None,
-                          ulysses=False):
+                          ulysses=False, progress_callback=None):
         """Host step loop with per-step temporal tiling (the reference's
         sliding_window path). One compiled program serves every full-size
         window; a clamped tail window costs one extra compile."""
@@ -399,6 +545,8 @@ class FantasyWorldPipeline:
             latents = (latents.astype(jnp.float32)
                        + pred.astype(jnp.float32)
                        * (sigma_next - sigma)).astype(latents.dtype)
+            if progress_callback:
+                progress_callback(i + 1, len(ts))
         return latents
 
     # -- decode -------------------------------------------------------------

@@ -79,12 +79,19 @@ class FantasyWorldSampler:
                        num_frames: int = 81, sample_steps: int = 50,
                        cfg_scale: float = 5.0,
                        tea_cache_l1_thresh: Optional[float] = None,
-                       mesh=None, ulysses: bool = False
+                       mesh=None, ulysses: bool = False,
+                       segment_size: Optional[int] = None,
+                       progress_callback=None,
+                       gen_ckpt_path: Optional[str] = None
                        ) -> Tuple[np.ndarray, Dict[str, np.ndarray]]:
         """Returns (uint8 frames (T, H, W, 3), geometry prediction dict).
 
         mesh/ulysses: multi-chip denoise (see FantasyWorldPipeline.denoise);
-        params must already be sharded over the mesh."""
+        params must already be sharded over the mesh.
+
+        segment_size/progress_callback/gen_ckpt_path: segmented denoise
+        with per-segment progress and preemption-resume (see
+        FantasyWorldPipeline.denoise)."""
         if image is None:
             from PIL import Image
             image = np.asarray(Image.open(image_path).convert("RGB")) / 255.0
@@ -107,7 +114,9 @@ class FantasyWorldSampler:
             num_frames=num_frames, num_inference_steps=sample_steps,
             cfg_scale=cfg_scale, seed=seed, plucker_fea=plucker_fea,
             tea_cache_l1_thresh=tea_cache_l1_thresh, mesh=mesh,
-            ulysses=ulysses)
+            ulysses=ulysses, segment_size=segment_size,
+            progress_callback=progress_callback,
+            gen_ckpt_path=gen_ckpt_path)
         video = self.pipe.decode_video(latents)
         pred_np = {k: np.asarray(v, np.float32)
                    for k, v in (prediction or {}).items()}
@@ -122,7 +131,10 @@ class FantasyWorldSampler:
                         height: int = 336, width: int = 592,
                         num_frames: int = 81, sample_steps: int = 50,
                         cfg_scale: float = 5.0, mesh=None,
-                        ulysses: bool = False
+                        ulysses: bool = False,
+                        segment_size: Optional[int] = None,
+                        progress_callback=None,
+                        tea_cache_l1_thresh: Optional[float] = None
                         ) -> List[Tuple[np.ndarray, Dict[str, np.ndarray]]]:
         """Batched eval sweep (BASELINE.md staged config 5): denoise B
         clips in one compiled program as a CFG batch of 2B, sharded over
@@ -163,7 +175,9 @@ class FantasyWorldSampler:
             num_frames=num_frames, num_inference_steps=sample_steps,
             cfg_scale=cfg_scale, seed=seeds,
             plucker_fea=cat(pls) if pls else None, mesh=mesh,
-            ulysses=ulysses)
+            ulysses=ulysses, segment_size=segment_size,
+            progress_callback=progress_callback,
+            tea_cache_l1_thresh=tea_cache_l1_thresh)
 
         out = []
         for i in range(B):

@@ -34,11 +34,13 @@ from typing import Callable, Dict, List, Optional
 
 
 BATCH_KEY_FIELDS = ("height", "width", "num_frames", "sample_steps",
-                    "cfg_scale", "neg_prompt")
+                    "cfg_scale", "neg_prompt", "tea_cache_l1_thresh")
 
 DEFAULTS = {
     "neg_prompt": "", "height": 336, "width": 592, "num_frames": 81,
     "sample_steps": 50, "cfg_scale": 5.0, "using_scale": True, "seed": None,
+    "tea_cache_l1_thresh": None,   # per-job TeaCache (shape-relevant: the
+                                   # tea scan is a different compiled program)
 }
 
 
@@ -51,6 +53,7 @@ class Job:
     error: Optional[str] = None
     submitted: float = field(default_factory=time.time)
     finished: Optional[float] = None
+    progress: Optional[Dict] = None   # {"done": N, "total": M} while running
 
     def batch_key(self):
         return tuple(self.request.get(k, DEFAULTS.get(k))
@@ -59,6 +62,8 @@ class Job:
     def public(self) -> Dict:
         out = {"job_id": self.id, "status": self.status,
                "submitted": self.submitted}
+        if self.progress is not None and self.status == "running":
+            out["progress"] = self.progress
         if self.result is not None:
             out["result"] = self.result
         if self.error is not None:

@@ -138,6 +138,54 @@ def test_joint_forward_sharded_equality_int8():
     np.testing.assert_allclose(out, ref, rtol=2e-4, atol=2e-4)
 
 
+def test_pipeline_denoise_sharded_equality():
+    """FantasyWorldPipeline.shard(mesh) + denoise(mesh=...) — the CLI/serve
+    multi-chip path — must reproduce the single-device denoise: shard()
+    splits lite/scan and partitions params, denoise() places the encoder
+    outputs on the mesh, and the mesh-spanning scan must not change the
+    math."""
+    import jax
+    import jax.numpy as jnp
+    from fantasy_world_tpu.models.fusion.model import init_fusion
+    from fantasy_world_tpu.pipelines.wan_video import FantasyWorldPipeline
+    from fantasy_world_tpu.parallel.sharding import make_mesh
+    from __graft_entry__ import _demo_config
+
+    if jax.device_count() < 8:
+        pytest.skip("needs 8 virtual devices")
+
+    cfg = _demo_config(dim=64, layers=3, start_index=1, agg_dim=64,
+                       agg_depth=2)
+    params = init_fusion(0, cfg, jnp.float32)
+
+    f, h, w = 2, 64, 64
+    ctx_pos = jnp.zeros((1, 16, 4096), jnp.float32)
+    ctx_neg = jnp.ones((1, 16, 4096), jnp.float32) * 0.01
+    clip = jnp.zeros((1, 257, 1280), jnp.float32)
+    y = jnp.zeros((1, 20, f, h // 8, w // 8), jnp.float32)
+    pl = jnp.asarray(np.random.default_rng(3).standard_normal(
+        (1, f * (h // 16) * (w // 16), 2048)) * 0.1, jnp.float32)
+    kw = dict(num_frames=4 * (f - 1) + 1, num_inference_steps=2, seed=7,
+              plucker_fea=pl)
+
+    pipe = FantasyWorldPipeline(cfg=cfg, params={"fusion": params})
+    lat_ref, pred_ref = pipe.denoise(ctx_pos, ctx_neg, clip, y, h, w, **kw)
+
+    mesh = make_mesh(data=2, seq=2, model=2)
+    pipe_s = FantasyWorldPipeline(cfg=cfg, params={"fusion": params})
+    pipe_s.shard(mesh)
+    lat_s, pred_s = pipe_s.denoise(ctx_pos, ctx_neg, clip, y, h, w,
+                                   mesh=mesh, **kw)
+
+    np.testing.assert_allclose(np.asarray(lat_s, np.float32),
+                               np.asarray(lat_ref, np.float32),
+                               rtol=2e-4, atol=2e-4)
+    for k in pred_ref:
+        np.testing.assert_allclose(np.asarray(pred_s[k], np.float32),
+                                   np.asarray(pred_ref[k], np.float32),
+                                   rtol=5e-4, atol=5e-4)
+
+
 def test_distributed_bootstrap_single_host():
     """initialize() must no-op on a single host and report sane topology."""
     from fantasy_world_tpu.parallel import distributed

@@ -137,6 +137,90 @@ def test_denoise_batched_matches_singles():
                                    rtol=2e-4, atol=2e-4)
 
 
+def test_denoise_segmented_progress_and_resume(tmp_path):
+    """Segmented denoise (deployment feature: per-segment progress +
+    preemption-resume) must be numerically identical to the one-scan
+    path, fire monotone progress callbacks, and resume a generation
+    killed mid-way from its partial-state checkpoint."""
+    import jax.numpy as jnp
+    pipe, cfg = _tiny_pipe()
+
+    f, h, w = 2, 64, 64
+    num_frames = 4 * (f - 1) + 1
+    ctx_pos = jnp.zeros((1, 16, 4096), jnp.float32)
+    ctx_neg = jnp.ones((1, 16, 4096), jnp.float32) * 0.01
+    clip = jnp.zeros((1, 257, 1280), jnp.float32)
+    y = jnp.zeros((1, 20, f, h // 8, w // 8), jnp.float32)
+    pl = jnp.zeros((1, f * (h // 16) * (w // 16), 2048), jnp.float32)
+    kw = dict(num_frames=num_frames, num_inference_steps=4, seed=7,
+              plucker_fea=pl)
+
+    lat_ref, _ = pipe.denoise(ctx_pos, ctx_neg, clip, y, h, w, **kw)
+
+    ticks = []
+    lat_seg, pred = pipe.denoise(ctx_pos, ctx_neg, clip, y, h, w,
+                                 segment_size=2,
+                                 progress_callback=lambda d, t:
+                                 ticks.append((d, t)), **kw)
+    assert pred is not None
+    # 4 steps = 3 scan steps in segments of 2 (2+1) + final head step
+    assert ticks == [(2, 4), (3, 4), (4, 4)]
+    np.testing.assert_allclose(np.asarray(lat_seg, np.float32),
+                               np.asarray(lat_ref, np.float32),
+                               rtol=1e-6, atol=1e-6)
+
+    # preemption: die after the first segment, then resume from the ckpt
+    ckpt = str(tmp_path / "gen.npz")
+
+    class _Preempt(Exception):
+        pass
+
+    def die_after_first(done, total):
+        if done >= 2:
+            raise _Preempt
+
+    with pytest.raises(_Preempt):
+        pipe.denoise(ctx_pos, ctx_neg, clip, y, h, w, segment_size=2,
+                     gen_ckpt_path=ckpt, progress_callback=die_after_first,
+                     **kw)
+    import os
+    assert os.path.exists(ckpt)          # partial state survived the crash
+
+    ticks2 = []
+    lat_res, _ = pipe.denoise(ctx_pos, ctx_neg, clip, y, h, w,
+                              segment_size=2, gen_ckpt_path=ckpt,
+                              progress_callback=lambda d, t:
+                              ticks2.append((d, t)), **kw)
+    assert ticks2[0] == (2, 4)           # resumed past the finished segment
+    np.testing.assert_allclose(np.asarray(lat_res, np.float32),
+                               np.asarray(lat_ref, np.float32),
+                               rtol=1e-6, atol=1e-6)
+    assert not os.path.exists(ckpt)      # done -> partial state cleared
+
+
+def test_denoise_segmented_tea_matches():
+    """The TeaCache residual is part of the segment carry: segmented TeaCache
+    denoise must match the one-scan TeaCache result."""
+    import jax.numpy as jnp
+    pipe, cfg = _tiny_pipe()
+
+    f, h, w = 2, 64, 64
+    ctx_pos = jnp.zeros((1, 16, 4096), jnp.float32)
+    ctx_neg = jnp.ones((1, 16, 4096), jnp.float32) * 0.01
+    clip = jnp.zeros((1, 257, 1280), jnp.float32)
+    y = jnp.zeros((1, 20, f, h // 8, w // 8), jnp.float32)
+    pl = jnp.zeros((1, f * (h // 16) * (w // 16), 2048), jnp.float32)
+    kw = dict(num_frames=4 * (f - 1) + 1, num_inference_steps=4, seed=7,
+              plucker_fea=pl, tea_cache_l1_thresh=1e9)
+
+    lat_ref, _ = pipe.denoise(ctx_pos, ctx_neg, clip, y, h, w, **kw)
+    lat_seg, _ = pipe.denoise(ctx_pos, ctx_neg, clip, y, h, w,
+                              segment_size=1, **kw)
+    np.testing.assert_allclose(np.asarray(lat_seg, np.float32),
+                               np.asarray(lat_ref, np.float32),
+                               rtol=1e-6, atol=1e-6)
+
+
 def test_denoise_bf16_production_dtype():
     """Production inference runs bf16 end-to-end; the scheduler's f32 sigma
     math must not promote the scan carry (caught live on TPU: 'carry input

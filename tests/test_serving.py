@@ -84,6 +84,41 @@ def test_shape_mismatch_splits_batches(server):
         assert not ({"a", "b"} <= set(call))
 
 
+def test_job_progress_reporting():
+    """A batch_fn that reports progress (the --segment_size path in
+    cli/serve.py) surfaces it on GET /v1/jobs/<id> while running, and the
+    field disappears once the job is done."""
+    from fantasy_world_tpu.serving.server import GenerationServer
+
+    release = []
+
+    def batch_fn(jobs):
+        for j in jobs:
+            j.progress = {"done": 2, "total": 4}
+        while not release:             # hold the job in 'running'
+            time.sleep(0.01)
+        return [{"echo": j.request["prompt"]} for j in jobs]
+
+    srv = GenerationServer(batch_fn, port=0, max_batch=1, linger_s=0.01)
+    srv.start()
+    try:
+        jid = _post(srv.port, {"prompt": "p"})[0]["job_id"]
+        deadline = time.time() + 5.0
+        body = {}
+        while time.time() < deadline:
+            body, _ = _get(srv.port, f"/v1/jobs/{jid}")
+            if body.get("progress"):
+                break
+            time.sleep(0.02)
+        assert body.get("progress") == {"done": 2, "total": 4}
+        release.append(1)
+        done = _wait_done(srv.port, jid)
+        assert done["status"] == "done" and "progress" not in done
+    finally:
+        release.append(1)
+        srv.shutdown()
+
+
 def test_error_isolation_and_validation(server):
     port = server.port
     jid = _post(port, {"prompt": "boom"})[0]["job_id"]
