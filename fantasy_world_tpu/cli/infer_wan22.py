@@ -49,8 +49,31 @@ def parse_args(argv=None):
                    help="quantize both experts' dense hot paths: int8 w8a8 "
                         "(MXU fast path) or fp8 weight storage "
                         "(core/quant.py)")
+    p.add_argument("--mesh_data", type=int, default=1)
+    p.add_argument("--mesh_seq", type=int, default=1)
+    p.add_argument("--mesh_model", type=int, default=1,
+                   help="multi-chip denoise: data x seq x model mesh over "
+                        "jax.devices() (parallel/sharding.py)")
+    p.add_argument("--ulysses", type=str2bool, default=False,
+                   help="all_to_all sequence-parallel attention over the "
+                        "'seq' axis (parallel/ulysses.py)")
     p.add_argument("--profile_dir", type=str, default=None,
                    help="capture a jax.profiler trace of the denoise loop")
+    p.add_argument("--tea_cache_l1_thresh", type=float, default=None,
+                   help="TeaCache: skip the block stack when accumulated "
+                        "timestep-modulation drift is below this threshold "
+                        "(pipelines/tea_cache.py)")
+    p.add_argument("--tea_cache_model_id", type=str,
+                   default="Wan2.1-I2V-14B-480P",
+                   help="TeaCache polynomial coefficient table (the wan22 "
+                        "reference ships the same Wan2.1 tables)")
+    p.add_argument("--segment_size", type=int, default=None,
+                   help="run the denoise in host-level segments of this "
+                        "many steps (progress prints + preemption resume); "
+                        "segments never span the expert boundary")
+    p.add_argument("--gen_ckpt_path", type=str, default=None,
+                   help="partial-state checkpoint: a preempted generation "
+                        "resumes from its last finished segment")
     return p.parse_args(argv)
 
 
@@ -105,10 +128,18 @@ def run(args) -> None:
 
     cfg = wan22_fusion_config()
     dtype = jnp.bfloat16
-    from ..convert.orbax_io import is_bundle, load_bundle
+    pipe_cfg_kw = {}
+    from ..convert.orbax_io import (is_bundle, load_bundle,
+                                    load_bundle_configs)
     if is_bundle(args.wan_ckpt_path):
         # pre-converted Orbax bundle (cli/convert.py --variant wan22):
-        # LoRA already merged into the experts at conversion time
+        # LoRA already merged into the experts at conversion time; the
+        # stamped configs make reduced-size bundles load the same way
+        cfgs = load_bundle_configs(args.wan_ckpt_path)
+        cfg = cfgs.get("fusion_high", cfg)
+        for key, attr in (("t5", "t5_cfg"), ("vae", "vae_cfg")):
+            if key in cfgs:
+                pipe_cfg_kw[attr] = cfgs[key]
         bundle = load_bundle(args.wan_ckpt_path,
                              ("fusion_high", "fusion_low", "vae", "t5"))
         params_high = cast_tree(bundle["fusion_high"], dtype)
@@ -140,12 +171,19 @@ def run(args) -> None:
             "t5": cast_tree(convert_t5(t5_sd), dtype),
         }
     pipe = FantasyWorldPipeline(cfg=cfg, params=shared,
-                                tokenizer_path=args.tokenizer_path)
+                                tokenizer_path=args.tokenizer_path,
+                                **pipe_cfg_kw)
     denoiser = DualModelDenoiser(cfg=cfg, params_high=params_high,
                                  params_low=params_low,
                                  timestep_boundary=args.timestep_boundary)
     if args.quant:
         denoiser.quantize(args.quant)
+    mesh = None
+    if args.mesh_data * args.mesh_seq * args.mesh_model > 1:
+        from ..parallel.sharding import make_mesh
+        mesh = make_mesh(data=args.mesh_data, seq=args.mesh_seq,
+                         model=args.mesh_model)
+        denoiser.shard(mesh)
 
     # ---- host preprocessing ---------------------------------------------
     with open(args.camera_json_path) as f:
@@ -187,12 +225,20 @@ def run(args) -> None:
     import jax
     trace_ctx = (jax.profiler.trace(args.profile_dir)
                  if args.profile_dir else contextlib.nullcontext())
+    progress = None
+    if args.segment_size:
+        progress = lambda done, total: print(
+            f"[denoise] step {done}/{total}", flush=True)
     t0 = time.perf_counter()
     with trace_ctx:
         latents, prediction = denoiser.denoise(
             ctx_pos, ctx_neg, image_emb["y"], args.height, args.width,
             num_inference_steps=args.sample_steps, seed=args.seed,
-            control_camera_latents=ctrl)
+            control_camera_latents=ctrl, mesh=mesh, ulysses=args.ulysses,
+            tea_cache_l1_thresh=args.tea_cache_l1_thresh,
+            tea_cache_model_id=args.tea_cache_model_id,
+            segment_size=args.segment_size, progress_callback=progress,
+            gen_ckpt_path=args.gen_ckpt_path)
         jax.block_until_ready(latents)
     dt = time.perf_counter() - t0
     print(f"[timing] denoise {args.sample_steps} steps: {dt:.1f}s "

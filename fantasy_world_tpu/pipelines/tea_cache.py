@@ -99,3 +99,25 @@ def compute_skip_schedule(dit_params, dit_cfg, timesteps,
     _, t_mods = dit_mod.time_embedding(dit_params, dit_cfg, ts)
     drift = modulation_drift_schedule(np.asarray(t_mods, np.float32))
     return plan_skips(drift, rel_l1_thresh, model_id, coefficients)
+
+
+def compute_skip_schedule_dual(dit_params_high, dit_params_low, dit_cfg,
+                               timesteps, n_high: int,
+                               rel_l1_thresh: float,
+                               model_id: str = "Wan2.1-I2V-14B-480P",
+                               coefficients=None) -> np.ndarray:
+    """Skip planner for the Wan2.2 dual-expert (MoE-over-time) denoiser:
+    steps < n_high use the high-noise expert's time-embedding weights, the
+    rest the low-noise expert's. Matches the reference semantics where one
+    TeaCache instance persists ``previous_modulated_input`` across the
+    `switch_DiT_boundary` model swap (wan_video_new.py:1380-1422, 540-546)
+    -- the drift at the boundary step compares across experts."""
+    from ..models.wan import dit as dit_mod
+    ts = jnp.asarray(np.asarray(timesteps, np.float32))
+    _, mods_high = dit_mod.time_embedding(dit_params_high, dit_cfg, ts)
+    _, mods_low = dit_mod.time_embedding(dit_params_low, dit_cfg, ts)
+    mods_high = np.asarray(mods_high, np.float32)
+    mods_low = np.asarray(mods_low, np.float32)
+    t_mods = np.concatenate([mods_high[:n_high], mods_low[n_high:]], axis=0)
+    drift = modulation_drift_schedule(t_mods)
+    return plan_skips(drift, rel_l1_thresh, model_id, coefficients)

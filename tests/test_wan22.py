@@ -72,6 +72,165 @@ def test_lora_merge():
                                rtol=1e-6)
 
 
+def _tiny_dual_cfg():
+    from fantasy_world_tpu.models.fusion.model import FusionConfig
+    from fantasy_world_tpu.models.wan.dit import WanDiTConfig
+    from fantasy_world_tpu.models.vggt.model import VGGTConfig
+    from fantasy_world_tpu.models.vggt.aggregator import AggregatorConfig
+    from fantasy_world_tpu.models.fusion.bicross import BicrossConfig
+    return FusionConfig(
+        dit=WanDiTConfig(dim=64, in_dim=8, ffn_dim=128, out_dim=4,
+                         text_dim=32, num_heads=4, num_layers=4,
+                         has_image_input=False, require_vae_embedding=True,
+                         add_control_adapter=True, in_dim_control_adapter=24,
+                         camera_adapter_end=0),
+        vggt=VGGTConfig(embed_dim=64, wan_dim=64, dpt_layer_idx=(1, 1, 0, 0),
+                        aggregator=AggregatorConfig(embed_dim=64, depth=2,
+                                                    num_heads=4)),
+        bicross=BicrossConfig(m1_dim=64, m2_dim=64, hidden=64, num_heads=4),
+        start_index=2, camera_control=False)
+
+
+def test_wan22_dual_denoiser_sharded_equality():
+    """DualModelDenoiser.shard(mesh) + denoise(mesh=...) — the wan22 CLI
+    multi-chip path — must reproduce the single-device dual-expert
+    denoise."""
+    import jax, jax.numpy as jnp
+    from fantasy_world_tpu.models.fusion.model import init_fusion
+    from fantasy_world_tpu.parallel.sharding import make_mesh
+    from fantasy_world_tpu.pipelines.wan_video_22 import DualModelDenoiser
+
+    if jax.device_count() < 8:
+        import pytest
+        pytest.skip("needs 8 virtual devices")
+
+    cfg = _tiny_dual_cfg()
+    params_h = init_fusion(jax.random.PRNGKey(0), cfg, jnp.float32)
+    params_l = init_fusion(jax.random.PRNGKey(1), cfg, jnp.float32)
+
+    f, h, w = 3, 64, 96
+    ctx_pos = jnp.zeros((1, 20, 32), jnp.float32)
+    ctx_neg = jnp.ones((1, 20, 32), jnp.float32) * 0.01
+    y = jnp.zeros((1, 4, f, h // 8, w // 8), jnp.float32)
+    ctrl = jnp.zeros((1, 24, f, h, w), jnp.float32)
+    kw = dict(num_frames=4 * (f - 1) + 1, num_inference_steps=3, seed=5,
+              control_camera_latents=ctrl)
+
+    den = DualModelDenoiser(cfg=cfg, params_high=params_h,
+                            params_low=params_l)
+    lat_ref, _ = den.denoise(ctx_pos, ctx_neg, y, h, w, **kw)
+
+    mesh = make_mesh(data=2, seq=2, model=2)
+    den_s = DualModelDenoiser(cfg=cfg, params_high=params_h,
+                              params_low=params_l)
+    den_s.shard(mesh)
+    lat_s, _ = den_s.denoise(ctx_pos, ctx_neg, y, h, w, mesh=mesh, **kw)
+
+    np.testing.assert_allclose(np.asarray(lat_s, np.float32),
+                               np.asarray(lat_ref, np.float32),
+                               rtol=2e-4, atol=2e-4)
+
+
+def test_wan22_boundary_clamp_identical_experts():
+    """With identical experts the result must not depend on the boundary.
+    Catches the n_high == len(ts) double-step: the high scan must clamp to
+    n_scan so the final (heads) step is not applied twice."""
+    import jax, jax.numpy as jnp
+    from fantasy_world_tpu.models.fusion.model import init_fusion
+    from fantasy_world_tpu.pipelines.wan_video_22 import DualModelDenoiser
+
+    cfg = _tiny_dual_cfg()
+    params = init_fusion(jax.random.PRNGKey(0), cfg, jnp.float32)
+    f, h, w = 2, 32, 32
+    ctx_pos = jnp.zeros((1, 10, 32), jnp.float32)
+    ctx_neg = jnp.ones((1, 10, 32), jnp.float32) * 0.01
+    y = jnp.zeros((1, 4, f, h // 8, w // 8), jnp.float32)
+    kw = dict(num_frames=4 * (f - 1) + 1, num_inference_steps=3, seed=7)
+
+    outs = []
+    for boundary in (2000.0, 900.0, -1.0):   # n_high = 0, mid, len(ts)
+        den = DualModelDenoiser(cfg=cfg, params_high=params,
+                                params_low=params,
+                                timestep_boundary=boundary)
+        lat, _ = den.denoise(ctx_pos, ctx_neg, y, h, w, **kw)
+        outs.append(np.asarray(lat, np.float32))
+    np.testing.assert_allclose(outs[1], outs[0], rtol=1e-5, atol=1e-5)
+    np.testing.assert_allclose(outs[2], outs[0], rtol=1e-5, atol=1e-5)
+
+
+def test_wan22_segmented_resume_and_tea(tmp_path):
+    """Segmented dual-expert denoise: (a) segment_size + progress matches
+    the unsegmented run exactly, (b) a run killed mid-way resumes from the
+    partial-state checkpoint to the identical result, (c) TeaCache with a
+    compute-everything threshold matches the plain path, and with forced
+    skips stays finite and runs fewer stacks."""
+    import jax, jax.numpy as jnp
+    from fantasy_world_tpu.models.fusion.model import init_fusion
+    from fantasy_world_tpu.pipelines.wan_video_22 import DualModelDenoiser
+    from fantasy_world_tpu.pipelines.tea_cache import (
+        compute_skip_schedule_dual)
+
+    cfg = _tiny_dual_cfg()
+    params_h = init_fusion(jax.random.PRNGKey(0), cfg, jnp.float32)
+    params_l = init_fusion(jax.random.PRNGKey(1), cfg, jnp.float32)
+    f, h, w = 2, 32, 32
+    ctx_pos = jnp.zeros((1, 10, 32), jnp.float32)
+    ctx_neg = jnp.ones((1, 10, 32), jnp.float32) * 0.01
+    y = jnp.zeros((1, 4, f, h // 8, w // 8), jnp.float32)
+    kw = dict(num_frames=4 * (f - 1) + 1, num_inference_steps=5, seed=7)
+
+    den = DualModelDenoiser(cfg=cfg, params_high=params_h,
+                            params_low=params_l)
+    lat_ref, _ = den.denoise(ctx_pos, ctx_neg, y, h, w, **kw)
+    ref = np.asarray(lat_ref, np.float32)
+
+    # (a) segmented run with progress callback
+    seen = []
+    lat_seg, _ = den.denoise(ctx_pos, ctx_neg, y, h, w, segment_size=2,
+                             progress_callback=lambda d, t: seen.append((d, t)),
+                             **kw)
+    np.testing.assert_allclose(np.asarray(lat_seg, np.float32), ref,
+                               rtol=1e-6, atol=1e-6)
+    assert seen[-1][0] == seen[-1][1]
+    assert [d for d, _ in seen] == sorted(d for d, _ in seen)
+
+    # (b) preemption: die after the first segment, then resume
+    ckpt = str(tmp_path / "gen.npz")
+
+    class Die(RuntimeError):
+        pass
+
+    def die_after_first(done, total):
+        if done >= 2 and done < total:
+            raise Die()
+
+    with pytest.raises(Die):
+        den.denoise(ctx_pos, ctx_neg, y, h, w, segment_size=2,
+                    progress_callback=die_after_first, gen_ckpt_path=ckpt,
+                    **kw)
+    import os
+    assert os.path.exists(ckpt)
+    lat_res, _ = den.denoise(ctx_pos, ctx_neg, y, h, w, segment_size=2,
+                             gen_ckpt_path=ckpt, **kw)
+    np.testing.assert_allclose(np.asarray(lat_res, np.float32), ref,
+                               rtol=1e-6, atol=1e-6)
+    assert not os.path.exists(ckpt)   # completed run drops the partial state
+
+    # (c) TeaCache: a tiny threshold plans zero skips -> identical result
+    ts = np.linspace(1000.0, 20.0, 5).astype(np.float32)
+    skips_none = compute_skip_schedule_dual(
+        params_h["dit"], params_l["dit"], cfg.dit, ts, 2, 1e-9)
+    assert not skips_none.any()
+    lat_tea, _ = den.denoise(ctx_pos, ctx_neg, y, h, w,
+                             tea_cache_l1_thresh=1e-9, **kw)
+    np.testing.assert_allclose(np.asarray(lat_tea, np.float32), ref,
+                               rtol=1e-6, atol=1e-6)
+    # forced skips (huge threshold): still finite, differs from exact
+    lat_skip, _ = den.denoise(ctx_pos, ctx_neg, y, h, w,
+                              tea_cache_l1_thresh=1e9, **kw)
+    assert np.isfinite(np.asarray(lat_skip, np.float32)).all()
+
+
 def test_wan22_joint_forward_smoke():
     """Control-adapter patchify path, no CLIP, y concat still on."""
     import jax, jax.numpy as jnp
