@@ -63,9 +63,16 @@ def run(args) -> None:
             raise SystemExit("wan21 needs --wan_ckpt_path and --model_ckpt")
         from .infer_wan21 import load_fusion_params
         from ..models.fusion.model import FusionConfig
+        from ..models.wan.t5 import T5Config
+        from ..models.wan.clip import CLIPVisionConfig
+        from ..models.wan.vae import VAEConfig
+        from ..models.wan.camera import CameraPoseEncoderConfig
         params = load_fusion_params(args.wan_ckpt_path, args.model_ckpt,
                                     FusionConfig(), dtype)
-        path = save_bundle(params, args.out)
+        path = save_bundle(params, args.out, configs={
+            "fusion": FusionConfig(), "t5": T5Config(),
+            "clip": CLIPVisionConfig(), "vae": VAEConfig(),
+            "pose": CameraPoseEncoderConfig()})
     elif args.variant == "wan22":
         if not (args.wan_ckpt_path and args.model_ckpt_high
                 and args.model_ckpt_low):
@@ -95,13 +102,16 @@ def run(args) -> None:
             os.path.join(args.wan_ckpt_path, "Wan2.1_VAE.pth"))
         t5_sd = load_torch_state_dict(os.path.join(
             args.wan_ckpt_path, "models_t5_umt5-xxl-enc-bf16.pth"))
+        from ..models.wan.t5 import T5Config
+        from ..models.wan.vae import VAEConfig
         path = save_bundle({
             "fusion_high": high, "fusion_low": low,
             "vae": cast_tree(convert_wan_vae(
                 {("model." + k) if not k.startswith("model.") else k: v
                  for k, v in vae_sd.items()}), dtype),
             "t5": cast_tree(convert_t5(t5_sd), dtype),
-        }, args.out)
+        }, args.out, configs={"fusion_high": cfg, "fusion_low": cfg,
+                              "t5": T5Config(), "vae": VAEConfig()})
     else:
         raise SystemExit("pass --variant wan21|wan22 or --file")
     print(f"bundle written: {path}")

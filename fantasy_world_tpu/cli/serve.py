@@ -28,7 +28,17 @@ import numpy as np
 def parse_args(argv=None):
     p = argparse.ArgumentParser(description="fantasy-world-tpu server")
     p.add_argument("--ckpt_dir", type=str, required=True)
-    p.add_argument("--model_ckpt", type=str, required=True)
+    p.add_argument("--variant", choices=["wan21", "wan22"], default="wan21",
+                   help="wan21 = single fusion model (CFG-batched multi-job "
+                        "denoise); wan22 = dual-expert Fun-Control-Camera "
+                        "(jobs run one at a time)")
+    p.add_argument("--model_ckpt", type=str, default=None,
+                   help="fusion model.pth (wan21; unused for bundles)")
+    p.add_argument("--model_ckpt_high", type=str, default=None)
+    p.add_argument("--model_ckpt_low", type=str, default=None,
+                   help="wan22 expert fusion checkpoints (unused for "
+                        "bundles)")
+    p.add_argument("--timestep_boundary", type=float, default=900.0)
     p.add_argument("--moge_ckpt", type=str, default=None)
     p.add_argument("--tokenizer_path", type=str, default=None)
     p.add_argument("--auto_download", action="store_true")
@@ -105,9 +115,54 @@ def make_batch_fn(sampler, args, mesh=None):
     return batch_fn
 
 
+def make_batch_fn22(sampler, args, mesh=None):
+    """wan22 dual-expert jobs: denoised one at a time (the dual denoiser
+    is single-clip), still queued/batched and exported per job."""
+    from ..hostops.camera import cameras_json_to_camera_list
+    from ..serving.server import DEFAULTS
+
+    def batch_fn(jobs):
+        out = []
+        for job in jobs:
+            req = {**DEFAULTS, **job.request}
+            cams = None
+            if req.get("camera_json"):
+                with open(req["camera_json"]) as f:
+                    cams = cameras_json_to_camera_list(
+                        json.load(f),
+                        image_size=(req["height"], req["width"]))
+            progress = None
+            if args.segment_size:
+                def progress(done, total, job=job):
+                    job.progress = {"done": done, "total": total}
+            video, pred = sampler.generate_video(
+                prompt=req["prompt"], neg_prompt=req["neg_prompt"],
+                image_path=req["image_path"], camera_params=cams,
+                using_scale=req["using_scale"],
+                seed=req["seed"] if req["seed"] is not None else 42,
+                height=req["height"], width=req["width"],
+                num_frames=req["num_frames"],
+                sample_steps=req["sample_steps"],
+                cfg_scale=req["cfg_scale"],
+                tea_cache_l1_thresh=req["tea_cache_l1_thresh"],
+                mesh=mesh, ulysses=args.ulysses,
+                segment_size=args.segment_size,
+                progress_callback=progress)
+            out_dir = req.get("output_dir") or os.path.join(args.output_root,
+                                                            job.id)
+            sampler.export(video, pred, out_dir,
+                           conf_threshold=req.get("conf_threshold", 1.5),
+                           stride=req.get("stride", 4))
+            out.append({"output_dir": os.path.abspath(out_dir),
+                        "video": "video.mp4",
+                        "frames": int(np.asarray(video).shape[0])})
+        return out
+
+    return batch_fn
+
+
 def main(argv=None) -> None:
     args = parse_args(argv)
-    from ..sampler import FantasyWorldSampler
     from ..serving.server import GenerationServer
 
     mesh = None
@@ -116,15 +171,41 @@ def main(argv=None) -> None:
         mesh = make_mesh(data=args.mesh_data, seq=args.mesh_seq,
                          model=args.mesh_model)
 
-    sampler = FantasyWorldSampler(args.ckpt_dir, args.model_ckpt,
-                                  moge_ckpt=args.moge_ckpt,
-                                  tokenizer_path=args.tokenizer_path,
-                                  auto_download=args.auto_download)
-    if args.quant:
-        sampler.pipe.quantize(args.quant)
-    if mesh is not None:
-        sampler.pipe.shard(mesh)
-    server = GenerationServer(make_batch_fn(sampler, args, mesh),
+    from ..convert.orbax_io import is_bundle
+    if not is_bundle(args.ckpt_dir):
+        need = (("--model_ckpt_high", args.model_ckpt_high),
+                ("--model_ckpt_low", args.model_ckpt_low)) \
+            if args.variant == "wan22" else (("--model_ckpt",
+                                              args.model_ckpt),)
+        for flag, val in need:
+            if val is None:
+                raise SystemExit(f"{flag} is required unless --ckpt_dir "
+                                 f"is a pre-converted bundle")
+    if args.variant == "wan22":
+        from ..sampler import Wan22Sampler
+        sampler = Wan22Sampler(args.ckpt_dir, args.model_ckpt_high,
+                               args.model_ckpt_low,
+                               moge_ckpt=args.moge_ckpt,
+                               tokenizer_path=args.tokenizer_path,
+                               auto_download=args.auto_download,
+                               timestep_boundary=args.timestep_boundary)
+        if args.quant:
+            sampler.denoiser.quantize(args.quant)
+        if mesh is not None:
+            sampler.denoiser.shard(mesh)
+        batch_fn = make_batch_fn22(sampler, args, mesh)
+    else:
+        from ..sampler import FantasyWorldSampler
+        sampler = FantasyWorldSampler(args.ckpt_dir, args.model_ckpt,
+                                      moge_ckpt=args.moge_ckpt,
+                                      tokenizer_path=args.tokenizer_path,
+                                      auto_download=args.auto_download)
+        if args.quant:
+            sampler.pipe.quantize(args.quant)
+        if mesh is not None:
+            sampler.pipe.shard(mesh)
+        batch_fn = make_batch_fn(sampler, args, mesh)
+    server = GenerationServer(batch_fn,
                               host=args.host, port=args.port,
                               max_batch=args.max_batch,
                               linger_s=args.linger_s)

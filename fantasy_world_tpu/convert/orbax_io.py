@@ -115,16 +115,43 @@ def is_bundle(path: str) -> bool:
     return bool(path) and os.path.isfile(os.path.join(path, BUNDLE_MANIFEST))
 
 
-def save_bundle(components: Mapping[str, object], path: str) -> str:
-    """Save {name: pytree} as an Orbax bundle directory."""
+def save_bundle(components: Mapping[str, object], path: str,
+                configs: Mapping[str, object] = None) -> str:
+    """Save {name: pytree} as an Orbax bundle directory.
+
+    configs: optional {key: config dataclass} (keys per
+    utils/configio.py:config_registry) stamped into ``configs.json`` so the
+    bundle is self-describing -- loaders reconstruct the exact architecture
+    configs instead of hard-coding production dims."""
     import json
     path = os.path.abspath(path)
     os.makedirs(path, exist_ok=True)
     for name, tree in components.items():
         save_orbax(tree, os.path.join(path, name))
+    if configs:
+        from ..utils.configio import config_to_dict
+        with open(os.path.join(path, "configs.json"), "w") as f:
+            json.dump({k: config_to_dict(v) for k, v in configs.items()},
+                      f, indent=1)
     with open(os.path.join(path, BUNDLE_MANIFEST), "w") as f:
-        json.dump({"components": sorted(components), "format": 1}, f)
+        json.dump({"components": sorted(components), "format": 1,
+                   "configs": sorted(configs) if configs else []}, f)
     return path
+
+
+def load_bundle_configs(path: str) -> Dict[str, object]:
+    """Reconstruct the config dataclasses stamped by save_bundle (empty
+    dict for bundles written before configs existed)."""
+    import json
+    fn = os.path.join(os.path.abspath(path), "configs.json")
+    if not os.path.isfile(fn):
+        return {}
+    from ..utils.configio import config_from_dict, config_registry
+    reg = config_registry()
+    with open(fn) as f:
+        raw = json.load(f)
+    return {k: config_from_dict(reg[k], v) for k, v in raw.items()
+            if k in reg}
 
 
 def load_bundle(path: str, components=None) -> Dict[str, object]:

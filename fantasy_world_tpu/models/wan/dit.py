@@ -64,6 +64,9 @@ class WanDiTConfig:
     # (reference installs processors on blocks <= 24: wan_video_dit.py:515)
     camera_adapter_end: int = 0
     plucker_dim: int = 2048
+    # CLIP image-token width feeding img_emb (production ViT-H/14: 1280);
+    # configurable so reduced demo bundles can pair a narrow CLIP tower
+    clip_feature_dim: int = 1280
 
     @property
     def head_dim(self) -> int:
@@ -154,14 +157,15 @@ def init_wan_dit(rng, cfg: WanDiTConfig, dtype=jnp.bfloat16) -> Dict:
     }
     if cfg.has_image_input:
         r6a, r6b = prng_split(rs[6])
+        fd = cfg.clip_feature_dim
         p["img_emb"] = {
-            "norm_in": init_layernorm(1280, dtype=dtype),
-            "fc1": init_linear(r6a, 1280, cfg.dim, dtype=dtype),
+            "norm_in": init_layernorm(fd, dtype=dtype),
+            "fc1": init_linear(r6a, fd, cfg.dim, dtype=dtype),
             "fc2": init_linear(r6b, cfg.dim, cfg.dim, dtype=dtype),
             "norm_out": init_layernorm(cfg.dim, dtype=dtype),
         }
         if cfg.has_image_pos_emb:
-            p["img_emb"]["emb_pos"] = np_zeros((1, 514, 1280), dtype)
+            p["img_emb"]["emb_pos"] = np_zeros((1, 514, fd), dtype)
     if cfg.add_control_adapter:
         r7 = prng_split(rs[7], 3)
         cin = cfg.in_dim_control_adapter * 64

@@ -14,6 +14,18 @@ from typing import Dict, List, Optional, Tuple
 import numpy as np
 
 
+def _load_moge(moge_ckpt: str) -> None:
+    """Install the MoGe-2 scale-normalization model as the process default
+    (inference_wan21.py:223; used by hostops scale normalization)."""
+    import torch
+    from .convert.moge import convert_moge
+    from .models.moge.model import MoGeConfig
+    from .models.moge.infer import set_default_moge
+    ckpt = torch.load(moge_ckpt, map_location="cpu", weights_only=True)
+    sd = {k: v.float().numpy() for k, v in ckpt["model"].items()}
+    set_default_moge(convert_moge(sd), MoGeConfig())
+
+
 class FantasyWorldSampler:
     """Wan2.1 FantasyWorld sampler (inference_wan21.py:145-227)."""
 
@@ -30,22 +42,27 @@ class FantasyWorldSampler:
             from .convert.downloader import resolve_ckpt_dir
             resolve_ckpt_dir(ckpt_dir, "Wan2.1-I2V-14B-480P")
         self.cfg = FusionConfig()
+        pipe_cfg_kw = {}
+        from .convert.orbax_io import is_bundle, load_bundle_configs
+        if is_bundle(ckpt_dir):
+            # self-describing bundle: use the stamped architecture configs
+            # (production 14B and reduced demo bundles load the same way)
+            cfgs = load_bundle_configs(ckpt_dir)
+            self.cfg = cfgs.get("fusion", self.cfg)
+            for key, attr in (("t5", "t5_cfg"), ("clip", "clip_cfg"),
+                              ("vae", "vae_cfg"), ("pose", "pose_cfg")):
+                if key in cfgs:
+                    pipe_cfg_kw[attr] = cfgs[key]
         params = load_fusion_params(ckpt_dir, model_ckpt, self.cfg,
                                     jnp.bfloat16)
         if tokenizer_path is None:
             cand = os.path.join(ckpt_dir, "google", "umt5-xxl")
             tokenizer_path = cand if os.path.isdir(cand) else None
         self.pipe = FantasyWorldPipeline(cfg=self.cfg, params=params,
-                                         tokenizer_path=tokenizer_path)
+                                         tokenizer_path=tokenizer_path,
+                                         **pipe_cfg_kw)
         if moge_ckpt:
-            import torch
-            from .convert.moge import convert_moge
-            from .models.moge.model import MoGeConfig
-            from .models.moge.infer import set_default_moge
-            ckpt = torch.load(moge_ckpt, map_location="cpu",
-                              weights_only=True)
-            sd = {k: v.float().numpy() for k, v in ckpt["model"].items()}
-            set_default_moge(convert_moge(sd), MoGeConfig())
+            _load_moge(moge_ckpt)
         self._has_moge = bool(moge_ckpt)
 
     # -- conditioning ---------------------------------------------------------
@@ -60,7 +77,10 @@ class FantasyWorldSampler:
         intr = np.stack([[[c.fx, 0, c.cx], [0, c.fy, c.cy], [0, 0, 1]]
                          for c in camera_params]).astype(np.float32)
         extr = np.stack([c.w2c_mat for c in camera_params]).astype(np.float32)
-        if using_scale and self._has_moge:
+        if using_scale:
+            # degrades to a first-camera rebase (with a warning) when no
+            # MoGe weights are installed -- closer to the reference's
+            # always-normalized semantics than skipping outright
             from .cli.moge_scale import moge_scale_normalize
             extr = moge_scale_normalize(image, extr, intr)
         pose_enc = extri_intri_to_pose_encoding(extr[:, :3, :], intr,
@@ -206,3 +226,153 @@ class FantasyWorldSampler:
                 os.path.join(output_dir,
                              f"recon_confthresh{conf_threshold}.ply"),
                 stride=stride, valid_mask=valid)
+
+
+class Wan22Sampler:
+    """Wan2.2-Fun-A14B-Control-Camera dual-expert sampler
+    (inference_wan22.py:40-378): two Reward-LoRA-merged 14B experts
+    switched at a timestep boundary, camera control via control-camera
+    latents at the patch embedding, no CLIP branch. Same generate/export
+    surface as FantasyWorldSampler so the server can host either variant.
+    """
+
+    def __init__(self, ckpt_dir: str, model_ckpt_high: Optional[str] = None,
+                 model_ckpt_low: Optional[str] = None,
+                 moge_ckpt: Optional[str] = None,
+                 tokenizer_path: Optional[str] = None,
+                 auto_download: bool = False,
+                 timestep_boundary: float = 900.0):
+        import jax.numpy as jnp
+        from .cli.infer_wan22 import wan22_fusion_config, load_expert
+        from .pipelines.wan_video import FantasyWorldPipeline
+        from .pipelines.wan_video_22 import DualModelDenoiser
+        from .convert.orbax_io import (is_bundle, load_bundle,
+                                       load_bundle_configs, cast_tree,
+                                       load_torch_state_dict)
+
+        if auto_download:
+            from .convert.downloader import resolve_ckpt_dir
+            resolve_ckpt_dir(ckpt_dir, "Wan2.2-Fun-A14B-Control-Camera")
+        cfg = wan22_fusion_config()
+        dtype = jnp.bfloat16
+        pipe_cfg_kw = {}
+        if is_bundle(ckpt_dir):
+            # pre-converted self-describing bundle: LoRA already merged,
+            # stamped configs override the production dims
+            cfgs = load_bundle_configs(ckpt_dir)
+            cfg = cfgs.get("fusion_high", cfg)
+            for key, attr in (("t5", "t5_cfg"), ("vae", "vae_cfg")):
+                if key in cfgs:
+                    pipe_cfg_kw[attr] = cfgs[key]
+            bundle = load_bundle(ckpt_dir,
+                                 ("fusion_high", "fusion_low", "vae", "t5"))
+            params_high = cast_tree(bundle["fusion_high"], dtype)
+            params_low = cast_tree(bundle["fusion_low"], dtype)
+            shared = {"fusion": params_high,
+                      "vae": cast_tree(bundle["vae"], dtype),
+                      "t5": cast_tree(bundle["t5"], dtype)}
+        else:
+            from .convert.wan_vae import convert_wan_vae
+            from .convert.encoders import convert_t5
+            lora_dir = os.path.join(ckpt_dir, "PAI",
+                                    "Wan2.2-Fun-Reward-LoRAs")
+            params_high = load_expert(
+                ckpt_dir,
+                "high_noise_model/diffusion_pytorch_model*.safetensors",
+                os.path.join(lora_dir,
+                             "Wan2.2-Fun-A14B-InP-high-noise-HPS2.1"
+                             ".safetensors"),
+                model_ckpt_high, cfg, dtype)
+            params_low = load_expert(
+                ckpt_dir,
+                "low_noise_model/diffusion_pytorch_model*.safetensors",
+                os.path.join(lora_dir,
+                             "Wan2.2-Fun-A14B-InP-low-noise-HPS2.1"
+                             ".safetensors"),
+                model_ckpt_low, cfg, dtype)
+            vae_sd = load_torch_state_dict(os.path.join(ckpt_dir,
+                                                        "Wan2.1_VAE.pth"))
+            t5_sd = load_torch_state_dict(os.path.join(
+                ckpt_dir, "models_t5_umt5-xxl-enc-bf16.pth"))
+            shared = {
+                "fusion": params_high,
+                "vae": cast_tree(convert_wan_vae(
+                    {("model." + k) if not k.startswith("model.") else k: v
+                     for k, v in vae_sd.items()}), dtype),
+                "t5": cast_tree(convert_t5(t5_sd), dtype),
+            }
+        self.cfg = cfg
+        self.pipe = FantasyWorldPipeline(cfg=cfg, params=shared,
+                                         tokenizer_path=tokenizer_path,
+                                         **pipe_cfg_kw)
+        self.denoiser = DualModelDenoiser(cfg=cfg, params_high=params_high,
+                                          params_low=params_low,
+                                          timestep_boundary=timestep_boundary)
+        if moge_ckpt:
+            _load_moge(moge_ckpt)
+        self._has_moge = bool(moge_ckpt)
+
+    # camera list -> Plucker video (shared host path with the wan21 sampler)
+    prepare_camera = FantasyWorldSampler.prepare_camera
+
+    def generate_video(self, prompt: str, neg_prompt: str = "",
+                       image: Optional[np.ndarray] = None,
+                       image_path: Optional[str] = None,
+                       end_image: Optional[np.ndarray] = None,
+                       camera_params: Optional[List] = None,
+                       using_scale: bool = True,
+                       seed: Optional[int] = 42,
+                       height: int = 480, width: int = 832,
+                       num_frames: int = 81, sample_steps: int = 50,
+                       cfg_scale: float = 5.0,
+                       tea_cache_l1_thresh: Optional[float] = None,
+                       tea_cache_model_id: str = "Wan2.1-I2V-14B-480P",
+                       mesh=None, ulysses: bool = False,
+                       segment_size: Optional[int] = None,
+                       progress_callback=None,
+                       gen_ckpt_path: Optional[str] = None
+                       ) -> Tuple[np.ndarray, Dict[str, np.ndarray]]:
+        """Returns (uint8 frames (T, H, W, 3), geometry prediction dict).
+        Mirrors inference_wan22.py generate_video (:285-378): conditioning
+        via the unit pipeline (return_condition flow), control-camera
+        latents from the Plucker video, dual-expert denoise."""
+        from PIL import Image as PILImage
+        from .pipelines.wan_video_22 import (
+            control_camera_latents_from_plucker)
+        from .pipelines.units import run_condition
+
+        if image is None:
+            image = np.asarray(
+                PILImage.open(image_path).convert("RGB")) / 255.0
+        img_resized = np.asarray(PILImage.fromarray(
+            (image * 255).astype(np.uint8)).resize((width, height))) / 255.0
+        image_pm1 = (img_resized * 2 - 1).astype(np.float32)
+
+        ctrl = None
+        if camera_params is not None:
+            plucker = self.prepare_camera(camera_params, image, height,
+                                          width, using_scale)
+            ctrl = control_camera_latents_from_plucker(plucker)
+
+        shared, posi, nega = run_condition(
+            self.pipe, prompt=prompt, negative_prompt=neg_prompt,
+            input_image=image_pm1, end_image=end_image, height=height,
+            width=width, num_frames=num_frames, seed=seed)
+
+        latents, prediction = self.denoiser.denoise(
+            posi["context"], nega["context"], shared["y"], height, width,
+            num_frames=num_frames, num_inference_steps=sample_steps,
+            cfg_scale=cfg_scale, seed=seed, control_camera_latents=ctrl,
+            mesh=mesh, ulysses=ulysses,
+            tea_cache_l1_thresh=tea_cache_l1_thresh,
+            tea_cache_model_id=tea_cache_model_id,
+            segment_size=segment_size, progress_callback=progress_callback,
+            gen_ckpt_path=gen_ckpt_path)
+        video = self.pipe.decode_video(latents)
+        pred_np = {k: np.asarray(v, np.float32)
+                   for k, v in (prediction or {}).items()}
+        return video, pred_np
+
+    # re-wrap: plain class-attribute access resolves the staticmethod
+    # descriptor to a bare function, which would re-bind self here
+    export = staticmethod(FantasyWorldSampler.export)

@@ -40,6 +40,44 @@ def test_bundle_roundtrip(tmp_path):
         load_bundle(path, ("fusion", "clip"))
 
 
+def test_config_roundtrip_through_bundle(tmp_path):
+    """Self-describing bundles: configs stamped at save reconstruct to the
+    exact dataclasses (incl. nesting, tuples, Optional fields)."""
+    import json
+    from fantasy_world_tpu.utils.configio import (config_to_dict,
+                                                  config_from_dict)
+    from fantasy_world_tpu.utils.demo import demo_config
+    from fantasy_world_tpu.models.fusion.model import FusionConfig
+    from fantasy_world_tpu.models.wan.t5 import T5Config
+    from fantasy_world_tpu.models.wan.vae import VAEConfig
+    from fantasy_world_tpu.convert.orbax_io import (save_bundle,
+                                                    load_bundle_configs)
+
+    cfg = demo_config(dim=64, layers=3, start_index=1, agg_dim=64,
+                      text_dim=32, plucker_dim=48, clip_feature_dim=64)
+    cfg = FusionConfig(**{**cfg.__dict__,
+                          "cross_attention_list": (0, 1)})
+    # pure-dict roundtrip survives JSON serialization
+    d = json.loads(json.dumps(config_to_dict(cfg)))
+    back = config_from_dict(FusionConfig, d)
+    assert back == cfg
+    assert isinstance(back.dit.patch_size, tuple)
+    assert back.cross_attention_list == (0, 1)
+
+    # bundle stamp + reload
+    t5_cfg = T5Config(vocab=64, dim=32)
+    path = save_bundle({"fusion": _tiny_tree(0)}, tmp_path / "b",
+                       configs={"fusion": cfg, "t5": t5_cfg,
+                                "vae": VAEConfig(dim=16)})
+    cfgs = load_bundle_configs(path)
+    assert cfgs["fusion"] == cfg
+    assert cfgs["t5"] == t5_cfg
+    assert cfgs["vae"].dim == 16
+    # pre-configs bundles load as empty (back-compat)
+    old = save_bundle({"fusion": _tiny_tree(1)}, tmp_path / "old")
+    assert load_bundle_configs(old) == {}
+
+
 def test_load_fusion_params_bundle_fast_path(tmp_path):
     import jax.numpy as jnp
     from fantasy_world_tpu.convert.orbax_io import save_bundle

@@ -139,3 +139,43 @@ def test_error_isolation_and_validation(server):
     with pytest.raises(urllib.error.HTTPError) as ei:
         _get(port, "/v1/jobs/doesnotexist")
     assert ei.value.code == 404
+
+
+def test_make_batch_fn22_per_job_loop(tmp_path):
+    """cli/serve.py --variant wan22: jobs are denoised one at a time
+    through the dual-expert sampler surface; each job gets its own export
+    dir and progress updates target only its own Job."""
+    import argparse
+    import numpy as np
+    from fantasy_world_tpu.cli.serve import make_batch_fn22
+    from fantasy_world_tpu.serving.server import Job
+
+    calls = []
+
+    class StubSampler:
+        def generate_video(self, **kw):
+            calls.append(kw)
+            if kw.get("progress_callback"):
+                kw["progress_callback"](1, 3)
+            return (np.zeros((5, 8, 8, 3), np.uint8),
+                    {})                        # empty prediction: no PLY
+
+        @staticmethod
+        def export(video, pred, out_dir, **kw):
+            import os
+            os.makedirs(out_dir, exist_ok=True)
+            with open(os.path.join(out_dir, "video.mp4"), "wb") as f:
+                f.write(b"x")
+
+    args = argparse.Namespace(segment_size=2, ulysses=False,
+                              output_root=str(tmp_path))
+    fn = make_batch_fn22(StubSampler(), args)
+    jobs = [Job(id=f"j{i}", request={"prompt": f"p{i}",
+                                     "image_path": "img.png"})
+            for i in range(2)]
+    out = fn(jobs)
+    assert len(out) == len(calls) == 2
+    assert calls[0]["prompt"] == "p0" and calls[1]["prompt"] == "p1"
+    assert jobs[0].progress == jobs[1].progress == {"done": 1, "total": 3}
+    assert all(o["frames"] == 5 for o in out)
+    assert {o["output_dir"].rsplit("/", 1)[-1] for o in out} == {"j0", "j1"}
