@@ -7,6 +7,12 @@ donated train step, checkpoint save, and resume -- on the virtual 8-device
 CPU mesh from conftest.
 """
 import numpy as np
+import pytest
+
+# Each trainer invocation executes jitted train steps on the 8-thread
+# virtual mesh time-sharing this host's single core: minutes per step of
+# pure execution even with a warm compile cache. Heavyweight tier only.
+pytestmark = pytest.mark.slow
 
 
 def _args(ckpt_dir, steps):
