@@ -183,7 +183,7 @@ def _forward_prologue(params: Dict, cfg: FusionConfig, latents, timestep,
     x_in = latents
     if dcfg.require_vae_embedding and y is not None:
         x_in = jnp.concatenate([latents, y], axis=1)
-    if dcfg.has_image_input:
+    if dcfg.has_image_input and clip_feature is not None:
         ctx = jnp.concatenate([dit_mod.img_embedding(dp, clip_feature), ctx],
                               axis=1)
     x, (f, h, w) = dit_mod.patchify(dp, dcfg, x_in, control_camera_latents)

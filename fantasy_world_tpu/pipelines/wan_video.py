@@ -194,8 +194,11 @@ class FantasyWorldPipeline:
                 raise ValueError("no tokenizer_path configured; pass ids")
             from transformers import AutoTokenizer
             self._tokenizer = AutoTokenizer.from_pretrained(self.tokenizer_path)
-        import re
-        prompt = re.sub(r"\s+", " ", prompt).strip()
+        # reference cleaning is whitespace_clean(basic_clean(text)) -- the
+        # basic_clean half (ftfy + double html.unescape) matters for prompts
+        # with mojibake/entities (wan_prompter.py:11-20,76)
+        from ..utils.textclean import clean_prompt
+        prompt = clean_prompt(prompt)
         enc = self._tokenizer([prompt], padding="max_length", truncation=True,
                               max_length=self.text_len, return_tensors="np")
         return enc["input_ids"].astype(np.int32), enc["attention_mask"]
@@ -355,7 +358,10 @@ class FantasyWorldPipeline:
 
         # batch the CFG pair: row 0 positive, row 1 negative
         ctx = jnp.concatenate([context_pos, context_neg], axis=0).astype(dtype)
-        clip2 = jnp.concatenate([clip_feature] * 2, axis=0).astype(dtype)
+        # no-CLIP configs (wan22 Fun-Control-Camera, require_clip_embedding=
+        # False) pass clip_feature=None; the image context is simply absent
+        clip2 = (None if clip_feature is None else
+                 jnp.concatenate([clip_feature] * 2, axis=0).astype(dtype))
         y2 = jnp.concatenate([y] * 2, axis=0).astype(dtype)
         pl2 = (None if plucker_fea is None else
                jnp.concatenate([plucker_fea] * 2, axis=0).astype(dtype))

@@ -221,6 +221,37 @@ def test_denoise_segmented_tea_matches():
                                rtol=1e-6, atol=1e-6)
 
 
+def test_denoise_no_clip_config():
+    """A require_clip_embedding=False config (wan22 Fun-Control-Camera,
+    registry hash 47dbeab5) routed through the wan21 pipeline class must
+    denoise with clip_feature=None instead of dying on the CFG concat
+    (class contract: missing components degrade gracefully)."""
+    import dataclasses
+    import jax.numpy as jnp
+    from fantasy_world_tpu.models.fusion.model import init_fusion
+    from fantasy_world_tpu.pipelines.wan_video import FantasyWorldPipeline
+    from __graft_entry__ import _demo_config
+
+    cfg = _demo_config(dim=64, layers=3, start_index=1, agg_dim=64)
+    cfg = dataclasses.replace(
+        cfg, dit=dataclasses.replace(cfg.dit, has_image_input=False))
+    params = init_fusion(0, cfg, jnp.float32)
+    pipe = FantasyWorldPipeline(cfg=cfg, params={"fusion": params})
+
+    f, h, w = 2, 64, 64
+    ctx_pos = jnp.zeros((1, 16, 4096), jnp.float32)
+    ctx_neg = jnp.ones((1, 16, 4096), jnp.float32) * 0.01
+    y = jnp.zeros((1, 20, f, h // 8, w // 8), jnp.float32)
+    pl = jnp.zeros((1, f * (h // 16) * (w // 16), 2048), jnp.float32)
+
+    lat, pred = pipe.denoise(ctx_pos, ctx_neg, None, y, h, w,
+                             num_frames=4 * (f - 1) + 1,
+                             num_inference_steps=2, seed=7, plucker_fea=pl)
+    assert lat.shape == (1, 16, f, h // 8, w // 8)
+    assert bool(jnp.isfinite(lat).all())
+    assert pred is not None
+
+
 def test_denoise_bf16_production_dtype():
     """Production inference runs bf16 end-to-end; the scheduler's f32 sigma
     math must not promote the scan carry (caught live on TPU: 'carry input
