@@ -38,33 +38,48 @@ def _normalize_key(key: str) -> str:
     return key
 
 
+def resolve_lora_targets(sd: Mapping, lora_keys) -> Dict[str, str]:
+    """Mangled-LoRA layer name -> target '.weight' key in sd. Mirrors the
+    reference's greedy attribute search (fusion/model_wan22.py:50-102) at
+    the key-set level: the underscore-flattened layer name must match a
+    unique weight key's own flattening (exactly, or as a unique suffix when
+    the LoRA omits module prefixes)."""
+    flat_index = {}
+    for k in sd:
+        if k.endswith(".weight"):
+            flat_index[k[:-len(".weight")].replace(".", "_")] = k
+    out = {}
+    for key in lora_keys:
+        layer = _normalize_key(key).split(".", 1)[0]
+        # peft-style keys get the 'lora_unet__' prefix (double underscore,
+        # model_wan22.py:27-28); the reference's attribute walk skips the
+        # resulting empty leading segment -- lstrip is the key-set analogue
+        name = layer.split("lora_unet_")[-1].lstrip("_")
+        target = flat_index.get(name)
+        if target is None:
+            cands = [v for k, v in flat_index.items() if k.endswith(name)]
+            target = cands[0] if len(cands) == 1 else None
+        if target is not None:
+            out[layer] = target
+    return out
+
+
 def merge_lora_into_state_dict(sd: Dict[str, np.ndarray],
                                lora_sd: Mapping[str, np.ndarray],
                                multiplier: float = 0.55,
                                verbose: bool = False) -> Dict[str, np.ndarray]:
     """Returns sd with LoRA deltas merged into the matched '.weight' keys."""
-    # index target weights by their underscore-flattened name
-    flat_index = {}
-    for k in sd:
-        if k.endswith(".weight"):
-            flat_index[k[:-len(".weight")].replace(".", "_")] = k
-
     updates = defaultdict(dict)
     for key, value in lora_sd.items():
         key = _normalize_key(key)
         layer, elem = key.split(".", 1)
         updates[layer][elem] = np.asarray(value)
 
+    targets = resolve_lora_targets(sd, lora_sd.keys())
     merged = dict(sd)
     n_hit = n_miss = 0
     for layer, elems in updates.items():
-        name = layer.split("lora_unet_")[-1]
-        # the reference resolves relative to pipeline.dit; state dicts may or
-        # may not carry leading module prefixes -- try suffix matches too
-        target = flat_index.get(name)
-        if target is None:
-            cands = [v for k, v in flat_index.items() if k.endswith(name)]
-            target = cands[0] if len(cands) == 1 else None
+        target = targets.get(layer)
         if target is None or "lora_up.weight" not in elems \
                 or "lora_down.weight" not in elems:
             n_miss += 1

@@ -22,10 +22,14 @@ from .orbax_io import load_torch_state_dict, load_sharded_state_dict
 
 def _translate_dit_config(overrides: Dict) -> Dict:
     """Registry entries use the reference's flag names; WanDiTConfig uses
-    has_image_input (CLIP context) + require_vae_embedding (y concat)."""
+    has_image_input (CLIP context / image-kv module structure). wan22 carries
+    require_clip_embedding as a separate pipeline flag next to an explicit
+    has_image_input (wan22 wan_video_dit.py:841-859) -- the explicit module
+    flag wins; require_clip_embedding only substitutes when absent."""
     out = dict(overrides)
-    if "require_clip_embedding" in out:
-        out["has_image_input"] = out.pop("require_clip_embedding")
+    clip_flag = out.pop("require_clip_embedding", None)
+    if clip_flag is not None and "has_image_input" not in out:
+        out["has_image_input"] = clip_flag
     return out
 
 
@@ -49,8 +53,10 @@ class ModelManager:
             return load_sharded_state_dict(shards)
         return load_torch_state_dict(path)
 
-    def load_model(self, path: Union[str, Sequence[str]]) -> str:
-        sd = self._read(path)
+    def load_model(self, path: Union[str, Sequence[str], Dict]) -> str:
+        """path: file path, shard list, directory, or an already-loaded flat
+        state dict (in-memory serving / tests)."""
+        sd = path if isinstance(path, dict) else self._read(path)
         name, overrides = detect(sd)
         if name == "wan_video_dit":
             from ..models.wan.dit import WanDiTConfig
@@ -64,7 +70,12 @@ class ModelManager:
         elif name == "wan_video_image_encoder":
             from ..models.wan.clip import CLIPVisionConfig
             from .encoders import convert_clip_vision
-            cfg, params = CLIPVisionConfig(), convert_clip_vision(sd)
+            # file layout is the bare XLMRobertaCLIP dict ('visual.*' +
+            # 'textual.*'); from_civitai drops textual and adds 'model.'
+            # (wan_video_image_encoder.py:894-905) -- convert straight from
+            # the file keys instead
+            cfg, params = CLIPVisionConfig(), convert_clip_vision(
+                sd, prefix="visual.")
         elif name == "wan_video_vae":
             from ..models.wan.vae import VAEConfig
             from .wan_vae import convert_wan_vae

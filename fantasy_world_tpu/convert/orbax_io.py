@@ -39,10 +39,18 @@ def load_torch_state_dict(path: str) -> Dict[str, np.ndarray]:
 
 
 def load_sharded_state_dict(paths) -> Dict[str, np.ndarray]:
-    """Merge split checkpoint files (e.g. 7-shard safetensors) into one dict."""
+    """Merge split checkpoint files (e.g. 7-shard safetensors) into one dict.
+    A key appearing in two shards is corruption (the reference's shard merge
+    never sees one either, model_manager.py:348-374) -- fail loudly instead
+    of silently keeping whichever shard loaded last."""
     sd: Dict[str, np.ndarray] = {}
     for p in paths:
-        sd.update(load_torch_state_dict(p))
+        part = load_torch_state_dict(p)
+        dup = sd.keys() & part.keys()
+        if dup:
+            raise ValueError(f"duplicate keys across shards ({p}): "
+                             f"{sorted(dup)[:5]}")
+        sd.update(part)
     return sd
 
 

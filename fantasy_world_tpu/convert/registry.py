@@ -59,10 +59,18 @@ WAN_DIT_CONFIGS: Dict[str, Dict] = {
     "3ef3b1f8e1dab83d5b71fd7b617f859f": dict(
         _DIT_14B_I2V, has_image_pos_emb=True),
     # Wan2.2 Fun Control-Camera (control adapter, no CLIP branch):
-    # reference diffsynth_wan22/models/wan_video_dit.py hash 47dbeab5...
-    "47dbeab5a75db4c0f1b8e5b179fbd59c": dict(
-        _DIT_14B_I2V, add_control_adapter=True, in_dim_control_adapter=24,
-        require_clip_embedding=False),
+    # wan22 wan_video_dit.py:841-859; hash verified against the meta-device
+    # module census in tests/test_census.py (round 1 had a wrong tail here)
+    "47dbeab5e560db3180adf51dc0232fb1": dict(
+        _DIT_14B_I2V, has_image_input=False, add_control_adapter=True,
+        in_dim_control_adapter=24, require_clip_embedding=False),
+    # Wan2.2 TI2V-5B (per-token timestep + fused first-frame latent, z=48
+    # VAE38): wan22 wan_video_dit.py:789-807
+    "1f5ab7703c6fc803fdded85ff040c316": dict(
+        has_image_input=False, patch_size=(1, 2, 2), in_dim=48, dim=3072,
+        ffn_dim=14336, freq_dim=256, text_dim=4096, out_dim=48,
+        num_heads=24, num_layers=30, eps=1e-6, seperated_timestep=True,
+        require_vae_embedding=False, fuse_vae_embedding_in_latents=True),
 }
 
 WAN_T5_HASH = "9c8818c2cbea55eca56c7b447df170da"

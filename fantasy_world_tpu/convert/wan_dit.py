@@ -95,7 +95,12 @@ def convert_block(sd: Mapping, cfg: WanDiTConfig, i: int, prefix: str = "") -> D
     }
     proc = pre + ".cross_attn.processor"
     if proc + ".k_proj.group1.weight" in sd:
-        p["camera"] = _camera_adapter(sd, proc)
+        p["camera"] = _camera_adapter(sd, proc)          # 'adaln'
+    elif proc + ".k_proj.weight" in sd:
+        # 'latent_split'/'latent_overall' variants: bias-free zero-init
+        # k/v projections (camera_control.py:66-72)
+        p["camera"] = {"k_proj": _lin(sd, proc + ".k_proj"),
+                       "v_proj": _lin(sd, proc + ".v_proj")}
     return p
 
 
@@ -135,4 +140,15 @@ def convert_wan_dit(sd: Mapping, cfg: WanDiTConfig, prefix: str = "") -> Dict:
         }
         if prefix + "img_emb.emb_pos" in sd:
             p["img_emb"]["emb_pos"] = np.asarray(g("img_emb.emb_pos"))
+    if cfg.add_control_adapter \
+            and prefix + "control_adapter.conv.weight" in sd:
+        # wan22 Fun-Control-Camera SimpleAdapter lives inside the DiT ckpt
+        # (wan22 wan_video_dit.py:385-388, wan_video_camera_controller.py:8-22)
+        from .camera import convert_simple_adapter
+        n_res = 0
+        while (f"{prefix}control_adapter.residual_blocks.{n_res}.conv1.weight"
+               in sd):
+            n_res += 1
+        p["control_adapter"] = convert_simple_adapter(
+            sd, prefix + "control_adapter.", num_residual_blocks=n_res)
     return p

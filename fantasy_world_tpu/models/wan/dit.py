@@ -58,11 +58,19 @@ class WanDiTConfig:
     # by pipelines/units.py ImageEmbedderFused, which overwrites latent
     # frame 0 with the VAE encoding of the input image)
     fuse_vae_embedding_in_latents: bool = False
+    # TI2V-5B per-token timestep: when the clean first-frame latent is fused
+    # into the sequence, frame-0 tokens are conditioned on t=0 and the rest
+    # on the scalar step t (wan22 wan_video_dit.py:342, hash 1f5ab770...;
+    # model_fn wan_video_new.py:1555-1566)
+    seperated_timestep: bool = False
     add_control_adapter: bool = False
     in_dim_control_adapter: int = 24
     # per-layer camera AdaLN adapters on cross-attn of blocks [0, adapter_end)
     # (reference installs processors on blocks <= 24: wan_video_dit.py:515)
     camera_adapter_end: int = 0
+    # 'adaln' (shipped config) | 'latent_split' | 'latent_overall'
+    # (camera_control.py:66-79 get_processor variants)
+    pose_inject_method: str = "adaln"
     plucker_dim: int = 2048
     # CLIP image-token width feeding img_emb (production ViT-H/14: 1280);
     # configurable so reduced demo bundles can pair a narrow CLIP tower
@@ -104,11 +112,16 @@ def _init_attn(rng, dim, dtype, image_kv=False):
 
 
 def _init_camera_adapter(rng, cfg: WanDiTConfig, dtype):
-    """AdaLN pose adapter (camera_control.py:24-63): GroupLinearDualK is a
-    linear on the plucker stream plus a 2-layer MLP on the hidden stream;
-    GroupLinearDualV maps the combined stream to a zero-init shift."""
+    """Pose adapter (camera_control.py:24-79). 'adaln': GroupLinearDualK is
+    a linear on the plucker stream plus a 2-layer MLP on the hidden stream;
+    GroupLinearDualV maps the combined stream to a zero-init shift.
+    'latent_split'/'latent_overall': zero-init bias-free k/v projections
+    feeding a decoupled cross attention."""
     rs = prng_split(rng, 5)
     c, d = cfg.plucker_dim, cfg.dim
+    if cfg.pose_inject_method in ("latent_split", "latent_overall"):
+        return {"k_proj": {"kernel": np_zeros((c, d), dtype)},
+                "v_proj": {"kernel": np_zeros((c, d), dtype)}}
     mid_k = min(d, c) // 2            # 1024
     mid_v = c // 5                    # 409
     return {
@@ -158,10 +171,12 @@ def init_wan_dit(rng, cfg: WanDiTConfig, dtype=jnp.bfloat16) -> Dict:
     if cfg.has_image_input:
         r6a, r6b = prng_split(rs[6])
         fd = cfg.clip_feature_dim
+        # reference MLP(1280, dim): LN(fd) -> Linear(fd, fd) -> GELU ->
+        # Linear(fd, dim) -> LN(dim)  (wan_video_dit.py:324-333)
         p["img_emb"] = {
             "norm_in": init_layernorm(fd, dtype=dtype),
-            "fc1": init_linear(r6a, fd, cfg.dim, dtype=dtype),
-            "fc2": init_linear(r6b, cfg.dim, cfg.dim, dtype=dtype),
+            "fc1": init_linear(r6a, fd, fd, dtype=dtype),
+            "fc2": init_linear(r6b, fd, cfg.dim, dtype=dtype),
             "norm_out": init_layernorm(cfg.dim, dtype=dtype),
         }
         if cfg.has_image_pos_emb:
@@ -223,10 +238,13 @@ def self_attention(p, x, rope_cos, rope_sin, num_heads, eps=1e-6):
 
 
 def cross_attention(p, x, context, num_heads, *, has_image_input, eps=1e-6,
-                    plucker_fea=None, apply_pose=False, camera=None):
-    """Text (+image) cross attention with optional camera AdaLN injection
-    (CrossAttentionProcessor wan_video_dit.py:185-201 and the 'adaln'
-    branch of camera_control.py:113-127 applied before the output proj)."""
+                    plucker_fea=None, apply_pose=False, camera=None,
+                    pose_inject_method="adaln", pose_scale=1.0,
+                    plucker_frames=None):
+    """Text (+image) cross attention with optional camera pose injection
+    (CrossAttentionProcessor wan_video_dit.py:185-201; the 'adaln',
+    'latent_split' and 'latent_overall' branches of
+    camera_control.py:92-148 applied before the output proj)."""
     if has_image_input:
         img, ctx = context[:, :257], context[:, 257:]
     else:
@@ -249,27 +267,59 @@ def cross_attention(p, x, context, num_heads, *, has_image_input, eps=1e-6,
         camera = p.get("camera")
     if apply_pose and camera is not None and plucker_fea is not None:
         cam = camera
-        plucker_proj = _linear(cam["k_group1"], plucker_fea)
-        hidden = _linear(cam["k_group2"]["fc2"],
-                         jax.nn.relu(_linear(cam["k_group2"]["fc1"], o)))
-        combined = hidden + plucker_proj
-        shift = _linear(cam["v_group2"]["fc2"],
-                        jax.nn.relu(_linear(cam["v_group2"]["fc1"], combined)))
-        # GroupLinearDualV returns scale=0 identically (camera_control.py:61),
-        # so the modulation reduces to an additive shift.
-        o = o + shift
+        if pose_inject_method == "adaln":
+            plucker_proj = _linear(cam["k_group1"], plucker_fea)
+            hidden = _linear(cam["k_group2"]["fc2"],
+                             jax.nn.relu(_linear(cam["k_group2"]["fc1"], o)))
+            combined = hidden + plucker_proj
+            shift = _linear(cam["v_group2"]["fc2"],
+                            jax.nn.relu(_linear(cam["v_group2"]["fc1"],
+                                                combined)))
+            # GroupLinearDualV returns scale=0 identically
+            # (camera_control.py:61), so the modulation reduces to an
+            # additive shift; all-zero plucker (training-time camera
+            # dropout) gates it off entirely (camera_control.py:113, 124)
+            nonzero = jnp.any(plucker_fea != 0).astype(shift.dtype)
+            o = o + shift * (pose_scale * nonzero)
+        elif pose_inject_method in ("latent_split", "latent_overall"):
+            # decoupled cross-attn onto zero-init projected plucker tokens,
+            # per latent frame ('latent_split') or over the full sequence
+            # ('latent_overall'), camera_control.py:129-145
+            ip_k = _linear(cam["k_proj"], plucker_fea)
+            ip_v = _linear(cam["v_proj"], plucker_fea)
+            if pose_inject_method == "latent_split":
+                B, Lq, D = q.shape
+                f = plucker_frames
+                pq = q.reshape(B * f, Lq // f, D)
+                pk = ip_k.reshape(B * f, -1, D)
+                pv = ip_v.reshape(B * f, -1, D)
+            else:
+                pq, pk, pv = q, ip_k, ip_v
+            pose_x = dot_product_attention(
+                _split_heads(pq, num_heads), _split_heads(pk, num_heads),
+                _split_heads(pv, num_heads))
+            pose_x = _merge_heads(pose_x).reshape(q.shape)
+            o = o + pose_x * pose_scale
+        else:                                          # pragma: no cover
+            raise NotImplementedError(pose_inject_method)
     return _linear(p["o"], o)
 
 
 def dit_block_modulation(p, t_mod):
-    """(1,6,dim) table + per-sample t_mod -> six (B,1,dim) modifiers."""
-    m = p["modulation"].astype(jnp.float32) + t_mod.astype(jnp.float32)
+    """(1,6,dim) table + per-sample t_mod (B,6,dim) -> six (B,1,dim)
+    modifiers; per-token t_mod (B,L,6,dim) -> six (B,L,dim) (TI2V-5B
+    seperated_timestep, wan22 wan_video_dit.py:264-265 broadcast)."""
+    table = p["modulation"].astype(jnp.float32)
+    if t_mod.ndim == 4:
+        m = table[:, None] + t_mod.astype(jnp.float32)
+        return [m[:, :, i] for i in range(6)]
+    m = table + t_mod.astype(jnp.float32)
     return [m[:, i:i + 1] for i in range(6)]
 
 
 def dit_block_attn_half(p, x, context, t_mod, rope_cos, rope_sin,
                         cfg: WanDiTConfig, *, plucker_fea=None,
-                        apply_pose=False, eps=None):
+                        apply_pose=False, eps=None, plucker_frames=None):
     """Self-attn + cross-attn portion; returns (x, (shift/scale/gate mlp)).
 
     Equals the reference DiTBlock.forward(..., return_partial=True)
@@ -285,7 +335,9 @@ def dit_block_attn_half(p, x, context, t_mod, rope_cos, rope_sin,
                             context, cfg.num_heads,
                             has_image_input=cfg.has_image_input, eps=eps,
                             plucker_fea=plucker_fea, apply_pose=apply_pose,
-                            camera=p.get("camera"))
+                            camera=p.get("camera"),
+                            pose_inject_method=cfg.pose_inject_method,
+                            plucker_frames=plucker_frames)
     return x, (sh_mlp, sc_mlp, g_mlp)
 
 
@@ -300,10 +352,12 @@ def dit_block_ffn_half(p, x, modifiers, cfg: WanDiTConfig, eps=None):
 
 
 def dit_block_apply(p, x, context, t_mod, rope_cos, rope_sin,
-                    cfg: WanDiTConfig, *, plucker_fea=None, apply_pose=False):
+                    cfg: WanDiTConfig, *, plucker_fea=None, apply_pose=False,
+                    plucker_frames=None):
     x, mods = dit_block_attn_half(p, x, context, t_mod, rope_cos, rope_sin,
                                   cfg, plucker_fea=plucker_fea,
-                                  apply_pose=apply_pose)
+                                  apply_pose=apply_pose,
+                                  plucker_frames=plucker_frames)
     return dit_block_ffn_half(p, x, mods, cfg)
 
 
@@ -312,13 +366,21 @@ def dit_block_apply(p, x, context, t_mod, rope_cos, rope_sin,
 # ---------------------------------------------------------------------------
 
 def time_embedding(p, cfg: WanDiTConfig, timestep):
-    """sinusoidal -> MLP(silu); t_mod = silu -> linear -> (B, 6, dim)."""
-    emb = rope_ops.sinusoidal_embedding_1d(cfg.freq_dim, timestep)
+    """sinusoidal -> MLP(silu); t_mod = silu -> linear.
+
+    timestep (B,)   -> t (B, dim),    t_mod (B, 6, dim)
+    timestep (B, L) -> t (B, L, dim), t_mod (B, L, 6, dim)  (per-token
+    TI2V-5B seperated_timestep path, wan22 wan_video_new.py:1555-1566)."""
+    per_token = timestep.ndim == 2
+    flat_t = timestep.reshape(-1) if per_token else timestep
+    emb = rope_ops.sinusoidal_embedding_1d(cfg.freq_dim, flat_t)
+    if per_token:
+        emb = emb.reshape(*timestep.shape, cfg.freq_dim)
     emb = emb.astype(p["time_embedding"]["fc1"]["kernel"].dtype)
     t = _linear(p["time_embedding"]["fc2"],
                 jax.nn.silu(_linear(p["time_embedding"]["fc1"], emb)))
     t_mod = _linear(p["time_projection"], jax.nn.silu(t))
-    return t, t_mod.reshape(t.shape[0], 6, cfg.dim)
+    return t, t_mod.reshape(*t.shape[:-1], 6, cfg.dim)
 
 
 def text_embedding(p, x):
@@ -371,8 +433,13 @@ def unpatchify(cfg: WanDiTConfig, x, grid):
 
 def head_apply(p, cfg: WanDiTConfig, x, t):
     hp = p["head"]
-    mod = hp["modulation"].astype(jnp.float32) + t.astype(jnp.float32)[:, None]
-    shift, scale = mod[:, 0:1], mod[:, 1:2]
+    table = hp["modulation"].astype(jnp.float32)
+    if t.ndim == 3:                       # per-token t (B, L, dim)
+        mod = table[:, None] + t.astype(jnp.float32)[:, :, None]
+        shift, scale = mod[:, :, 0], mod[:, :, 1]
+    else:
+        mod = table + t.astype(jnp.float32)[:, None]
+        shift, scale = mod[:, 0:1], mod[:, 1:2]
     h = layer_norm_modulate(x, shift, scale, None, cfg.eps)
     return _linear(hp["head"], h)
 
@@ -382,14 +449,31 @@ def head_apply(p, cfg: WanDiTConfig, x, t):
 # ---------------------------------------------------------------------------
 
 def prepare_inputs(p, cfg: WanDiTConfig, x, timestep, context,
-                   clip_feature=None, y=None):
-    """Shared preamble: embeddings, channel concat, patchify, rope tables."""
+                   clip_feature=None, y=None, fuse_first_frame=False,
+                   control_camera_latents=None):
+    """Shared preamble: embeddings, channel concat, patchify, rope tables.
+
+    fuse_first_frame: TI2V-5B mode -- latent frame 0 holds the CLEAN
+    VAE-encoded input image (units.py ImageEmbedderFused), so with
+    cfg.seperated_timestep its tokens are conditioned on t=0 while the
+    rest use the scalar step (wan22 wan_video_new.py:1555-1566)."""
+    B, _, F, H, W = x.shape
+    pt, ph, pw = cfg.patch_size
+    if cfg.seperated_timestep and fuse_first_frame:
+        per_frame = (H // ph) * (W // pw)
+        n_tok = (F // pt) * per_frame
+        mask0 = (jnp.arange(n_tok) < per_frame)
+        timestep = jnp.where(mask0[None], 0.0,
+                             timestep.astype(jnp.float32)[:, None])
     t, t_mod = time_embedding(p, cfg, timestep)
     ctx = text_embedding(p, context)
-    if cfg.has_image_input:
+    # wan22 splits the two conditionings (model_fn wan_video_new.py:
+    # 1583-1588): y-latent concat and CLIP context are independent flags
+    if y is not None and cfg.require_vae_embedding:
         x = jnp.concatenate([x, y], axis=1)
+    if clip_feature is not None and cfg.has_image_input:
         ctx = jnp.concatenate([img_embedding(p, clip_feature), ctx], axis=1)
-    tokens, grid = patchify(p, cfg, x)
+    tokens, grid = patchify(p, cfg, x, control_camera_latents)
     f, h, w = grid
     angles = rope_ops.build_angles_3d(cfg.head_dim, f, h, w)
     cos, sin = rope_ops.cos_sin_half_from_angles(angles)
@@ -397,14 +481,18 @@ def prepare_inputs(p, cfg: WanDiTConfig, x, timestep, context,
 
 
 def wan_dit_forward(p, cfg: WanDiTConfig, x, timestep, context,
-                    clip_feature=None, y=None, plucker_fea=None):
+                    clip_feature=None, y=None, plucker_fea=None,
+                    fuse_first_frame=False, control_camera_latents=None):
     tokens, t, t_mod, ctx, grid, (cos, sin) = prepare_inputs(
-        p, cfg, x, timestep, context, clip_feature, y)
+        p, cfg, x, timestep, context, clip_feature, y,
+        fuse_first_frame=fuse_first_frame,
+        control_camera_latents=control_camera_latents)
     apply_pose = plucker_fea is not None
     for i, bp in enumerate(p["blocks"]):
         tokens = dit_block_apply(
             bp, tokens, ctx, t_mod, cos, sin, cfg,
             plucker_fea=plucker_fea,
-            apply_pose=apply_pose and cfg.has_adapter(i))
+            apply_pose=apply_pose and cfg.has_adapter(i),
+            plucker_frames=grid[0])
     out = head_apply(p, cfg, tokens, t)
     return unpatchify(cfg, out, grid)

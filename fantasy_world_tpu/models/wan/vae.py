@@ -97,6 +97,95 @@ def decoder_upsample_plan(cfg: VAEConfig) -> List[Tuple[str, dict]]:
 
 
 # ---------------------------------------------------------------------------
+# init (tree structure identical to convert/wan_vae.py:convert_wan_vae --
+# pinned against the reference module census by tests/test_census.py)
+# ---------------------------------------------------------------------------
+
+def init_wan_vae(rng, cfg: VAEConfig = VAEConfig(),
+                 dtype=jnp.float32) -> Dict:
+    """Random-init VAE tree (torch conv layout (out, in, kt, kh, kw), RMS
+    gammas at the reference's broadcast shapes, wan_video_vae.py:55-65)."""
+    from ...core.params import np_normal, np_zeros, prng_split
+
+    state = {"r": rng}
+
+    def _r():
+        state["r"], out = prng_split(state["r"])
+        return out
+
+    def conv(cin, cout, k):
+        k = (k,) * 3 if isinstance(k, int) else tuple(k)
+        fan = cin * int(np.prod(k))
+        return {"kernel": np_normal(_r(), (cout, cin) + k, fan ** -0.5, dtype),
+                "bias": np_zeros((cout,), dtype)}
+
+    def conv2(cin, cout, k):
+        fan = cin * k * k
+        return {"kernel": np_normal(_r(), (cout, cin, k, k), fan ** -0.5,
+                                    dtype),
+                "bias": np_zeros((cout,), dtype)}
+
+    def gamma(c, images=False):
+        shape = (c, 1, 1) if images else (c, 1, 1, 1)
+        return {"gamma": np_normal(_r(), shape, 0.02, dtype)}
+
+    def res(cin, cout):
+        p = {"norm1": gamma(cin), "conv1": conv(cin, cout, 3),
+             "norm2": gamma(cout), "conv2": conv(cout, cout, 3)}
+        if cin != cout:
+            p["shortcut"] = conv(cin, cout, 1)
+        return p
+
+    def attn(c):
+        return {"norm": gamma(c, images=True),
+                "to_qkv": conv2(c, 3 * c, 1), "proj": conv2(c, c, 1)}
+
+    def plan_params(plan):
+        out = []
+        for kind, meta in plan:
+            if kind == "res":
+                out.append(res(meta["in"], meta["out"]))
+            elif kind == "attn":
+                out.append(attn(meta["dim"]))
+            else:
+                d = meta["dim"]
+                p = {"resample_conv":
+                     conv2(d, d // 2 if kind.startswith("up") else d, 3)}
+                if kind == "down3d":
+                    p["time_conv"] = conv(d, d, (3, 1, 1))
+                elif kind == "up3d":
+                    p["time_conv"] = conv(d, 2 * d, (3, 1, 1))
+                out.append(p)
+        return out
+
+    top = cfg.dim * cfg.dim_mult[-1]
+    last = cfg.dim * cfg.dim_mult[0]
+    z = cfg.z_dim
+    return {
+        "encoder": {
+            "conv1": conv(3, cfg.dim, 3),
+            "downsamples": plan_params(encoder_downsample_plan(cfg)),
+            "middle_res1": res(top, top),
+            "middle_attn": attn(top),
+            "middle_res2": res(top, top),
+            "head_norm": gamma(top),
+            "head_conv": conv(top, 2 * z, 3),
+        },
+        "conv1": conv(2 * z, 2 * z, 1),
+        "conv2": conv(z, z, 1),
+        "decoder": {
+            "conv1": conv(z, top, 3),
+            "middle_res1": res(top, top),
+            "middle_attn": attn(top),
+            "middle_res2": res(top, top),
+            "upsamples": plan_params(decoder_upsample_plan(cfg)),
+            "head_norm": gamma(last),
+            "head_conv": conv(last, 3, 3),
+        },
+    }
+
+
+# ---------------------------------------------------------------------------
 # layer applies
 # ---------------------------------------------------------------------------
 

@@ -353,7 +353,8 @@ class FantasyWorldPipeline:
 
         dtype = self.params["fusion"]["dit"]["patch_embedding"]["kernel"].dtype
         B = context_pos.shape[0]
-        latents = self.generate_noise((B, 16, f, height // 8, width // 8),
+        zc = self.cfg.dit.out_dim          # latent channels (16 production)
+        latents = self.generate_noise((B, zc, f, height // 8, width // 8),
                                       seed, torch_compat_noise).astype(dtype)
 
         # batch the CFG pair: row 0 positive, row 1 negative

@@ -7,7 +7,7 @@ import conftest as C
 
 torch = pytest.importorskip("torch")
 
-pytestmark = pytest.mark.parity
+pytestmark = [pytest.mark.parity, pytest.mark.parity_fast]
 
 
 def _rope_tables_torch(head_dim, f, h, w, n_extra=0):

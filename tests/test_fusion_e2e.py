@@ -21,7 +21,7 @@ import conftest as C
 
 torch = pytest.importorskip("torch")
 
-pytestmark = pytest.mark.parity
+pytestmark = [pytest.mark.parity, pytest.mark.parity_fast]
 
 # head_dim 24 keeps 3D-RoPE bands even (8+8+8); 6 layers = 2 PCB + 4 IRG
 TINY_DIT = dict(dim=96, in_dim=8, ffn_dim=128, out_dim=4, text_dim=32,
