@@ -45,6 +45,20 @@ Performance notes (measured on v5e, 197 bf16 TFLOP/s):
     (BQ, BK) logits costs ~6%. Accuracy was fine (cos 0.99997); speed is
     the reason it's dead. int8 stays weights+dense-activations only
     (core/quant.py).
+  * Block-size sweep re-run 2026-08-18 (chained-scan microbench, kv as
+    args, per-call at the production shapes): DiT self (2,16317,40,128)
+    74-75 ms = 145-147 TFLOP/s; bicross (16317x16422, 12h x 96) 22.2 ms =
+    111 TFLOP/s; VGGT global (16422, 16h x 64 paired path) 30.6 ms = 72
+    TFLOP/s; VGGT frame (42x782) 0.57 ms = 184 TFLOP/s; DiT cross 6.5 ms
+    = 79 TFLOP/s (2.0x the XLA path). bq512 regressed self 13%, bq2048
+    5%; defaults (bq1024, bk2048 generic / 1024 paired) confirmed best.
+    WHY THE REMAINDER IS IRREDUCIBLE HERE: counting the structural MXU
+    ceilings -- 96->128 lane pad caps bicross at ~75% of peak, D=64
+    contraction caps the paired path at ~50% -- every shape lands at
+    73-75% of ITS ceiling, exactly where DiT self (no pad, D=128) lands
+    in absolute terms. The uniform ~25% gap is the online-softmax VPU
+    sweep that cannot overlap the MXU further under Mosaic's pipeline;
+    the int8-QK and head-packing experiments below attacked it and lost.
   * FAILED EXPERIMENT (2026-08-17, don't retry): packing four 96-wide
     bicross heads into 384 lanes via block-diagonal K'/V' (generalizing
     the paired-head kernel) to avoid the 96->128 pad measured 45 useful

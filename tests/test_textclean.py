@@ -85,6 +85,11 @@ def test_clean_prompt_is_noop_on_clean_prompts():
 
 def test_against_real_ftfy_if_available():
     ftfy = pytest.importorskip("ftfy")
+    # conftest.add_reference_to_path stubs absent reference deps (ftfy
+    # included) into sys.modules; a stub is not an oracle
+    if not callable(getattr(ftfy, "fix_text", None)) \
+            or ftfy.fix_text("abc") != "abc":
+        pytest.skip("ftfy is a conftest stub, not the real library")
     import html
     samples = [
         "âœ” No problems", "doesnÃ¢â‚¬â„¢t", "fish &amp;amp; chips",
