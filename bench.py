@@ -298,13 +298,16 @@ def extrapolate(measured):
 
 def time_vae_decode():
     """One full-clip VAE decode at the production geometry: latents
-    (1,16,21,42,74) -> (1,3,81,336,592). Full-sequence causal convs (the
-    TPU production path; the reference's tile loop is a GPU-memory hack,
-    wan_video_vae.py:643-692 -- tile-blend parity is tests/test_tiling.py)."""
+    (1,16,21,42,74) -> (1,3,81,336,592), via the reference's tiled
+    parity config (tile (30,52) stride (15,26), inference_wan21.py:326,
+    wan_video_vae.py:643-692). The single full-tensor conv graph is
+    preferred on paper, but its XLA program crashes this platform's
+    remote-compile helper (measured 2026-08-18: OK at (21,21,37), HTTP
+    500 at (21,42,74)), and the tiled path is what the reference itself
+    deploys -- so the tiled number IS the deployable clip cost here."""
     from fantasy_world_tpu.core.params import abstract_init
     from fantasy_world_tpu.models.wan.vae import (VAEConfig, init_wan_vae,
-                                                  vae_decode)
-    from fantasy_world_tpu.utils.aot_cache import load_or_compile
+                                                  vae_decode_tiled)
 
     cfg = VAEConfig()
     with abstract_init():
@@ -314,13 +317,10 @@ def time_vae_decode():
     params = jax.jit(lambda: jax.tree_util.tree_map(
         lambda s: jnp.zeros(s.shape, s.dtype), abstract))()
     lat = jnp.zeros((1, 16, F, H2, W2), jnp.bfloat16)
-    fwd = load_or_compile(lambda p, z: vae_decode(p, cfg, z), (params, lat),
-                          name="bench_vae_decode", cache_dir=_CACHE_DIR,
-                          config=repr(cfg), log=log)
-    out = fwd(params, lat)
+    out = vae_decode_tiled(params, cfg, lat, (30, 52), (15, 26))  # compile
     fetch_scalar(out)
     t0 = time.perf_counter()
-    out = fwd(params, lat)
+    out = vae_decode_tiled(params, cfg, lat, (30, 52), (15, 26))
     fetch_scalar(out)
     return time.perf_counter() - t0
 

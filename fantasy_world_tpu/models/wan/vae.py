@@ -23,6 +23,7 @@ upsample.
 from __future__ import annotations
 
 import dataclasses
+import functools
 from typing import Dict, List, Optional, Tuple
 
 import jax
@@ -332,6 +333,16 @@ def _build_1d_mask(length, left_bound, right_bound, border):
     return x
 
 
+@functools.partial(jax.jit, static_argnums=(1, 3))
+def _vae_decode_jit(p, cfg, latents, clamp):
+    return vae_decode(p, cfg, latents, clamp)
+
+
+@functools.partial(jax.jit, static_argnums=(1,))
+def _vae_encode_jit(p, cfg, video):
+    return vae_encode(p, cfg, video)
+
+
 def vae_decode_tiled(p: Dict, cfg: VAEConfig, latents: jnp.ndarray,
                      tile_size=(34, 34), tile_stride=(18, 16)) -> jnp.ndarray:
     B, C, T, H, W = latents.shape
@@ -348,7 +359,7 @@ def vae_decode_tiled(p: Dict, cfg: VAEConfig, latents: jnp.ndarray,
             if w - tw >= 0 and w - tw + sw >= W:
                 continue
             tile = latents[:, :, :, h:h + sh, w:w + sw]
-            dec = np.asarray(vae_decode(p, cfg, tile, clamp=False),
+            dec = np.asarray(_vae_decode_jit(p, cfg, tile, False),
                              np.float32)
             hm = _build_1d_mask(dec.shape[3], h == 0, h + sh >= H,
                                 (sh - th) * up)
@@ -382,7 +393,7 @@ def vae_encode_tiled(p: Dict, cfg: VAEConfig, video: jnp.ndarray,
             if w - tw >= 0 and w - tw + sw >= W:
                 continue
             tile = video[:, :, :, h:h + sh, w:w + sw]
-            enc = np.asarray(vae_encode(p, cfg, tile), np.float32)
+            enc = np.asarray(_vae_encode_jit(p, cfg, tile), np.float32)
             hm = _build_1d_mask(enc.shape[3], h == 0, h + sh >= H,
                                 (sh - th) // up)
             wm = _build_1d_mask(enc.shape[4], w == 0, w + sw >= W,
