@@ -121,18 +121,26 @@ def assemble_tokens(p: Dict, cfg: AggregatorConfig, patch_tokens: jnp.ndarray,
 def frame_attention(p_block: Dict, cfg: AggregatorConfig, tokens, B, S, P, C,
                     pos=None, e0=None):
     """One frame block over (B*S, P, C) tokens; returns (tokens,
-    intermediate (B, S, P, C))."""
+    intermediate (B, S, P, C)). ``pos`` may be int positions or a hoisted
+    (cos, sin) table pair already in the frame layout."""
     tokens = tokens.reshape(B * S, P, C)
-    pos_f = None if pos is None else pos.reshape(B * S, P, 2)
+    if pos is None or isinstance(pos, tuple):
+        pos_f = pos
+    else:
+        pos_f = pos.reshape(B * S, P, 2)
     tokens = vggt_block_apply(p_block, cfg.block_cfg, tokens, pos_f, e0)
     return tokens, tokens.reshape(B, S, P, C)
 
 
 def global_attention(p_block: Dict, cfg: AggregatorConfig, tokens, B, S, P, C,
                      pos=None, e0=None):
-    """One global block over (B, S*P, C) tokens."""
+    """One global block over (B, S*P, C) tokens. ``pos`` may be int
+    positions or a hoisted (cos, sin) table pair in the global layout."""
     tokens = tokens.reshape(B, S * P, C)
-    pos_g = None if pos is None else pos.reshape(B, S * P, 2)
+    if pos is None or isinstance(pos, tuple):
+        pos_g = pos
+    else:
+        pos_g = pos.reshape(B, S * P, 2)
     tokens = vggt_block_apply(p_block, cfg.block_cfg, tokens, pos_g, e0)
     return tokens, tokens.reshape(B, S, P, C)
 
@@ -147,11 +155,19 @@ def aggregator_forward(p: Dict, cfg: AggregatorConfig,
     B, S = patch_tokens.shape[:2]
     tokens, pos = assemble_tokens(p, cfg, patch_tokens, camera_token)
     P, C = tokens.shape[-2:]
+    bcfg = cfg.block_cfg
+    # hoist the per-block 2D-rope position gather out of the layer loop
+    if bcfg.rope_frequency > 0:
+        rope_f = rope_ops.rope2d_tables_from_positions(
+            pos, bcfg.head_dim, frequency=bcfg.rope_frequency)
+        rope_g = tuple(t.reshape(B, S * P, 1, t.shape[-1]) for t in rope_f)
+    else:
+        rope_f = rope_g = None
     outputs = []
     for i in range(cfg.depth):
         tokens, frame_inter = frame_attention(
-            p["frame_blocks"][i], cfg, tokens, B, S, P, C, pos, e0)
+            p["frame_blocks"][i], cfg, tokens, B, S, P, C, rope_f, e0)
         tokens, global_inter = global_attention(
-            p["global_blocks"][i], cfg, tokens, B, S, P, C, pos, e0)
+            p["global_blocks"][i], cfg, tokens, B, S, P, C, rope_g, e0)
         outputs.append(jnp.concatenate([frame_inter, global_inter], axis=-1))
     return outputs, cfg.patch_start_idx

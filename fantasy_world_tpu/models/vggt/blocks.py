@@ -74,7 +74,10 @@ from ...core.params import linear as _linear  # noqa: E402
 
 def vggt_attention(p: Dict, cfg: VGGTBlockConfig, x: jnp.ndarray,
                    pos: Optional[jnp.ndarray]) -> jnp.ndarray:
-    """x: (B, N, C); pos: (B, N, 2) int positions or None."""
+    """x: (B, N, C); pos: (B, N, 2) int positions, a precomputed
+    (cos, sin) table pair (rope_ops.rope2d_tables_from_positions -- the
+    layer-loop callers hoist the position gather out of the scan), or
+    None."""
     B, N, C = x.shape
     H, D = cfg.num_heads, cfg.head_dim
     qkv = _linear(p["qkv"], x).reshape(B, N, 3, H, D)
@@ -83,8 +86,12 @@ def vggt_attention(p: Dict, cfg: VGGTBlockConfig, x: jnp.ndarray,
         q = layer_norm(q, p["q_norm"], cfg.ln_eps)
         k = layer_norm(k, p["k_norm"], cfg.ln_eps)
     if pos is not None and cfg.rope_frequency > 0:
-        q = rope_ops.apply_rope_2d(q, pos, frequency=cfg.rope_frequency)
-        k = rope_ops.apply_rope_2d(k, pos, frequency=cfg.rope_frequency)
+        if isinstance(pos, tuple):
+            q = rope_ops.apply_rope_2d_tables(q, *pos)
+            k = rope_ops.apply_rope_2d_tables(k, *pos)
+        else:
+            q = rope_ops.apply_rope_2d(q, pos, frequency=cfg.rope_frequency)
+            k = rope_ops.apply_rope_2d(k, pos, frequency=cfg.rope_frequency)
     o = dot_product_attention(q, k, v)
     return _linear(p["proj"], o.reshape(B, N, C))
 

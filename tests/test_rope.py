@@ -134,3 +134,35 @@ def test_rope_half_equals_permuted_interleaved():
     wp = rope.permute_qk_out_channels(w, d)
     manual = w.reshape(5, heads, d)[..., idx].reshape(5, heads * d)
     np.testing.assert_array_equal(wp, manual)
+
+
+def test_rope_2d_hoisted_tables_equal_direct():
+    """The scan-hoisted table path (rope2d_tables_from_positions +
+    apply_rope_2d_tables) must equal apply_rope_2d, including after the
+    frame->global layout reshape used by the fusion loop."""
+    from fantasy_world_tpu.ops import rope
+    import jax.numpy as jnp
+
+    B, S, Hh, Ww, heads, head_dim = 2, 3, 4, 5, 16, 64
+    n_special = 5
+    P = n_special + Hh * Ww
+    pos = rope.grid_positions_2d(Hh, Ww, n_special=n_special)
+    pos_f = jnp.broadcast_to(jnp.asarray(pos)[None], (B * S, P, 2))
+
+    rng = np.random.default_rng(3)
+    xf = jnp.asarray(rng.standard_normal((B * S, P, heads, head_dim))
+                     .astype(np.float32))
+    direct = rope.apply_rope_2d(xf, pos_f)
+    tab_f = rope.rope2d_tables_from_positions(pos_f, head_dim)
+    hoisted = rope.apply_rope_2d_tables(xf, *tab_f)
+    np.testing.assert_allclose(np.asarray(hoisted), np.asarray(direct),
+                               rtol=1e-6, atol=1e-6)
+
+    # global layout: reshaped tables == tables from reshaped positions
+    xg = xf.reshape(B, S * P, heads, head_dim)
+    pos_g = pos_f.reshape(B, S * P, 2)
+    tab_g = tuple(t.reshape(B, S * P, 1, t.shape[-1]) for t in tab_f)
+    out_g = rope.apply_rope_2d_tables(xg, *tab_g)
+    np.testing.assert_allclose(np.asarray(out_g),
+                               np.asarray(rope.apply_rope_2d(xg, pos_g)),
+                               rtol=1e-6, atol=1e-6)
