@@ -334,21 +334,17 @@ def _fusion_block(p, x, res=None, size=None):
                   padding=((0, 0), (0, 0)))
 
 
-def dpt_head_forward(p: Dict, cfg: DPTHeadConfig,
-                     aggregated_tokens: List[jnp.ndarray],
-                     spatial_hw: Tuple[int, int],
-                     patch_start_idx: int) -> Tuple[jnp.ndarray, jnp.ndarray]:
-    """aggregated_tokens: per-layer (B, S, P, dim_in); returns
-    (preds (B, T_out, H, W, output_dim-1), conf (B, T_out, H, W)) with
-    T_out = 1 + 4*(S-1) and H = spatial_h * patch_size.
-    """
+def dpt_stage1_project(p: Dict, cfg: DPTHeadConfig,
+                       aggregated_tokens: List[jnp.ndarray],
+                       spatial_hw: Tuple[int, int],
+                       patch_start_idx: int) -> List[jnp.ndarray]:
+    """Per-tap projection + spatial resize pyramid; per-frame independent.
+    Returns 4 feature levels, each (B, C_l, S, h_l, w_l)."""
     ph, pw = spatial_hw
     H = ph * cfg.patch_size
     W = pw * cfg.patch_size
     B = aggregated_tokens[0].shape[0]
     S = aggregated_tokens[0].shape[1]
-
-    # stage 1: per-layer projection + spatial resize pyramid
     feats = []
     for dpt_idx, layer_idx in enumerate(cfg.intermediate_layer_idx):
         x = aggregated_tokens[layer_idx][:, :, patch_start_idx:]
@@ -369,13 +365,31 @@ def dpt_head_forward(p: Dict, cfg: DPTHeadConfig,
             x = conv2d(p["resize3"]["kernel"], p["resize3"]["bias"], x,
                        stride=(2, 2), padding=((1, 1), (1, 1)))
         feats.append(x.reshape(B, S, *x.shape[1:]).transpose(0, 2, 1, 3, 4))
+    return feats
 
-    # stage 2: temporal 4x upsample per pyramid level (S -> 1 + 4*(S-1))
-    outs = [wan_vae_dpt_upsampler(p["temporal_upsamplers"][i], feats[i])
+
+def dpt_stage2_upsample(p: Dict, feats: List[jnp.ndarray]
+                        ) -> List[jnp.ndarray]:
+    """Temporal 4x upsample per pyramid level (S -> 1 + 4*(S-1)); the only
+    frame-coupled stage (causal convs over S)."""
+    return [wan_vae_dpt_upsampler(p["temporal_upsamplers"][i], feats[i])
             for i in range(4)]
+
+
+def dpt_stage3_fuse(p: Dict, cfg: DPTHeadConfig, outs: List[jnp.ndarray],
+                    spatial_hw: Tuple[int, int]):
+    """Scratch fusion + output head; strictly per-frame (pure 2D convs over
+    (B*T, C, h, w)), so callers may chunk the frame axis of `outs` and
+    concatenate -- bit-identical to one call (bench.py relies on this: the
+    monolithic 81-frame graph crashes this platform's remote-compile
+    helper). Returns feature map (B, T, C, h, w) if cfg.feature_only else
+    (preds, conf)."""
+    ph, pw = spatial_hw
+    H = ph * cfg.patch_size
+    W = pw * cfg.patch_size
+    B = outs[0].shape[0]
     T_out = outs[0].shape[2]
 
-    # stage 3: scratch fusion + output head over all frames
     def to2d(x):
         return x.transpose(0, 2, 1, 3, 4).reshape(B * T_out, *x.shape[1:2] + x.shape[3:])
 
@@ -405,3 +419,18 @@ def dpt_head_forward(p: Dict, cfg: DPTHeadConfig,
     preds = preds.reshape(B, T_out, *preds.shape[1:])
     conf = conf.reshape(B, T_out, *conf.shape[1:])
     return preds, conf
+
+
+def dpt_head_forward(p: Dict, cfg: DPTHeadConfig,
+                     aggregated_tokens: List[jnp.ndarray],
+                     spatial_hw: Tuple[int, int],
+                     patch_start_idx: int) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """aggregated_tokens: per-layer (B, S, P, dim_in); returns
+    (preds (B, T_out, H, W, output_dim-1), conf (B, T_out, H, W)) with
+    T_out = 1 + 4*(S-1) and H = spatial_h * patch_size.
+    (reference dpt_head.py DPTHead_3D_Causal.forward; staged here so large
+    single-chip graphs can run the per-frame stage 3 in frame chunks)."""
+    feats = dpt_stage1_project(p, cfg, aggregated_tokens, spatial_hw,
+                               patch_start_idx)
+    outs = dpt_stage2_upsample(p, feats)
+    return dpt_stage3_fuse(p, cfg, outs, spatial_hw)
