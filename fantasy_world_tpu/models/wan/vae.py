@@ -343,34 +343,58 @@ def _vae_encode_jit(p, cfg, video):
     return vae_encode(p, cfg, video)
 
 
-def vae_decode_tiled(p: Dict, cfg: VAEConfig, latents: jnp.ndarray,
-                     tile_size=(34, 34), tile_stride=(18, 16)) -> jnp.ndarray:
-    B, C, T, H, W = latents.shape
+def tiled_blend(fn_one, x: jnp.ndarray, tile_size, tile_stride,
+                out_scale: float, out_C: int, out_T: int,
+                clamp: bool) -> jnp.ndarray:
+    """Run ``fn_one`` over the reference's spatial tile grid and blend the
+    results with its linear border masks (wan_video_vae.py:619-692),
+    accumulating ON DEVICE.
+
+    The reference stages every decoded tile through CPU -- a GPU-memory
+    workaround that on this platform costs more than the decode itself
+    (measured 2026-08-19 on the tunneled v5e: one (30,52)-tile decode is
+    1.40 s of device time but 4.4 s wall when the result is fetched, so the
+    4-tile 480P decode read 13.7-19.6 s instead of ~5.6 s). Here the fp32
+    accumulation runs on device in the reference's tile order -- same mask
+    math, same add order -- and only the caller decides when to fetch.
+
+    ``tile_size``/``tile_stride`` are in input pixels; ``out_scale`` maps
+    input to output pixels (8 for decode, 1/8 for encode; exact ints after
+    scaling). ``fn_one`` maps one input tile to (B, out_C, out_T, h*, w*).
+    """
+    B, _, _, H, W = x.shape
     sh, sw = tile_size
     th, tw = tile_stride
-    up = 8
-    out_T = T * 4 - 3
-    values = np.zeros((B, 3, out_T, H * up, W * up), np.float32)
-    weight = np.zeros((1, 1, 1, H * up, W * up), np.float32)
+    oH, oW = round(H * out_scale), round(W * out_scale)
+    values = jnp.zeros((B, out_C, out_T, oH, oW), jnp.float32)
+    weight = jnp.zeros((oH, oW), jnp.float32)
     for h in range(0, H, th):
         if h - th >= 0 and h - th + sh >= H:
             continue
         for w in range(0, W, tw):
             if w - tw >= 0 and w - tw + sw >= W:
                 continue
-            tile = latents[:, :, :, h:h + sh, w:w + sw]
-            dec = np.asarray(_vae_decode_jit(p, cfg, tile, False),
-                             np.float32)
+            dec = fn_one(x[:, :, :, h:h + sh, w:w + sw]).astype(jnp.float32)
             hm = _build_1d_mask(dec.shape[3], h == 0, h + sh >= H,
-                                (sh - th) * up)
+                                round((sh - th) * out_scale))
             wm = _build_1d_mask(dec.shape[4], w == 0, w + sw >= W,
-                                (sw - tw) * up)
-            mask = np.minimum(hm[:, None], wm[None, :])
-            values[:, :, :, h * up:h * up + dec.shape[3],
-                   w * up:w * up + dec.shape[4]] += dec * mask
-            weight[:, :, :, h * up:h * up + dec.shape[3],
-                   w * up:w * up + dec.shape[4]] += mask
-    return jnp.clip(jnp.asarray(values / weight), -1, 1).astype(latents.dtype)
+                                round((sw - tw) * out_scale))
+            mask = jnp.asarray(np.minimum(hm[:, None], wm[None, :]))
+            oh, ow = round(h * out_scale), round(w * out_scale)
+            values = values.at[:, :, :, oh:oh + dec.shape[3],
+                               ow:ow + dec.shape[4]].add(dec * mask)
+            weight = weight.at[oh:oh + dec.shape[3],
+                               ow:ow + dec.shape[4]].add(mask)
+    out = values / weight
+    return jnp.clip(out, -1, 1).astype(x.dtype) if clamp \
+        else out.astype(x.dtype)
+
+
+def vae_decode_tiled(p: Dict, cfg: VAEConfig, latents: jnp.ndarray,
+                     tile_size=(34, 34), tile_stride=(18, 16)) -> jnp.ndarray:
+    return tiled_blend(lambda t: _vae_decode_jit(p, cfg, t, False),
+                       latents, tile_size, tile_stride, out_scale=8,
+                       out_C=3, out_T=latents.shape[2] * 4 - 3, clamp=True)
 
 
 def vae_encode_tiled(p: Dict, cfg: VAEConfig, video: jnp.ndarray,
@@ -379,28 +403,9 @@ def vae_encode_tiled(p: Dict, cfg: VAEConfig, video: jnp.ndarray,
     are in LATENT pixels like the reference public API (encode() multiplies
     by 8 before calling tiled_encode; the blend masks live in latent space).
     The wan22 control-video path encodes tiled (wan_video.py:279-288)."""
-    B, C, T, H, W = video.shape
     up = 8
-    sh, sw = tile_size[0] * up, tile_size[1] * up
-    th, tw = tile_stride[0] * up, tile_stride[1] * up
-    out_T = (T + 3) // 4
-    values = np.zeros((B, cfg.z_dim, out_T, H // up, W // up), np.float32)
-    weight = np.zeros((1, 1, 1, H // up, W // up), np.float32)
-    for h in range(0, H, th):
-        if h - th >= 0 and h - th + sh >= H:
-            continue
-        for w in range(0, W, tw):
-            if w - tw >= 0 and w - tw + sw >= W:
-                continue
-            tile = video[:, :, :, h:h + sh, w:w + sw]
-            enc = np.asarray(_vae_encode_jit(p, cfg, tile), np.float32)
-            hm = _build_1d_mask(enc.shape[3], h == 0, h + sh >= H,
-                                (sh - th) // up)
-            wm = _build_1d_mask(enc.shape[4], w == 0, w + sw >= W,
-                                (sw - tw) // up)
-            mask = np.minimum(hm[:, None], wm[None, :])
-            values[:, :, :, h // up:h // up + enc.shape[3],
-                   w // up:w // up + enc.shape[4]] += enc * mask
-            weight[:, :, :, h // up:h // up + enc.shape[3],
-                   w // up:w // up + enc.shape[4]] += mask
-    return jnp.asarray(values / weight).astype(video.dtype)
+    return tiled_blend(lambda t: _vae_encode_jit(p, cfg, t), video,
+                       (tile_size[0] * up, tile_size[1] * up),
+                       (tile_stride[0] * up, tile_stride[1] * up),
+                       out_scale=1 / up, out_C=cfg.z_dim,
+                       out_T=(video.shape[2] + 3) // 4, clamp=False)

@@ -22,6 +22,7 @@ leading-frame trim.
 from __future__ import annotations
 
 import dataclasses
+import functools
 from typing import Dict, List, Tuple
 
 import jax
@@ -29,8 +30,8 @@ import jax.numpy as jnp
 import numpy as np
 
 from ...ops.causal_conv import causal_conv3d, conv2d, conv3d, rms_norm_channel
-from .vae import (_build_1d_mask, _nearest_up2, _silu, _spatial,
-                  attention_block, residual_block)
+from .vae import (_nearest_up2, _silu, _spatial, attention_block,
+                  residual_block, tiled_blend)
 
 LATENT38_MEAN = np.array([
     -0.2289, -0.0052, -0.1323, -0.2339, -0.2799, 0.0174, 0.1838, 0.1557,
@@ -258,60 +259,28 @@ def vae38_decode(p: Dict, cfg: VAE38Config, latents: jnp.ndarray,
 # upsampling_factor 16 -- wan_video_vae.py:1363-1390, 1112-1259)
 # ---------------------------------------------------------------------------
 
+@functools.partial(jax.jit, static_argnums=(1, 3))
+def _vae38_decode_jit(p, cfg, latents, clamp):
+    return vae38_decode(p, cfg, latents, clamp)
+
+
+@functools.partial(jax.jit, static_argnums=(1,))
+def _vae38_encode_jit(p, cfg, video):
+    return vae38_encode(p, cfg, video)
+
+
 def vae38_decode_tiled(p: Dict, cfg: VAE38Config, latents: jnp.ndarray,
                        tile_size=(34, 34), tile_stride=(18, 16)) -> jnp.ndarray:
-    B, C, T, H, W = latents.shape
-    sh, sw = tile_size
-    th, tw = tile_stride
-    up = 16
-    out_T = T * 4 - 3
-    values = np.zeros((B, 3, out_T, H * up, W * up), np.float32)
-    weight = np.zeros((1, 1, 1, H * up, W * up), np.float32)
-    for h in range(0, H, th):
-        if h - th >= 0 and h - th + sh >= H:
-            continue
-        for w in range(0, W, tw):
-            if w - tw >= 0 and w - tw + sw >= W:
-                continue
-            tile = latents[:, :, :, h:h + sh, w:w + sw]
-            dec = np.asarray(vae38_decode(p, cfg, tile, clamp=False),
-                             np.float32)
-            hm = _build_1d_mask(dec.shape[3], h == 0, h + sh >= H,
-                                (sh - th) * up)
-            wm = _build_1d_mask(dec.shape[4], w == 0, w + sw >= W,
-                                (sw - tw) * up)
-            mask = np.minimum(hm[:, None], wm[None, :])
-            values[:, :, :, h * up:h * up + dec.shape[3],
-                   w * up:w * up + dec.shape[4]] += dec * mask
-            weight[:, :, :, h * up:h * up + dec.shape[3],
-                   w * up:w * up + dec.shape[4]] += mask
-    return jnp.clip(jnp.asarray(values / weight), -1, 1).astype(latents.dtype)
+    return tiled_blend(lambda t: _vae38_decode_jit(p, cfg, t, False),
+                       latents, tile_size, tile_stride, out_scale=16,
+                       out_C=3, out_T=latents.shape[2] * 4 - 3, clamp=True)
 
 
 def vae38_encode_tiled(p: Dict, cfg: VAE38Config, video: jnp.ndarray,
                        tile_size=(34, 34), tile_stride=(18, 16)) -> jnp.ndarray:
-    B, C, T, H, W = video.shape
     up = 16
-    sh, sw = tile_size[0] * up, tile_size[1] * up
-    th, tw = tile_stride[0] * up, tile_stride[1] * up
-    out_T = (T + 3) // 4
-    values = np.zeros((B, cfg.z_dim, out_T, H // up, W // up), np.float32)
-    weight = np.zeros((1, 1, 1, H // up, W // up), np.float32)
-    for h in range(0, H, th):
-        if h - th >= 0 and h - th + sh >= H:
-            continue
-        for w in range(0, W, tw):
-            if w - tw >= 0 and w - tw + sw >= W:
-                continue
-            tile = video[:, :, :, h:h + sh, w:w + sw]
-            enc = np.asarray(vae38_encode(p, cfg, tile), np.float32)
-            hm = _build_1d_mask(enc.shape[3], h == 0, h + sh >= H,
-                                (sh - th) // up)
-            wm = _build_1d_mask(enc.shape[4], w == 0, w + sw >= W,
-                                (sw - tw) // up)
-            mask = np.minimum(hm[:, None], wm[None, :])
-            values[:, :, :, h // up:h // up + enc.shape[3],
-                   w // up:w // up + enc.shape[4]] += enc * mask
-            weight[:, :, :, h // up:h // up + enc.shape[3],
-                   w // up:w // up + enc.shape[4]] += mask
-    return jnp.asarray(values / weight).astype(video.dtype)
+    return tiled_blend(lambda t: _vae38_encode_jit(p, cfg, t), video,
+                       (tile_size[0] * up, tile_size[1] * up),
+                       (tile_stride[0] * up, tile_stride[1] * up),
+                       out_scale=1 / up, out_C=cfg.z_dim,
+                       out_T=(video.shape[2] + 3) // 4, clamp=False)
