@@ -24,6 +24,12 @@ Quantized linear params replace {"kernel"} with {"kernel_q", "kscale"}
 on the keys, so every model routed through it picks the path up without
 code changes. Scan-stacked kernels (L, K, N) get per-layer scales (L, N)
 and slice transparently under ``lax.scan``.
+
+Accuracy contract (tests/test_quant_drift.py): over the assembled 6-step
+CFG-5 denoise loop, int8 drifts the final latents by <= 4% relative L2 vs
+bf16 (measured 1.09% on random-gaussian weights). int8 is the documented
+serving OPTION (bench: int8_full_s, 1.22x end-to-end); bf16 stays the
+headline/default because the reference's own precision is bf16.
 """
 from __future__ import annotations
 

@@ -343,6 +343,15 @@ def _vae_encode_jit(p, cfg, video):
     return vae_encode(p, cfg, video)
 
 
+@functools.partial(jax.jit, donate_argnums=(0,))
+def _canvas_add(values, patch, oh, ow):
+    """values[..., oh:oh+ph, ow:ow+pw] += patch, donating the canvas so the
+    blend holds ONE fp32 canvas in HBM, not two."""
+    start = (0, 0, 0, oh, ow)
+    cur = jax.lax.dynamic_slice(values, start, patch.shape)
+    return jax.lax.dynamic_update_slice(values, cur + patch, start)
+
+
 def tiled_blend(fn_one, x: jnp.ndarray, tile_size, tile_stride,
                 out_scale: float, out_C: int, out_T: int,
                 clamp: bool) -> jnp.ndarray:
@@ -361,6 +370,11 @@ def tiled_blend(fn_one, x: jnp.ndarray, tile_size, tile_stride,
     ``tile_size``/``tile_stride`` are in input pixels; ``out_scale`` maps
     input to output pixels (8 for decode, 1/8 for encode; exact ints after
     scaling). ``fn_one`` maps one input tile to (B, out_C, out_T, h*, w*).
+
+    HBM: the fp32 output canvas lives on device for the whole blend
+    (decode 480P/81f: ~1.0 GB; vae38's x16 upsample: ~4 GB). Each tile add
+    is a donated jitted dynamic-slice update, so peak is ONE canvas plus a
+    tile -- not the two copies an undonated scatter would hold.
     """
     B, _, _, H, W = x.shape
     sh, sw = tile_size
@@ -381,8 +395,7 @@ def tiled_blend(fn_one, x: jnp.ndarray, tile_size, tile_stride,
                                 round((sw - tw) * out_scale))
             mask = jnp.asarray(np.minimum(hm[:, None], wm[None, :]))
             oh, ow = round(h * out_scale), round(w * out_scale)
-            values = values.at[:, :, :, oh:oh + dec.shape[3],
-                               ow:ow + dec.shape[4]].add(dec * mask)
+            values = _canvas_add(values, dec * mask, oh, ow)
             weight = weight.at[oh:oh + dec.shape[3],
                                ow:ow + dec.shape[4]].add(mask)
     out = values / weight

@@ -10,9 +10,13 @@ snapshots the COMPILED executable via
 skipping trace, lowering, and compile entirely (reload through the tunnel:
 60-270 s, dominated by executable transfer).
 
-Cache keys fingerprint (a) the package sources, (b) a caller-supplied
-config string, and (c) the arg shapes/dtypes, so a stale executable can
-never be silently loaded after a code or shape change. Entries are plain
+Cache keys fingerprint (a) the package sources the function can actually
+reach -- the static import closure of its defining module (falling back to
+every .py in the package when the source can't be located) plus the
+function's own bytecode, (b) a caller-supplied config string, and (c) the
+arg shapes/dtypes, so a stale executable can never be silently loaded
+after a code or shape change, while an edit to an unrelated module (e.g.
+serving/) leaves entries valid. Entries are plain
 pickle files: executables are machine/topology-specific, so the cache
 directory should live on the machine (or image) that runs them; loading
 falls back to a fresh compile on any mismatch.
@@ -23,16 +27,19 @@ checkpoint/resume of compiled state).
 """
 from __future__ import annotations
 
+import ast
 import glob
 import hashlib
+import inspect
 import os
 import pickle
-from typing import Any, Callable, Optional, Sequence
+from typing import Any, Callable, List, Optional, Sequence, Set
 
 import jax
 
 _PKG_ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 _SRC_HASH: Optional[str] = None
+_CLOSURE_MEMO: dict = {}
 
 
 def _package_source_hash() -> str:
@@ -52,10 +59,155 @@ def _package_source_hash() -> str:
     return _SRC_HASH
 
 
-def fingerprint(args: Sequence[Any], config: str = "") -> str:
-    """12-hex-char key over package sources + config + arg shapes/dtypes."""
+def _resolve_module(parts: Sequence[str], pkg_root: str) -> Optional[str]:
+    """Package-relative module parts -> file path (module.py or
+    pkg/__init__.py), or None if it isn't a module of the package."""
+    base = os.path.join(pkg_root, *parts) if parts else pkg_root
+    if parts and os.path.isfile(base + ".py"):
+        return base + ".py"
+    init = os.path.join(base, "__init__.py")
+    if os.path.isfile(init):
+        return init
+    return None
+
+
+def _direct_deps(path: str, pkg_root: str, pkg_name: str) -> Set[str]:
+    """Static imports of one source file that land inside the package,
+    including lazy (function-body) imports. Parent ``__init__.py`` files of
+    every imported module are included -- Python executes them on import."""
+    try:
+        with open(path, "rb") as fh:
+            tree = ast.parse(fh.read())
+    except (OSError, SyntaxError):
+        return set()
+
+    # a module-level PEP-562 ``__getattr__`` is a lazy export hook; its
+    # imports run only on attribute access, never during a plain import of
+    # the module, so they are not deps of code that merely imports it
+    tree.body = [n for n in tree.body
+                 if not (isinstance(n, ast.FunctionDef)
+                         and n.name == "__getattr__")]
+
+    in_pkg = os.path.abspath(path).startswith(pkg_root + os.sep)
+    deps: Set[str] = set()
+
+    def add_prefixes(parts, aliases=()):
+        for i in range(len(parts) + 1):
+            f = _resolve_module(parts[:i], pkg_root)
+            if f:
+                deps.add(f)
+        for alias in aliases:
+            if alias != "*":
+                f = _resolve_module(list(parts) + [alias], pkg_root)
+                if f:
+                    deps.add(f)
+
+    for node in ast.walk(tree):
+        if isinstance(node, ast.Import):
+            for alias in node.names:
+                name = alias.name
+                if name == pkg_name or name.startswith(pkg_name + "."):
+                    add_prefixes(name.split(".")[1:])
+        elif isinstance(node, ast.ImportFrom):
+            if node.level == 0:
+                mod = node.module or ""
+                if not (mod == pkg_name or mod.startswith(pkg_name + ".")):
+                    continue
+                parts = mod.split(".")[1:]
+            else:
+                if not in_pkg:
+                    continue
+                rel = os.path.relpath(os.path.abspath(path), pkg_root)
+                # the file's package = its directory (true for modules and
+                # for __init__.py, whose package is the directory itself)
+                cur_pkg = rel.split(os.sep)[:-1]
+                drop = node.level - 1
+                if drop > len(cur_pkg):
+                    continue
+                base = cur_pkg[:len(cur_pkg) - drop] if drop else cur_pkg
+                parts = base + [p for p in (node.module or "").split(".") if p]
+            add_prefixes(parts, [a.name for a in node.names])
+    return deps
+
+
+def _import_closure(root_file: str, pkg_root: str = _PKG_ROOT) -> List[str]:
+    """Transitive in-package import closure reachable from ``root_file``
+    (which may live outside the package, e.g. bench.py; then only its
+    package deps are returned). Sorted file paths."""
+    pkg_root = os.path.abspath(pkg_root)
+    pkg_name = os.path.basename(pkg_root)
+    root_file = os.path.abspath(root_file)
+    seen: Set[str] = set()
+    if root_file.startswith(pkg_root + os.sep):
+        seen.add(root_file)
+        # importing an in-package module executes every parent __init__.py
+        pkg_parts = os.path.relpath(root_file, pkg_root).split(os.sep)[:-1]
+        for i in range(len(pkg_parts) + 1):
+            f = _resolve_module(pkg_parts[:i], pkg_root)
+            if f:
+                seen.add(f)
+    frontier = list(seen) if seen else [root_file]
+    while frontier:
+        f = frontier.pop()
+        for dep in _direct_deps(f, pkg_root, pkg_name):
+            if dep not in seen:
+                seen.add(dep)
+                frontier.append(dep)
+    return sorted(seen)
+
+
+def _closure_hash(root_file: str, pkg_root: str = _PKG_ROOT) -> str:
+    key = (os.path.abspath(root_file), os.path.abspath(pkg_root))
+    if key not in _CLOSURE_MEMO:
+        h = hashlib.md5()
+        for p in _import_closure(root_file, pkg_root):
+            h.update(os.path.relpath(p, pkg_root).encode())
+            try:
+                with open(p, "rb") as fh:
+                    h.update(fh.read())
+            except OSError:
+                pass
+        _CLOSURE_MEMO[key] = h.hexdigest()
+    return _CLOSURE_MEMO[key]
+
+
+def _scope_hash(fn: Optional[Callable]) -> str:
+    """Source hash scoped to what ``fn`` can reach: the static import
+    closure of its defining file plus its own bytecode. Falls back to the
+    whole-package hash when the source can't be located (REPL, C ext)."""
+    src = None
+    if fn is not None:
+        try:
+            src = inspect.getsourcefile(fn)
+        except TypeError:
+            src = None
+    if src is None or not os.path.isfile(src):
+        return _package_source_hash()
+    h = hashlib.md5(_closure_hash(src).encode())
+    def hash_code(code):
+        h.update(code.co_code)
+        h.update(repr(code.co_names).encode())
+        for c in code.co_consts:       # literals + nested lambdas/defs
+            if hasattr(c, "co_code"):
+                hash_code(c)
+            else:
+                h.update(repr(c).encode())
+
+    code = getattr(fn, "__code__", None)
+    if code is not None:
+        hash_code(code)
+    return h.hexdigest()
+
+
+def fingerprint(args: Sequence[Any], config: str = "",
+                fn: Optional[Callable] = None) -> str:
+    """12-hex-char key over reachable sources + config + arg shapes/dtypes.
+
+    With ``fn`` given, "reachable" is fn's static import closure (so edits
+    to unrelated modules keep entries valid); without it, the whole
+    package."""
     h = hashlib.md5()
-    h.update(_package_source_hash().encode())
+    h.update(_scope_hash(fn).encode())
     h.update(config.encode())
     for a in jax.tree_util.tree_leaves(args):
         h.update(f"{getattr(a, 'shape', ())}{getattr(a, 'dtype', '')}"
@@ -80,7 +232,7 @@ def load_or_compile(fn: Callable, args: Sequence[Any], *, name: str,
         if log:
             log(msg)
 
-    fp = fingerprint(args, config)
+    fp = fingerprint(args, config, fn=fn)
     path = os.path.join(cache_dir, f"aot_{name}_{fp}.pkl")
     if os.path.exists(path):
         try:

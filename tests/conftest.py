@@ -6,7 +6,13 @@ performs the setup at import time (pytest loads conftest first).
 import os
 import sys
 
-os.environ["JAX_PLATFORMS"] = "cpu"
+# FW_TPU_TESTS=1 keeps the real platform (the tunneled TPU) instead of the
+# virtual CPU mesh, for the `tpu`-marked hardware-numerics tests:
+#   FW_TPU_TESTS=1 python -m pytest tests/ -m tpu -q
+_TPU_TESTS = os.environ.get("FW_TPU_TESTS") == "1"
+
+if not _TPU_TESTS:
+    os.environ["JAX_PLATFORMS"] = "cpu"
 flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in flags:
     flags = (flags + " --xla_force_host_platform_device_count=8").strip()
@@ -26,7 +32,8 @@ os.environ["XLA_FLAGS"] = flags
 # update below still wins as long as no backend has been initialized yet.
 import jax  # noqa: E402
 
-jax.config.update("jax_platforms", "cpu")
+if not _TPU_TESTS:
+    jax.config.update("jax_platforms", "cpu")
 
 REPO_ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 if REPO_ROOT not in sys.path:

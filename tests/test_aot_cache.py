@@ -76,9 +76,6 @@ def test_retry_transient_retries_tunnel_errors_only(monkeypatch):
     with pytest.raises(RuntimeError, match="RESOURCE_EXHAUSTED"):
         bench.retry_transient(oom, "x")
 
-    def always():
-        raise RuntimeError("remote_compile: HTTP 500: helper crashed")
-
     calls["n"] = 0
 
     def count_always():
@@ -88,3 +85,108 @@ def test_retry_transient_retries_tunnel_errors_only(monkeypatch):
     with pytest.raises(RuntimeError, match="HTTP 500"):
         bench.retry_transient(count_always, "x", attempts=2)
     assert calls["n"] == 2
+
+
+def _write(p, text):
+    p.parent.mkdir(parents=True, exist_ok=True)
+    p.write_text(text)
+
+
+def test_import_closure_scoped_keying(tmp_path):
+    """Fingerprint keys on the function's static import closure: editing a
+    module OUTSIDE the closure leaves the key (and so the AOT entry) valid;
+    editing a module INSIDE it invalidates (VERDICT r2 next-#5)."""
+    from fantasy_world_tpu.utils import aot_cache
+
+    pkg = tmp_path / "fakepkg"
+    _write(pkg / "__init__.py", "")
+    _write(pkg / "ops" / "__init__.py", "")
+    _write(pkg / "ops" / "used.py", "X = 1\n")
+    _write(pkg / "ops" / "helper.py", "Y = 2\n")
+    _write(pkg / "serving" / "__init__.py", "")
+    _write(pkg / "serving" / "server.py", "Z = 3\n")
+    # root module imports ops.used (top-level), ops.helper (lazily inside a
+    # function body -- still a dep), and nothing from serving/
+    _write(pkg / "entry.py",
+           "from fakepkg.ops.used import X\n"
+           "def f():\n"
+           "    from fakepkg.ops import helper\n"
+           "    return helper.Y\n")
+
+    root = str(pkg / "entry.py")
+    cl = aot_cache._import_closure(root, pkg_root=str(pkg))
+    rel = sorted(str(p).split("fakepkg/")[-1] for p in cl)
+    assert "ops/used.py" in rel and "ops/helper.py" in rel
+    assert "entry.py" in rel and "__init__.py" in rel
+    assert not any(r.startswith("serving") for r in rel)
+
+    h0 = aot_cache._closure_hash(root, pkg_root=str(pkg))
+    # editing an unrelated module leaves the closure hash unchanged
+    aot_cache._CLOSURE_MEMO.clear()
+    _write(pkg / "serving" / "server.py", "Z = 999  # edited\n")
+    assert aot_cache._closure_hash(root, pkg_root=str(pkg)) == h0
+    # editing a module inside the closure invalidates
+    aot_cache._CLOSURE_MEMO.clear()
+    _write(pkg / "ops" / "helper.py", "Y = 22  # edited\n")
+    assert aot_cache._closure_hash(root, pkg_root=str(pkg)) != h0
+
+
+def test_import_closure_relative_and_getattr(tmp_path):
+    """Relative imports resolve against the importing module's package;
+    imports inside a PEP-562 module-level __getattr__ are NOT deps."""
+    from fantasy_world_tpu.utils import aot_cache
+
+    pkg = tmp_path / "fakepkg"
+    # root __init__ with a lazy __getattr__ accessor -> big.py must NOT
+    # leak into every closure through the parent-__init__ rule
+    _write(pkg / "__init__.py",
+           "def __getattr__(name):\n"
+           "    from .big import Everything\n"
+           "    return Everything\n")
+    _write(pkg / "big.py", "Everything = object()\n")
+    _write(pkg / "models" / "__init__.py", "")
+    _write(pkg / "models" / "net.py",
+           "from ..ops.kernel import k\nfrom . import sibling\n")
+    _write(pkg / "models" / "sibling.py", "S = 1\n")
+    _write(pkg / "ops" / "__init__.py", "")
+    _write(pkg / "ops" / "kernel.py", "k = lambda: 0\n")
+
+    cl = aot_cache._import_closure(str(pkg / "models" / "net.py"),
+                                   pkg_root=str(pkg))
+    rel = sorted(str(p).split("fakepkg/")[-1] for p in cl)
+    assert "ops/kernel.py" in rel          # .. relative import resolved
+    assert "models/sibling.py" in rel      # from . import sibling resolved
+    assert "big.py" not in rel             # __getattr__ import excluded
+
+
+def test_fingerprint_scoped_to_fn_bytecode(tmp_path):
+    """fingerprint(fn=...) keys on fn's bytecode: two different lambdas in
+    the same module get different keys; the same source hash is shared."""
+    import jax.numpy as jnp
+    from fantasy_world_tpu.utils.aot_cache import fingerprint
+
+    x = jnp.zeros(4)
+    f1 = lambda v: v + 1    # noqa: E731
+    f2 = lambda v: v + 2    # noqa: E731
+    f1b = lambda v: v + 1   # noqa: E731
+    assert fingerprint((x,), fn=f1) != fingerprint((x,), fn=f2)
+    assert fingerprint((x,), fn=f1) == fingerprint((x,), fn=f1b)
+    # scoped key differs from the whole-package fallback key
+    assert fingerprint((x,), fn=f1) != fingerprint((x,))
+
+
+def test_bench_closure_excludes_unrelated_modules():
+    """The real bench.py closure stays clear of serving/, training/, cli/:
+    editing those cannot invalidate bench AOT entries."""
+    import os
+    from fantasy_world_tpu.utils.aot_cache import _import_closure
+
+    here = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    bench = os.path.join(here, "bench.py")
+    rels = [os.path.relpath(p, os.path.join(here, "fantasy_world_tpu"))
+            for p in _import_closure(bench)]
+    assert any(r == os.path.join("models", "fusion", "model.py")
+               for r in rels), "bench must depend on the fusion model"
+    for banned in ("serving", "training", "cli"):
+        assert not any(r.split(os.sep)[0] == banned for r in rels), (
+            f"bench closure leaked {banned}/")

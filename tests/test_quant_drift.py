@@ -1,0 +1,74 @@
+"""int8 quality gate: clip-level drift of the quantized denoise loop.
+
+r2 VERDICT weak-#5: int8 w8a8 was benched (1.22x) and unit-parity-tested,
+but nothing tied `FantasyWorldPipeline.quantize()` to OUTPUT drift over an
+assembled multi-step loop, so it could not be recommended with evidence.
+This runs the same 6-step CFG denoise loop (scaffolding as
+test_loop_parity.py) twice -- bf16 params vs int8-quantized params -- with
+identical injected noise, and asserts the documented drift contract:
+
+    relative L2 drift of the final latents  <= 4%   (measured 1.09% on
+    random-gaussian weights at CFG 5; bound set at ~3.7x measured).
+
+The contract is documented in core/quant.py and PERF.md. int8 stays a
+serving OPTION (bench reports int8_full_s/int8_speedup); bf16 remains the
+headline path because the reference's own precision is bf16 and the drift,
+while bounded, is not zero.
+"""
+import numpy as np
+import pytest
+
+import conftest  # noqa: F401
+
+pytestmark = [pytest.mark.parity, pytest.mark.parity_fast]
+
+STEPS, CFG_SCALE, SEED = 6, 5.0, 42
+B, F_LAT, H2, W2 = 1, 3, 10, 12
+
+
+def _denoise(pipe):
+    import jax.numpy as jnp
+    rng = np.random.default_rng(7)
+    ctx_pos = jnp.asarray(rng.standard_normal((B, 64, 4096)), jnp.bfloat16)
+    ctx_neg = jnp.asarray(
+        rng.standard_normal((B, 64, 4096)) * 0.3, jnp.bfloat16)
+    clip = jnp.asarray(rng.standard_normal((B, 257, 1280)), jnp.bfloat16)
+    y = jnp.asarray(
+        rng.standard_normal((B, 20, F_LAT, H2, W2)), jnp.bfloat16)
+    plucker = jnp.asarray(rng.standard_normal(
+        (B, F_LAT * (H2 // 2) * (W2 // 2), 2048)) * 0.5, jnp.bfloat16)
+    lat, pred = pipe.denoise(
+        ctx_pos, ctx_neg, clip, y, height=H2 * 8, width=W2 * 8,
+        num_frames=4 * (F_LAT - 1) + 1, num_inference_steps=STEPS,
+        cfg_scale=CFG_SCALE, seed=SEED, plucker_fea=plucker)
+    return np.asarray(lat, np.float32), pred
+
+
+def test_int8_loop_drift_bound():
+    import jax.numpy as jnp
+    from fantasy_world_tpu.utils.demo import demo_config
+    from fantasy_world_tpu.models.fusion.model import init_fusion
+    from fantasy_world_tpu.pipelines.wan_video import FantasyWorldPipeline
+
+    cfg = demo_config(dim=256, layers=2, start_index=1, agg_dim=128)
+    params = init_fusion(0, cfg, jnp.bfloat16)
+
+    pipe_bf16 = FantasyWorldPipeline(cfg=cfg, params={"fusion": params})
+    lat_bf16, _ = _denoise(pipe_bf16)
+
+    pipe_int8 = FantasyWorldPipeline(cfg=cfg, params={"fusion": params})
+    # min_dim lowered so the demo-scale projections actually quantize (the
+    # production default 1024 gates out tiny conditioning layers)
+    pipe_int8.quantize("int8", min_dim=64)
+    lat_int8, _ = _denoise(pipe_int8)
+
+    assert lat_bf16.shape == lat_int8.shape
+    assert np.isfinite(lat_int8).all()
+    rel_l2 = float(np.linalg.norm(lat_int8 - lat_bf16)
+                   / np.linalg.norm(lat_bf16))
+    print(f"\nint8 6-step loop drift: rel_l2 = {rel_l2:.5f}")
+    # the documented int8 drift contract (see module docstring)
+    assert rel_l2 <= 0.04, f"int8 6-step drift {rel_l2:.4f} > 0.04"
+    # and the drift must be genuine quantization noise, not a silently
+    # un-quantized no-op: at least some deviation from bf16
+    assert rel_l2 > 0.0, "int8 path identical to bf16: quantize() no-op?"

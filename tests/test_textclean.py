@@ -99,3 +99,95 @@ def test_against_real_ftfy_if_available():
     for s in samples:
         ref = html.unescape(html.unescape(ftfy.fix_text(s))).strip()
         assert basic_clean(s) == ref, s
+
+
+# ---------------------------------------------------------------------------
+# round-3 corpus expansion (r2 VERDICT next-#7): the live ftfy cross-check
+# self-skips in this image, so equivalence rested on ~10 hard-coded pairs.
+# Below, the mojibake INPUTS are constructed with the stdlib's real cp1252 /
+# latin-1 codecs (an oracle independent of the implementation's own byte
+# map): for target text s, feeding s.encode('utf-8').decode(codec) through
+# fix_encoding must recover s exactly. This covers every script class the
+# native implementation claims: Latin accents, Greek, Cyrillic, CJK,
+# Devanagari, symbols, emoji, and double-encoding.
+# ---------------------------------------------------------------------------
+
+_MOJIBAKE_TARGETS = [
+    "é", "été", "l'humanité", "Perché", "Società", "naïve", "Größe",
+    "El Niño", "français", "português", "ČeštinaŘ",
+    "« guillemets »", "IKEA®", "température 25°C", "±5 µm", "£20 — €15",
+    "“curly quotes”", "don’t … ellipsis", "en–dash em—dash",
+    "привет мир", "шеллы", "Москва",
+    "γειά σου κόσμε", "Ωμέγα",
+    "こんにちは", "日本語テキスト", "中文测试", "한국어",
+    "नमस्ते", "✔ check", "→ arrow ☃",
+    "😂", "🎥 camera", "👍🏼",
+]
+
+
+def _misread(s, codec):
+    """What s's UTF-8 bytes look like when misread as `codec`; None when
+    the byte sequence is not representable in that codec (strict cp1252
+    has 5 undefined bytes)."""
+    try:
+        return s.encode("utf-8").decode(codec)
+    except UnicodeDecodeError:
+        return None
+
+
+@pytest.mark.parametrize("codec", ["cp1252", "latin-1"])
+def test_fix_encoding_recovers_codec_constructed_mojibake(codec):
+    covered = 0
+    for target in _MOJIBAKE_TARGETS:
+        bad = _misread(target, codec)
+        if bad is None or bad == target:
+            continue
+        covered += 1
+        assert fix_encoding(bad) == target, (codec, target, bad)
+    assert covered >= 25, f"only {covered} {codec} cases were exercisable"
+
+
+def test_fix_encoding_recovers_double_mojibake():
+    for target in ["don’t", "été", "✔", "привет", "“q”"]:
+        once = _misread(target, "cp1252")
+        twice = once and _misread(once, "cp1252")
+        if twice is None:
+            continue
+        assert fix_encoding(twice) == target, (target, twice)
+
+
+def test_fix_encoding_mojibake_embedded_in_clean_sentence():
+    # per-chunk repair: only the corrupted words change
+    for target, clean_l, clean_r in [
+            ("doesn’t", "The Mona Lisa", "have eyebrows."),
+            ("café", "meet at the", "at noon"),
+            ("привет", "she said", "and left")]:
+        bad = _misread(target, "cp1252")
+        assert bad is not None
+        s = f"{clean_l} {bad} {clean_r}"
+        assert fix_encoding(s) == f"{clean_l} {target} {clean_r}"
+
+
+def test_fix_encoding_never_corrupts_plain_unicode():
+    # the acceptance test must reject genuine text in every claimed script
+    for s in _MOJIBAKE_TARGETS:
+        assert fix_encoding(s) == s, s
+
+
+def test_fix_text_literal_pairs_ftfy_readme():
+    # hard-coded input->output pairs as published in ftfy's README/docs
+    pairs = [
+        ("âœ” No problems", "✔ No problems"),
+        ("The Mona Lisa doesnâ€™t have eyebrows.",
+         "The Mona Lisa doesn't have eyebrows."),   # + uncurl_quotes
+        ("l'humanitÃ©", "l'humanité"),
+        ("Ð¿ÐµÑ€Ð²Ñ‹Ð¹", "первый"),
+        ("ðŸ˜‚", "😂"),
+        ("IKEAÂ®", "IKEA®"),
+        ("ÃƒÂ©", "é"),                               # double-encoded
+        ("ï¬‚ow", "flow"),                           # mojibake ligature
+        ("５６７", "567"),                            # fullwidth digits
+        ("&macr;", "¯"),                             # named entity, no markup
+    ]
+    for bad, good in pairs:
+        assert fix_text(bad) == good, (bad, good)

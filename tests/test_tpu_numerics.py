@@ -1,0 +1,53 @@
+"""Hardware-numerics tests: the Mosaic-COMPILED flash kernel on the real
+TPU (r2 VERDICT weak-#3: every numerical test ran on CPU; the compiled
+kernel was only ever timed on the chip, never checked).
+
+Opt-in because the default test platform is the virtual CPU mesh:
+
+    FW_TPU_TESTS=1 python -m pytest tests/ -m tpu -q
+
+The exhaustive production-shape sweep (D=128/64/96, ragged tails, tiny
+joint_forward) lives in `python bench.py --parity`, which writes
+PARITY_TPU.json; this is the pytest-native smoke of the same property.
+"""
+import os
+
+import numpy as np
+import pytest
+
+import conftest  # noqa: F401
+
+pytestmark = pytest.mark.tpu
+
+
+def _on_tpu():
+    if os.environ.get("FW_TPU_TESTS") != "1":
+        return False
+    import jax
+    return jax.default_backend() == "tpu"
+
+
+@pytest.mark.skipif(not _on_tpu(),
+                    reason="needs FW_TPU_TESTS=1 and a real TPU")
+def test_flash_kernel_matches_xla_on_hardware():
+    import jax
+    import jax.numpy as jnp
+    from fantasy_world_tpu.ops.flash_attention import flash_attention
+    from fantasy_world_tpu.ops.attention import _xla_attention
+
+    rng = np.random.default_rng(3)
+    # production DiT-self shape class, ragged token count, 8 heads kept of
+    # the 40 to stay quick -- the kernel grid is per-head, so head count
+    # does not change the code path, only the runtime
+    B, L, H, D = 2, 16317, 8, 128
+    q, k, v = (jnp.asarray(rng.standard_normal((B, L, H, D), np.float32),
+                           jnp.bfloat16) for _ in range(3))
+    out = jax.jit(lambda q, k, v: flash_attention(
+        q, k, v, scale=D ** -0.5))(q, k, v)
+    # exact reference on probe rows: the first and LAST 128 queries (the
+    # tail block exercises the ragged in-kernel masking)
+    rows = np.r_[0:128, L - 128:L]
+    ref = _xla_attention(q[:, rows], k, v, D ** -0.5)
+    diff = float(jnp.max(jnp.abs(out[:, rows].astype(jnp.float32)
+                                 - ref.astype(jnp.float32))))
+    assert diff < 2e-2, f"compiled-kernel drift on hardware: {diff}"
