@@ -16,15 +16,29 @@ natively:
                           re-decode acceptance test per whitespace-delimited
                           chunk (ASCII space can never be a UTF-8
                           continuation byte, so chunking is lossless).
+  * restore_byte_a0    -- a space where a 0xA0 continuation byte was
+                          squashed ('Ã la mode' -> 'à la mode'): the space
+                          is speculatively restored to \xa0 and kept only
+                          when it makes the strict-UTF-8 repair succeed.
+  * replace_lossy_sequences -- a mojibake lead char followed by U+FFFD
+                          replacement characters (the continuation bytes
+                          were destroyed) collapses to one U+FFFD, as ftfy
+                          does when a sequence is unrecoverable.
+  * fix_surrogates     -- UTF-16 surrogate pairs leaked as codepoints are
+                          combined; lone surrogates become U+FFFD.
   * unescape_html auto -- entities unescaped when the text isn't HTML markup.
-  * remove_terminal_escapes, fix_latin_ligatures, fix_character_width,
-    uncurl_quotes, fix_line_breaks, remove_control_chars, NFC normalization
+  * remove_terminal_escapes, fix_latin_ligatures, fix_character_width
+    (fullwidth ASCII narrowed AND halfwidth katakana widened via per-char
+    NFKC, dakuten recomposed by the final NFC), uncurl_quotes,
+    fix_line_breaks, remove_control_chars, NFC normalization
     -- direct translations of the corresponding ftfy fixers.
 
-Not implemented (documented gaps, all unreachable from sane prompt strings):
-``restore_byte_a0``/``replace_lossy_sequences`` (need lossy '?' markers),
-``fix_surrogates`` (unpaired UTF-16 surrogates can't appear in a Python str
-from JSON/argv), halfwidth-katakana widening.
+Known divergence from full ftfy (documented, not reachable from sane
+prompts): ftfy gates its lossy/a0 fixers on a trained "badness" heuristic;
+here the gate is the stricter structural test (the repair must make the
+chunk decode as valid UTF-8), and '?'-marker lossy sequences (ftfy's
+optional second marker) are left alone because '?' is overwhelmingly a real
+question mark in prompt text.
 """
 from __future__ import annotations
 
@@ -83,10 +97,54 @@ def _fix_chunk_once(chunk: str):
     return fixed, True
 
 
+# mojibake "lead" characters: what a UTF-8 lead byte (0xC2-0xF4) looks like
+# after a cp1252/latin-1 misread
+_BYTE_TO_CHAR = {b: ch for ch, b in _CP1252_SPECIALS.items()}
+_LEAD_CHARS = "".join(_BYTE_TO_CHAR.get(b, chr(b))
+                      for b in range(0xC2, 0xF5))
+# a lead char followed by a space that may have been a squashed \xa0 byte.
+# Restricted to the C2/C3 leads (-> U+00A0 nbsp and the 'Ã ' = 'à' class,
+# the cases that occur in real web text): ftfy attempts every lead byte but
+# gates acceptance on its global badness heuristic; without that heuristic
+# the wider net mangles genuine text ('Å 2' -> 'Š2', caught by
+# test_fix_encoding_leaves_genuine_text_alone)
+_A0_RE = re.compile("([Â-Ã]) ")
+# a lead char, up to two surviving continuation-byte chars, then U+FFFD(s)
+# where the remaining continuation bytes were destroyed
+_CONT_CHARS = "".join({b: ch for ch, b in _CP1252_SPECIALS.items()}
+                      .get(b, chr(b)) for b in range(0x80, 0xC0))
+_LOSSY_RE = re.compile(f"[{re.escape(_LEAD_CHARS)}]"
+                       f"[{re.escape(_CONT_CHARS)}�]{{0,2}}�{{1,3}}")
+
+
+def restore_byte_a0(text: str) -> str:
+    """ftfy.fixes.restore_byte_a0: a prior process turned \\xa0 (no-break
+    space, a common UTF-8 continuation byte) into a plain space, breaking
+    the mojibake pattern ('Ã la mode' for 'à la mode').
+    Speculatively put the byte back wherever that single change lets the
+    strict-UTF-8 repair succeed; otherwise leave the text untouched."""
+
+    def try_restore(m):
+        fixed, changed = _fix_chunk_once(m.group(1) + "\xa0")
+        return fixed if changed else m.group(0)
+
+    return _A0_RE.sub(try_restore, text)
+
+
+def replace_lossy_sequences(chunk: str) -> str:
+    """ftfy.fixes.replace_lossy_sequences: a mojibake lead char whose
+    continuation bytes were already destroyed (U+FFFD markers) can never
+    be repaired -- collapse the whole sequence to one U+FFFD. Applied only
+    to chunks still holding a replacement character after repair."""
+    return _LOSSY_RE.sub("�", chunk)
+
+
 def fix_encoding(text: str, max_passes: int = 4) -> str:
     """Repair UTF-8-misread-as-cp1252 mojibake, including multiply-encoded
     text (each pass unwraps one layer, e.g. 'doesnÃ¢a€...'
     -> 'doesna€™t' -> 'doesn’t')."""
+    if "\xa0" not in text:             # a literal \xa0 means the bytes were
+        text = restore_byte_a0(text)   # NOT squashed; don't second-guess
     parts = re.split(r"([ \t\n\r\f\v]+)", text)
     out = []
     for part in parts:
@@ -94,6 +152,8 @@ def fix_encoding(text: str, max_passes: int = 4) -> str:
             part, changed = _fix_chunk_once(part)
             if not changed:
                 break
+        if "�" in part:
+            part = replace_lossy_sequences(part)
         out.append(part)
     return "".join(out)
 
@@ -120,6 +180,15 @@ _WIDTH = {cp: chr(cp - 0xFEE0) for cp in range(0xFF01, 0xFF5F)}
 _WIDTH.update({0xFFE0: "¢", 0xFFE1: "£", 0xFFE2: "¬",
                0xFFE3: "¯", 0xFFE4: "¦", 0xFFE5: "¥",
                0xFFE6: "₩", 0x3000: " "})
+# halfwidth katakana / jamo / punctuation (U+FF61..U+FFDC, U+FFE8..U+FFEE)
+# widened through per-char NFKC, exactly ftfy's fix_character_width 'H'
+# side; dakuten/handakuten land as combining marks the final NFC composes
+# (ｶﾞ -> ガ)
+for _cp in list(range(0xFF61, 0xFFDD)) + list(range(0xFFE8, 0xFFEF)):
+    _n = unicodedata.normalize("NFKC", chr(_cp))
+    if _n != chr(_cp):
+        _WIDTH[_cp] = _n
+del _cp, _n
 
 _LINE_BREAKS = {ord("\r"): "\n", 0x2028: "\n", 0x2029: "\n", 0x0085: "\n"}
 
@@ -128,11 +197,36 @@ _CONTROL_RE = re.compile(r"[\x00-\x08\x0b\x0c\x0e-\x1f\x7f-\x9f﻿]")
 _ENTITY_RE = re.compile(r"&(#\d+|#[xX][0-9a-fA-F]+|[a-zA-Z][a-zA-Z0-9]*);")
 
 
+def fix_surrogates(text: str) -> str:
+    """ftfy.fixes.fix_surrogates: UTF-16 surrogate codepoints leaked into
+    the string (e.g. a JSON decoder that didn't join pairs) -- join proper
+    pairs into the character they encode, replace lone surrogates with
+    U+FFFD."""
+    if not any("\ud800" <= c <= "\udfff" for c in text):
+        return text
+    out, i = [], 0
+    while i < len(text):
+        c = ord(text[i])
+        if 0xD800 <= c <= 0xDBFF and i + 1 < len(text) \
+                and 0xDC00 <= ord(text[i + 1]) <= 0xDFFF:
+            out.append(chr(0x10000 + ((c - 0xD800) << 10)
+                           + (ord(text[i + 1]) - 0xDC00)))
+            i += 2
+        elif 0xD800 <= c <= 0xDFFF:
+            out.append("�")
+            i += 1
+        else:
+            out.append(text[i])
+            i += 1
+    return "".join(out)
+
+
 def fix_text(text: str) -> str:
     """Native subset of ftfy.fix_text() with default config, in ftfy's fixer
-    order: unescape-html(auto) -> terminal escapes -> mojibake ->
-    ligatures -> width -> uncurl quotes -> line breaks -> control chars ->
-    NFC."""
+    order: unescape-html(auto) -> terminal escapes -> mojibake (incl. byte-
+    a0 restore + lossy-sequence collapse) -> ligatures -> width (both
+    directions) -> uncurl quotes -> line breaks -> surrogates -> control
+    chars -> NFC."""
     if "<" not in text and _ENTITY_RE.search(text):
         text = html.unescape(text)
     text = _ANSI_RE.sub("", text)
@@ -141,6 +235,7 @@ def fix_text(text: str) -> str:
     text = text.translate(_WIDTH)
     text = text.translate(_UNCURL)
     text = text.replace("\r\n", "\n").translate(_LINE_BREAKS)
+    text = fix_surrogates(text)
     text = _CONTROL_RE.sub("", text)
     return unicodedata.normalize("NFC", text)
 

@@ -191,3 +191,42 @@ def test_fix_text_literal_pairs_ftfy_readme():
     ]
     for bad, good in pairs:
         assert fix_text(bad) == good, (bad, good)
+
+
+def test_restore_byte_a0():
+    # 'à la mode' -> UTF-8 C3 A0 20 -> cp1252 'Ã\xa0 ' -> \xa0 squashed to
+    # a plain space by some upstream process
+    assert fix_encoding("Ã\xa0 la mode") == "à la mode"   # nbsp intact
+    assert fix_encoding("Ã  la mode") == "à la mode"      # nbsp -> space
+    # fully collapsed (both spaces merged): the separating space is gone
+    # from the bytes, so the recovered text has none -- same lossy outcome
+    # as ftfy's byte-domain restore
+    assert fix_encoding("Ã la mode") == "àla mode"
+    # no lead char anywhere: untouched
+    assert fix_encoding("plain A text") == "plain A text"
+
+
+def test_replace_lossy_sequences():
+    # 'â€œ' with its final continuation byte destroyed to U+FFFD can never
+    # be repaired -> one U+FFFD, matching ftfy's lossy collapse
+    assert fix_encoding("quoted â€� text") == "quoted � text"
+    assert fix_encoding("Ã�") == "�"
+    # an U+FFFD with no mojibake context stays as-is
+    assert fix_encoding("broken � char") == "broken � char"
+
+
+def test_fix_surrogates():
+    assert fix_text("😂") == "😂"        # proper pair joined
+    assert fix_text("a\ud800b") == "a�b"           # lone surrogate
+    assert fix_text("🎥 camera") == "🎥 camera"
+
+
+def test_halfwidth_katakana_widened():
+    assert fix_text("ｶﾀｶﾅ") == "カタカナ"
+    # dakuten compose through the final NFC
+    assert fix_text("ｶﾞｷﾞｭｳ") == "ガギュウ"
+    assert fix_text("ﾊﾟﾝ") == "パン"
+    # halfwidth punctuation
+    assert fix_text("ｱｲｳ｡｢ｴ｣") == "アイウ。「エ」"
+    # genuine fullwidth katakana untouched
+    assert fix_text("カタカナ") == "カタカナ"
