@@ -45,3 +45,51 @@ def test_pallas_flash_attention_interpret_parity(lq, lk, h, d, bq, bk):
                                  block_q=bq, block_k=bk)
     ref = _ref_attention(q, k, v, d ** -0.5)
     np.testing.assert_allclose(np.asarray(out), ref, rtol=2e-4, atol=2e-4)
+
+
+@pytest.mark.parametrize("lq,lk", [
+    (1, 1), (1, 200), (127, 128), (128, 1), (129, 127),
+    (255, 257), (383, 130),
+])
+def test_pallas_flash_attention_extreme_ragged(lq, lk):
+    """Block-boundary edges the production shapes never hit: single-token
+    rows/keys, exactly-one-under/over the 128 block, tails in both axes.
+    h=2 x d=64 also routes the paired-head packing path."""
+    rng = np.random.default_rng(lq * 1000 + lk)
+    q = rng.standard_normal((1, lq, 2, 64)).astype(np.float32)
+    k = rng.standard_normal((1, lk, 2, 64)).astype(np.float32)
+    v = rng.standard_normal((1, lk, 2, 64)).astype(np.float32)
+
+    from jax.experimental.pallas import tpu as pltpu
+    with pltpu.force_tpu_interpret_mode():
+        out = fa.flash_attention(jnp.asarray(q), jnp.asarray(k),
+                                 jnp.asarray(v))
+    ref = _ref_attention(q, k, v, 64 ** -0.5)
+    np.testing.assert_allclose(np.asarray(out), ref, rtol=2e-4, atol=2e-4)
+
+
+def test_pallas_flash_attention_stats_ragged():
+    """return_stats at a ragged shape: the (m2, l) statistics must merge
+    two key shards to the exact unsharded output (the ring-attention
+    contract, ops/attention.py:attention_with_stats docstring)."""
+    rng = np.random.default_rng(5)
+    lq, lk, h, d = 130, 259, 2, 64
+    q = rng.standard_normal((1, lq, h, d)).astype(np.float32)
+    k = rng.standard_normal((1, lk, h, d)).astype(np.float32)
+    v = rng.standard_normal((1, lk, h, d)).astype(np.float32)
+    cut = 131                          # ragged split
+
+    from jax.experimental.pallas import tpu as pltpu
+    with pltpu.force_tpu_interpret_mode():
+        parts = [fa.flash_attention(jnp.asarray(q), jnp.asarray(k[:, sl]),
+                                    jnp.asarray(v[:, sl]), return_stats=True)
+                 for sl in (slice(0, cut), slice(cut, lk))]
+    (oa, ma, la), (ob, mb, lb) = [tuple(np.asarray(t, np.float64)
+                                        for t in p) for p in parts]
+    m = np.maximum(ma, mb)
+    wa = la * np.exp2(ma - m)
+    wb = lb * np.exp2(mb - m)
+    merged = ((wa[..., None] * oa + wb[..., None] * ob)
+              / (wa + wb)[..., None])
+    ref = _ref_attention(q, k, v, d ** -0.5)
+    np.testing.assert_allclose(merged, ref, rtol=2e-4, atol=2e-4)
