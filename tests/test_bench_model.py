@@ -1,0 +1,37 @@
+"""Unit checks of bench.py's analytic models (no TPU needed)."""
+import sys, os
+
+import conftest  # noqa: F401
+
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
+import bench
+
+
+def test_v5p8_comm_model_shape_and_magnitude():
+    s, info = bench.v5p8_comm_model()
+    # positive, and sane: the per-step collectives of a 16k-token 5120-wide
+    # model over 180 GB/s axes must land in the 10ms-1s band
+    assert 0.01 < s < 1.0, s
+    for key in ("mesh", "tp_gbytes_per_chip_per_step",
+                "sp_gbytes_per_chip_per_step", "ici_axis_bandwidth_gbs",
+                "assumes"):
+        assert key in info, key
+    assert info["tp_gbytes_per_chip_per_step"] > 0
+    assert info["sp_gbytes_per_chip_per_step"] > 0
+    # the model is consistent with its own constituents
+    total_gb = (info["tp_gbytes_per_chip_per_step"]
+                + info["sp_gbytes_per_chip_per_step"])
+    assert abs(s - total_gb / info["ici_axis_bandwidth_gbs"]) < 1e-3
+
+
+def test_extrapolate_recovers_planted_per_layer_costs():
+    # t = fixed + n_pcb*c_pcb + n_irg*c_irg must be recovered exactly from
+    # three exact observations
+    fixed, c_pcb, c_irg = 0.05, 0.1, 0.25
+    pts = [(p, i, fixed + p * c_pcb + i * c_irg)
+           for p, i in [(2, 2), (3, 3), (2, 4)]]
+    full, fit, predict = bench.extrapolate(pts)
+    assert fit == "per-layer-type"
+    expect = fixed + bench.FULL_PCB * c_pcb + bench.FULL_IRG * c_irg
+    assert abs(full - expect) < 1e-9
+    assert abs(predict(3, 2) - (fixed + 3 * c_pcb + 2 * c_irg)) < 1e-9
