@@ -47,7 +47,7 @@ CHIP_PEAKS_TFLOPS = {              # bf16 peak per chip generation
     "v5 lite": 197.0, "v5e": 197.0, "v5p": 459.0, "v4": 275.0, "v6": 918.0,
 }
 BUDGET_S = float(os.environ.get("BENCH_BUDGET_S", "560"))
-AUX_REPS = int(os.environ.get("BENCH_AUX_REPS", "3"))
+AUX_REPS = max(1, int(os.environ.get("BENCH_AUX_REPS", "3")))
 _T_START = time.perf_counter()
 
 # Two-level compile caching (measured 2026-08 on the tunneled v5e):
