@@ -18,8 +18,11 @@ natively:
                           continuation byte, so chunking is lossless).
   * restore_byte_a0    -- a space where a 0xA0 continuation byte was
                           squashed ('Ã la mode' -> 'à la mode'): the space
-                          is speculatively restored to \xa0 and kept only
-                          when it makes the strict-UTF-8 repair succeed.
+                          is speculatively restored to \xa0, gated on word
+                          context (an uppercase letter before the lead char
+                          marks genuine all-caps text like 'MAÇÃ MADURA',
+                          which stays untouched -- the same carve-out
+                          ftfy's badness heuristic makes).
   * replace_lossy_sequences -- a mojibake lead char followed by U+FFFD
                           replacement characters (the continuation bytes
                           were destroyed) collapses to one U+FFFD, as ftfy
@@ -111,8 +114,8 @@ _LEAD_CHARS = "".join(_BYTE_TO_CHAR.get(b, chr(b))
 _A0_RE = re.compile("([Â-Ã]) ")
 # a lead char, up to two surviving continuation-byte chars, then U+FFFD(s)
 # where the remaining continuation bytes were destroyed
-_CONT_CHARS = "".join({b: ch for ch, b in _CP1252_SPECIALS.items()}
-                      .get(b, chr(b)) for b in range(0x80, 0xC0))
+_CONT_CHARS = "".join(_BYTE_TO_CHAR.get(b, chr(b))
+                      for b in range(0x80, 0xC0))
 _LOSSY_RE = re.compile(f"[{re.escape(_LEAD_CHARS)}]"
                        f"[{re.escape(_CONT_CHARS)}�]{{0,2}}�{{1,3}}")
 
@@ -125,6 +128,17 @@ def restore_byte_a0(text: str) -> str:
     strict-UTF-8 repair succeed; otherwise leave the text untouched."""
 
     def try_restore(m):
+        # A lead char + \xa0 is ALWAYS a valid 2-byte UTF-8 sequence, so the
+        # structural acceptance test below is vacuous for this fixer; a
+        # context gate stands in for ftfy's badness heuristic instead. An
+        # uppercase letter immediately before the lead char means an
+        # all-caps word ending in Ã/Â -- genuine text in Portuguese
+        # (MAÇÃ, IRMÃ, MANHÃ, ALEMÃ), which ftfy's heuristic deliberately
+        # declines to "fix". Everything else ('Ã la mode', 'VoilÃ !',
+        # trailing 'wordÂ ') is overwhelmingly squashed-\xa0 mojibake.
+        i = m.start()
+        if i > 0 and text[i - 1].isupper():
+            return m.group(0)
         fixed, changed = _fix_chunk_once(m.group(1) + "\xa0")
         return fixed if changed else m.group(0)
 

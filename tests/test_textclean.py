@@ -206,6 +206,21 @@ def test_restore_byte_a0():
     assert fix_encoding("plain A text") == "plain A text"
 
 
+def test_restore_byte_a0_spares_allcaps_words():
+    # Genuine all-caps Portuguese words ending in Ã (uppercase letter
+    # immediately before the lead char) must NOT be "repaired" -- ftfy's
+    # badness heuristic carves these out, and so does our context gate.
+    assert fix_encoding("MAÇÃ MADURA") == "MAÇÃ MADURA"
+    assert fix_encoding("IRMÃ MAIS VELHA") == "IRMÃ MAIS VELHA"
+    assert fix_text("MANHÃ DE SOL") == "MANHÃ DE SOL"
+    assert fix_text("CERVEJA ALEMÃ GELADA") == "CERVEJA ALEMÃ GELADA"
+    # ...but a lowercase letter before the lead char is the classic
+    # squashed-\xa0 mojibake shape and is still repaired
+    assert fix_encoding("VoilÃ le monde") == "Voilàle monde"
+    # and a lead char at the start of the string is still repaired
+    assert fix_encoding("Ã la mode") == "àla mode"
+
+
 def test_replace_lossy_sequences():
     # 'â€œ' with its final continuation byte destroyed to U+FFFD can never
     # be repaired -> one U+FFFD, matching ftfy's lossy collapse
