@@ -335,14 +335,22 @@ def v5p8_comm_model():
     multichip dryrun and tests/test_multichip.py validate).
 
     Collectives counted per denoise step (bf16 activations, B=1 per data
-    shard after the CFG split):
+    shard after the CFG split), mirroring exactly what the deploy sharding
+    produces:
       * tensor parallel (model=2): one activation all-reduce after the
         row-parallel output projection of each self-attn, cross-attn and
-        ffn in every DiT block (megatron rules, parallel/sharding.py), and
-        after the VGGT attn/mlp + bicross projections in IRG blocks.
-      * sequence parallel (seq=2): ulysses all_to_alls re-partitioning
-        heads<->sequence around every self-attention (parallel/ulysses.py):
-        3 gathers in (q,k,v) + 1 scatter out.
+        ffn in every DiT block (megatron rules, parallel/sharding.py
+        PARAM_RULES). The VGGT and bicross towers REPLICATE their params
+        over 'model' (sharding.py:56, their trees use attn/mlp/_proj key
+        names that no TP rule matches), so they produce no TP collectives.
+      * sequence parallel (seq=2): ulysses all_to_alls (4 per attention:
+        q,k,v in + out back, parallel/ulysses.py:local) for every
+        attention whose query length clears the min_lq=2048 dispatch gate
+        (fusion/model.py ulysses_min_lq): DiT self-attn (16,317 q),
+        DiT cross-attn (q/out at 16,317; k/v at the 512-token text side),
+        aggregator GLOBAL attention (16,422 q) and both bicross directions
+        (each a2a's one 16,317-side and one 16,422-side tensor pair at
+        hidden 1152). Per-frame VGGT attention (782 q) stays local.
     Ring all-reduce over an axis of size n moves 2(n-1)/n x bytes per chip;
     all_to_all moves (n-1)/n x bytes per chip. v5p ICI: 9e10 B/s per link
     per direction, 6 links (3D torus); a 2x2x2 submesh gives each mesh axis
@@ -361,16 +369,17 @@ def v5p8_comm_model():
     ar = lambda n, size: 2 * (n - 1) / n * size      # noqa: E731
     a2a = lambda n, size: (n - 1) / n * size         # noqa: E731
 
-    # TP all-reduces (axis size 2) per block: self-attn out, cross-attn
-    # out, ffn out on the DiT half; attn out + mlp out on the VGGT half
-    # (frame + global = 2 attns) + 2 bicross outs on IRG blocks
+    l_txt = 512 // 2
+    # TP all-reduces (axis size 2), DiT half of every block only: self-attn
+    # out, cross-attn out, ffn out. VGGT/bicross params replicate -> no TP.
     tp_bytes = n_dit * 3 * ar(2, l_dit * D * BYTES)
-    tp_bytes += n_irg * (2 + 1) * ar(2, l_agg * A * BYTES)   # 2 attn + mlp
-    tp_bytes += n_irg * ar(2, l_dit * BD * BYTES)            # bicross->dit
-    tp_bytes += n_irg * ar(2, l_agg * BD * BYTES)            # bicross->agg
-    # ulysses all_to_alls (axis size 2) around each self-attention
-    sp_bytes = n_dit * 4 * a2a(2, l_dit * D * BYTES)
-    sp_bytes += n_irg * 2 * 4 * a2a(2, l_agg * A * BYTES)
+    # ulysses all_to_alls (axis size 2), one set of 4 per dispatched attn
+    sp_bytes = n_dit * 4 * a2a(2, l_dit * D * BYTES)            # DiT self
+    sp_bytes += n_dit * 2 * (a2a(2, l_dit * D * BYTES)          # DiT cross:
+                             + a2a(2, l_txt * D * BYTES))       # q/out + k/v
+    sp_bytes += n_irg * 4 * a2a(2, l_agg * A * BYTES)           # agg global
+    sp_bytes += n_irg * 4 * (a2a(2, l_dit * BD * BYTES)         # bicross,
+                             + a2a(2, l_agg * BD * BYTES))      # both dirs
     w_axis = 1.8e11
     comm_s = (tp_bytes + sp_bytes) / w_axis
     return comm_s, {

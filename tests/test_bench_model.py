@@ -35,3 +35,32 @@ def test_extrapolate_recovers_planted_per_layer_costs():
     expect = fixed + bench.FULL_PCB * c_pcb + bench.FULL_IRG * c_irg
     assert abs(full - expect) < 1e-9
     assert abs(predict(3, 2) - (fixed + 3 * c_pcb + 2 * c_irg)) < 1e-9
+
+
+def test_comm_model_tp_term_matches_param_rules():
+    """The TP byte count must reflect what parallel/sharding.py actually
+    shards: row-parallel output projections exist ONLY on the DiT half
+    (self-attn o, cross-attn o, ffn fc2); VGGT ('attn'/'mlp' keys) and
+    bicross ('*_proj' keys) replicate and must contribute nothing."""
+    from fantasy_world_tpu.parallel.sharding import spec_for_path
+
+    # row-parallel (P('model', None)) paths that trigger an output
+    # all-reduce -- these ARE sharded:
+    for p in ["dit/blocks/0/self_attn/o/kernel",
+              "dit/blocks/0/cross_attn/o/kernel",
+              "dit/blocks/0/ffn/fc2/kernel"]:
+        assert spec_for_path(p) == __import__("jax").sharding.PartitionSpec(
+            "model", None), p
+    # VGGT and bicross params replicate -> no TP all-reduce may be counted
+    for p in ["fusion/irg/0/vggt/attn/qkv/kernel",
+              "fusion/irg/0/vggt/mlp/fc1/kernel",
+              "fusion/irg/0/bicross/m1_proj/kernel",
+              "fusion/irg/0/bicross/out_m2_proj/kernel"]:
+        assert spec_for_path(p) == __import__("jax").sharding.PartitionSpec(), p
+
+    # and the model's TP bytes equal exactly the DiT-only closed form
+    _, info = bench.v5p8_comm_model()
+    l_dit = bench.L_DIT // 2
+    n_dit = bench.FULL_PCB + bench.FULL_IRG
+    expect_tp = n_dit * 3 * (2 * (2 - 1) / 2) * (l_dit * 5120 * 2)
+    assert abs(info["tp_gbytes_per_chip_per_step"] - expect_tp / 1e9) < 5e-3
