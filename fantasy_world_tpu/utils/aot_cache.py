@@ -10,13 +10,16 @@ snapshots the COMPILED executable via
 skipping trace, lowering, and compile entirely (reload through the tunnel:
 60-270 s, dominated by executable transfer).
 
-Cache keys fingerprint (a) the package sources the function can actually
-reach -- the static import closure of its defining module (falling back to
-every .py in the package when the source can't be located) plus the
-function's own bytecode, (b) a caller-supplied config string, and (c) the
-arg shapes/dtypes, so a stale executable can never be silently loaded
-after a code or shape change, while an edit to an unrelated module (e.g.
-serving/) leaves entries valid. Entries are plain
+Cache keys fingerprint (a) the sources the function can actually reach --
+the static import closure of its defining module (falling back to every
+.py in the package when the source can't be located), the function's own
+bytecode, the bytecode of every same-file function it references through
+globals/cells/defaults (transitively), and the shape/dtype or value of
+its non-function cell and default bindings -- (b) a caller-supplied config
+string, and (c) the arg shapes/dtypes, so a stale executable can never be
+silently loaded after a code or shape change, while an edit to an
+unrelated module (e.g. serving/) or to an unreferenced sibling function
+leaves entries valid. Entries are plain
 pickle files: executables are machine/topology-specific, so the cache
 directory should live on the machine (or image) that runs them; loading
 falls back to a fresh compile on any mismatch.
@@ -71,23 +74,17 @@ def _resolve_module(parts: Sequence[str], pkg_root: str) -> Optional[str]:
     return None
 
 
-def _direct_deps(path: str, pkg_root: str, pkg_name: str) -> Set[str]:
-    """Static imports of one source file that land inside the package,
-    including lazy (function-body) imports. Parent ``__init__.py`` files of
-    every imported module are included -- Python executes them on import."""
-    try:
-        with open(path, "rb") as fh:
-            tree = ast.parse(fh.read())
-    except (OSError, SyntaxError):
-        return set()
+def _walk_imports(nodes, path: str, pkg_root: str, pkg_name: str,
+                  follow_lazy: bool) -> Set[str]:
+    """In-package deps of the import statements under ``nodes`` (AST nodes
+    whose source lives in file ``path``). Parent ``__init__.py`` files of
+    every imported module are included -- Python executes them on import.
 
-    # a module-level PEP-562 ``__getattr__`` is a lazy export hook; its
-    # imports run only on attribute access, never during a plain import of
-    # the module, so they are not deps of code that merely imports it
-    tree.body = [n for n in tree.body
-                 if not (isinstance(n, ast.FunctionDef)
-                         and n.name == "__getattr__")]
-
+    ``follow_lazy``: when a ``from <mod> import <name>`` alias does NOT
+    resolve to a submodule, the name may be a PEP-562 lazy attribute of
+    <mod>'s module-level ``__getattr__`` -- accessing it at runtime executes
+    the hook's imports, so those become deps too (one level: lazy attrs
+    exposed by modules the hook itself imports are not chased)."""
     in_pkg = os.path.abspath(path).startswith(pkg_root + os.sep)
     deps: Set[str] = set()
 
@@ -97,37 +94,93 @@ def _direct_deps(path: str, pkg_root: str, pkg_name: str) -> Set[str]:
             if f:
                 deps.add(f)
         for alias in aliases:
-            if alias != "*":
-                f = _resolve_module(list(parts) + [alias], pkg_root)
-                if f:
-                    deps.add(f)
+            if alias == "*":
+                continue
+            f = _resolve_module(list(parts) + [alias], pkg_root)
+            if f:
+                deps.add(f)
+            elif follow_lazy:
+                target = _resolve_module(list(parts), pkg_root)
+                if target:
+                    deps.update(
+                        _getattr_deps(target, pkg_root, pkg_name))
 
-    for node in ast.walk(tree):
-        if isinstance(node, ast.Import):
-            for alias in node.names:
-                name = alias.name
-                if name == pkg_name or name.startswith(pkg_name + "."):
-                    add_prefixes(name.split(".")[1:])
-        elif isinstance(node, ast.ImportFrom):
-            if node.level == 0:
-                mod = node.module or ""
-                if not (mod == pkg_name or mod.startswith(pkg_name + ".")):
-                    continue
-                parts = mod.split(".")[1:]
-            else:
-                if not in_pkg:
-                    continue
-                rel = os.path.relpath(os.path.abspath(path), pkg_root)
-                # the file's package = its directory (true for modules and
-                # for __init__.py, whose package is the directory itself)
-                cur_pkg = rel.split(os.sep)[:-1]
-                drop = node.level - 1
-                if drop > len(cur_pkg):
-                    continue
-                base = cur_pkg[:len(cur_pkg) - drop] if drop else cur_pkg
-                parts = base + [p for p in (node.module or "").split(".") if p]
-            add_prefixes(parts, [a.name for a in node.names])
+    for top in nodes:
+        for node in ast.walk(top):
+            if isinstance(node, ast.Import):
+                for alias in node.names:
+                    name = alias.name
+                    if name == pkg_name or name.startswith(pkg_name + "."):
+                        add_prefixes(name.split(".")[1:])
+            elif isinstance(node, ast.ImportFrom):
+                if node.level == 0:
+                    mod = node.module or ""
+                    if not (mod == pkg_name
+                            or mod.startswith(pkg_name + ".")):
+                        continue
+                    parts = mod.split(".")[1:]
+                else:
+                    if not in_pkg:
+                        continue
+                    rel = os.path.relpath(os.path.abspath(path), pkg_root)
+                    # the file's package = its directory (true for modules
+                    # and for __init__.py, whose package is the directory)
+                    cur_pkg = rel.split(os.sep)[:-1]
+                    drop = node.level - 1
+                    if drop > len(cur_pkg):
+                        continue
+                    base = cur_pkg[:len(cur_pkg) - drop] if drop else cur_pkg
+                    parts = base + [p for p in
+                                    (node.module or "").split(".") if p]
+                add_prefixes(parts, [a.name for a in node.names])
     return deps
+
+
+def _parse(path: str):
+    try:
+        with open(path, "rb") as fh:
+            return ast.parse(fh.read())
+    except (OSError, SyntaxError):
+        return None
+
+
+def _getattr_deps(path: str, pkg_root: str, pkg_name: str) -> Set[str]:
+    """Deps of the imports inside ``path``'s module-level PEP-562
+    ``__getattr__`` hook (empty when there is none). These run whenever any
+    code accesses one of the module's lazy attributes."""
+    memo_key = (os.path.abspath(path), "getattr")
+    if memo_key in _CLOSURE_MEMO:
+        return _CLOSURE_MEMO[memo_key]
+    tree = _parse(path)
+    hooks = [] if tree is None else [
+        n for n in tree.body
+        if isinstance(n, ast.FunctionDef) and n.name == "__getattr__"]
+    deps = _walk_imports(hooks, path, pkg_root, pkg_name,
+                         follow_lazy=False) if hooks else set()
+    _CLOSURE_MEMO[memo_key] = deps
+    return deps
+
+
+def _direct_deps(path: str, pkg_root: str, pkg_name: str) -> Set[str]:
+    """Static imports of one source file that land inside the package,
+    including lazy (function-body) imports.
+
+    A module-level PEP-562 ``__getattr__`` hook is excluded from the plain
+    import walk (its imports don't run on ``import mod``), but any
+    ``from <mod> import <name>`` where <name> is not a real submodule is
+    treated as a lazy-attribute access and pulls in <mod>'s hook imports
+    via ``_getattr_deps`` -- so code that actually triggers the lazy load
+    is invalidated by edits to the lazily-loaded module, while unrelated
+    closures stay narrow. (Attribute-style access ``mod.Name`` after a
+    plain import is not statically tracked -- same undetectable class as
+    ``getattr(mod, name)``.)"""
+    tree = _parse(path)
+    if tree is None:
+        return set()
+    tree.body = [n for n in tree.body
+                 if not (isinstance(n, ast.FunctionDef)
+                         and n.name == "__getattr__")]
+    return _walk_imports([tree], path, pkg_root, pkg_name, follow_lazy=True)
 
 
 def _import_closure(root_file: str, pkg_root: str = _PKG_ROOT) -> List[str]:
@@ -171,10 +224,31 @@ def _closure_hash(root_file: str, pkg_root: str = _PKG_ROOT) -> str:
     return _CLOSURE_MEMO[key]
 
 
+def _const_repr(c) -> str:
+    """Deterministic repr for a code constant. ``repr`` of set/frozenset
+    follows iteration order, which varies with PYTHONHASHSEED -- that would
+    give a different fingerprint every process (permanent cache miss AND
+    prune of the valid entry each run). Sort set elements; recurse into
+    tuples, which may nest sets."""
+    if isinstance(c, (set, frozenset)):
+        return "set{" + ",".join(sorted(_const_repr(e) for e in c)) + "}"
+    if isinstance(c, tuple):
+        return "(" + ",".join(_const_repr(e) for e in c) + ")"
+    return repr(c)
+
+
 def _scope_hash(fn: Optional[Callable]) -> str:
     """Source hash scoped to what ``fn`` can reach: the static import
-    closure of its defining file plus its own bytecode. Falls back to the
-    whole-package hash when the source can't be located (REPL, C ext)."""
+    closure of its defining file, fn's own bytecode, the bytecode of every
+    same-file function it references (through globals, closure cells or
+    defaults, transitively -- so editing a helper next to the cached fn
+    invalidates it even when the defining file lives outside the package,
+    e.g. bench.py), and the shape/dtype or value of non-function cell and
+    default bindings. Falls back to the whole-package hash when the source
+    can't be located (REPL, C ext)."""
+    import functools
+    import types
+
     src = None
     if fn is not None:
         try:
@@ -183,19 +257,91 @@ def _scope_hash(fn: Optional[Callable]) -> str:
             src = None
     if src is None or not os.path.isfile(src):
         return _package_source_hash()
+    src = os.path.abspath(src)
     h = hashlib.md5(_closure_hash(src).encode())
-    def hash_code(code):
+    seen_codes: Set[int] = set()
+    to_visit: List[Callable] = []
+
+    def same_file_fn(v):
+        """v is a plain function defined in fn's own file (package modules
+        are already covered by the import-closure hash)."""
+        if isinstance(v, functools.partial):
+            v = v.func
+        if not isinstance(v, types.FunctionType):
+            return None
+        try:
+            vsrc = inspect.getsourcefile(v)
+        except TypeError:
+            return None
+        return v if (vsrc and os.path.abspath(vsrc) == src) else None
+
+    def hash_value(v):
+        """Non-function binding reachable from fn: hash what affects the
+        traced program -- array-likes by shape/dtype, primitives by value."""
+        if hasattr(v, "shape") and hasattr(v, "dtype"):
+            h.update(f"arr{v.shape}{v.dtype}".encode())
+        elif isinstance(v, (int, float, complex, str, bytes, bool,
+                            type(None), tuple, frozenset)):
+            h.update(_const_repr(v).encode())
+        # anything else (modules, class instances): structural changes to
+        # them live in source files the closure hash already covers
+
+    def hash_code(code, g):
+        if id(code) in seen_codes:
+            return
+        seen_codes.add(id(code))
         h.update(code.co_code)
         h.update(repr(code.co_names).encode())
         for c in code.co_consts:       # literals + nested lambdas/defs
             if hasattr(c, "co_code"):
-                hash_code(c)
+                hash_code(c, g)
             else:
-                h.update(repr(c).encode())
+                h.update(_const_repr(c).encode())
+        # global references from this code object: same-file functions are
+        # part of fn's effective source -- follow them
+        for name in code.co_names:
+            v = same_file_fn(g.get(name))
+            if v is not None:
+                to_visit.append(v)
 
-    code = getattr(fn, "__code__", None)
-    if code is not None:
-        hash_code(code)
+    def hash_fn(f):
+        if isinstance(f, functools.partial):
+            for a in f.args:
+                hash_value(a)
+            for k in sorted(f.keywords or {}):
+                hash_value(f.keywords[k])
+            f = f.func
+        code = getattr(f, "__code__", None)
+        if code is None:
+            return
+        g = getattr(f, "__globals__", {})
+        hash_code(code, g)
+        for cell in (getattr(f, "__closure__", None) or ()):
+            try:
+                v = cell.cell_contents
+            except ValueError:         # empty cell
+                continue
+            sf = same_file_fn(v)
+            if sf is not None:
+                to_visit.append(sf)
+            else:
+                hash_value(v)
+        for v in (getattr(f, "__defaults__", None) or ()):
+            sf = same_file_fn(v)
+            if sf is not None:
+                to_visit.append(sf)
+            else:
+                hash_value(v)
+
+    if fn is not None:
+        to_visit.append(fn)
+    visited: Set[int] = set()
+    while to_visit:
+        f = to_visit.pop()
+        if id(f) in visited:
+            continue
+        visited.add(id(f))
+        hash_fn(f)
     return h.hexdigest()
 
 

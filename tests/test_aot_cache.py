@@ -133,7 +133,9 @@ def test_import_closure_scoped_keying(tmp_path):
 
 def test_import_closure_relative_and_getattr(tmp_path):
     """Relative imports resolve against the importing module's package;
-    imports inside a PEP-562 module-level __getattr__ are NOT deps."""
+    imports inside a PEP-562 module-level __getattr__ are NOT deps of code
+    that never accesses a lazy attribute (access IS tracked -- see
+    test_lazy_attribute_access_pulls_getattr_deps)."""
     from fantasy_world_tpu.utils import aot_cache
 
     pkg = tmp_path / "fakepkg"
@@ -190,3 +192,80 @@ def test_bench_closure_excludes_unrelated_modules():
     for banned in ("serving", "training", "cli"):
         assert not any(r.split(os.sep)[0] == banned for r in rels), (
             f"bench closure leaked {banned}/")
+
+
+def test_lazy_attribute_access_pulls_getattr_deps(tmp_path):
+    """`from pkg import LazyName` executes pkg/__init__'s __getattr__ hook
+    at import time, so the hook's imports ARE deps of the accessor -- while
+    a module that merely imports a submodule stays narrow."""
+    from fantasy_world_tpu.utils import aot_cache
+
+    pkg = tmp_path / "fakepkg"
+    _write(pkg / "__init__.py",
+           "def __getattr__(name):\n"
+           "    from .big import Everything\n"
+           "    return Everything\n")
+    _write(pkg / "big.py", "from .ops.kernel import k\nEverything = k\n")
+    _write(pkg / "ops" / "__init__.py", "")
+    _write(pkg / "ops" / "kernel.py", "k = lambda: 0\n")
+    # accessor: triggers the lazy attr -> big.py (and ITS deps) included
+    _write(pkg / "user.py", "from fakepkg import Everything\n")
+    # bystander: imports a real submodule -> big.py stays out
+    _write(pkg / "other.py", "from fakepkg.ops import kernel\n")
+
+    aot_cache._CLOSURE_MEMO.clear()
+    rel_user = sorted(str(p).split("fakepkg/")[-1] for p in
+                      aot_cache._import_closure(str(pkg / "user.py"),
+                                                pkg_root=str(pkg)))
+    assert "big.py" in rel_user
+    assert "ops/kernel.py" in rel_user       # big.py's own deps follow
+    rel_other = sorted(str(p).split("fakepkg/")[-1] for p in
+                       aot_cache._import_closure(str(pkg / "other.py"),
+                                                 pkg_root=str(pkg)))
+    assert "big.py" not in rel_other
+    aot_cache._CLOSURE_MEMO.clear()
+
+
+def test_same_file_helper_edit_invalidates_fingerprint():
+    """Editing a helper the cached fn calls -- in the SAME file, outside
+    any package -- must change the fingerprint: the scope hash follows the
+    same-file function graph, not just fn's own bytecode."""
+    import jax.numpy as jnp
+    from fantasy_world_tpu.utils.aot_cache import fingerprint
+
+    ns1, ns2 = {}, {}
+    src1 = "def helper(x):\n    return x * 2\nfn = lambda v: helper(v)\n"
+    src2 = "def helper(x):\n    return x * 3\nfn = lambda v: helper(v)\n"
+    code1 = compile(src1, __file__, "exec")   # same file -> same closure
+    code2 = compile(src2, __file__, "exec")
+    exec(code1, ns1)
+    exec(code2, ns2)
+    x = jnp.zeros(4)
+    assert fingerprint((x,), fn=ns1["fn"]) != fingerprint((x,), fn=ns2["fn"])
+
+    # and closure-cell / default values participate too
+    def make(c):
+        return lambda v: v + c
+    assert fingerprint((x,), fn=make(1)) != fingerprint((x,), fn=make(2))
+
+
+def test_fingerprint_set_constants_deterministic():
+    """A set literal in the cached fn compiles to a frozenset co_const whose
+    repr order depends on PYTHONHASHSEED; the fingerprint must not."""
+    import subprocess, sys, os
+    prog = (
+        "import sys; sys.path.insert(0, %r)\n"
+        "import jax.numpy as jnp\n"
+        "from fantasy_world_tpu.utils.aot_cache import fingerprint\n"
+        "fn = lambda v: v if 'a' in {'alpha', 'beta', 'gamma', 'delta'} "
+        "else -v\n"
+        "print(fingerprint((jnp.zeros(4),), fn=fn))\n"
+    ) % os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    fps = set()
+    for seed in ("0", "1", "12345"):
+        env = dict(os.environ, PYTHONHASHSEED=seed, JAX_PLATFORMS="cpu")
+        out = subprocess.run([sys.executable, "-c", prog], env=env,
+                             capture_output=True, text=True, timeout=120)
+        assert out.returncode == 0, out.stderr
+        fps.add(out.stdout.strip().splitlines()[-1])
+    assert len(fps) == 1, f"fingerprint varies with hash seed: {fps}"
