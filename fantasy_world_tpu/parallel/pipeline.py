@@ -26,7 +26,13 @@ Differentiable end-to-end (``ppermute``/``where``/``dynamic_*`` all carry
 transposes), so ``jax.grad`` through ``pipeline_apply`` yields exactly the
 sequential gradients -- asserted by tests/test_pipeline_parallel.py.
 Composes with the ('data','seq','model') GSPMD mesh by adding 'pipe' as an
-outer axis of a 4-D mesh; the stage interior stays ordinary GSPMD.
+outer axis of a 4-D mesh: the ``shard_map`` is entered with
+``axis_names={'pipe'}`` so ONLY the pipe axis is manual and the stage
+interior stays ordinary GSPMD over the remaining axes (sharding
+constraints inside ``stage_fn`` must use bare ``PartitionSpec``s, which
+resolve against the surrounding abstract mesh; a ``NamedSharding`` over
+the concrete mesh is rejected inside the manual region). Asserted on a
+('pipe','data') mesh by tests/test_pipeline_parallel.py.
 """
 from __future__ import annotations
 
@@ -118,11 +124,14 @@ def pipeline_apply(stage_fn: Callable, stacked_params, x: jnp.ndarray,
                         axis)
 
     stage_specs = jax.tree_util.tree_map(lambda _: P(axis), stages)
+    # only the pipe axis is manual; any other mesh axes ('data','seq',
+    # 'model') remain GSPMD-auto inside the stage
     out = shard_map(
         spmd, mesh=mesh,
         in_specs=(stage_specs,
                   P(), jax.tree_util.tree_map(lambda _: P(), per_mb), P()),
-        out_specs=P())(stages, x_mb, per_mb, static_args)
+        out_specs=P(),
+        axis_names=frozenset({axis}))(stages, x_mb, per_mb, static_args)
     return out.reshape(B, *x.shape[1:])
 
 

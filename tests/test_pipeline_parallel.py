@@ -102,3 +102,41 @@ def test_pipeline_dit_blocks_equality():
     assert out.shape == ref.shape
     np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
                                rtol=2e-5, atol=2e-5)
+
+
+def test_pipeline_composes_with_gspmd_axes():
+    """The documented 4-D-mesh composition: 'pipe' is the only MANUAL axis
+    (shard_map axis_names={'pipe'}); other mesh axes stay GSPMD-auto inside
+    the stage, so a bare-PartitionSpec sharding constraint over 'data'
+    works and the result still equals the sequential reference."""
+    import numpy as np
+    import jax
+    import jax.numpy as jnp
+    from jax import lax
+    from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+    from fantasy_world_tpu.parallel.pipeline import pipeline_apply
+
+    devs = np.asarray(jax.devices()[:4]).reshape(2, 2)
+    mesh = Mesh(devs, ("pipe", "data"))
+    L, B, D = 4, 4, 8
+    ps = jnp.asarray(np.random.default_rng(0).standard_normal((L, D)),
+                     jnp.float32) * 0.1
+    x = jnp.asarray(np.random.default_rng(1).standard_normal((B, D)),
+                    jnp.float32)
+    # shard the input batch over 'data' as a real DP deployment would
+    x = jax.device_put(x, NamedSharding(mesh, P("data", None)))
+
+    def stage(stage_p, h):
+        def body(hc, w):
+            hc = lax.with_sharding_constraint(hc, P("data", None))
+            return jnp.tanh(hc + w), None
+        return lax.scan(body, h, stage_p)[0]
+
+    ref = x
+    for i in range(L):
+        ref = jnp.tanh(ref + ps[i])
+
+    out = pipeline_apply(stage, ps, x, mesh=mesh, axis="pipe",
+                         microbatches=2)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                               rtol=1e-6, atol=1e-6)
