@@ -17,6 +17,11 @@ Two data modes:
     exercises the full sharded step + checkpoint machinery with no
     checkpoints or data on disk (what tests/test_train_cli.py runs on the
     8-device CPU mesh).
+
+A third trainer mode, --pipe_stages S, fine-tunes the PLAIN video DiT
+(a homogeneous block stack, unlike the fusion PCB/IRG mix) with the stack
+itself sharded over a ('pipe','data') GPipe mesh -- see _run_pipe and
+training/pp.py.
 """
 from __future__ import annotations
 
@@ -64,6 +69,15 @@ def parse_args(argv=None):
     p.add_argument("--profile_dir", type=str, default=None,
                    help="capture a jax.profiler trace of the train loop "
                         "into this directory (view with xprof)")
+    p.add_argument("--pipe_stages", type=int, default=0,
+                   help="GPipe pipeline-parallel stages for video-DiT-only "
+                        "training (training/pp.py): shards the block stack "
+                        "itself over a 'pipe' mesh axis, dividing block-"
+                        "param + optimizer HBM by the stage count. 0 (the "
+                        "default) = the fusion GSPMD trainer")
+    p.add_argument("--pipe_microbatches", type=int, default=2,
+                   help="microbatches marching through the pipeline per "
+                        "step (bubble fraction = (S-1)/(M+S-1))")
     # synthetic-mode model scale (kept tiny so CPU smoke tests are cheap)
     p.add_argument("--demo_dim", type=int, default=128)
     p.add_argument("--demo_layers", type=int, default=2)
@@ -186,6 +200,164 @@ def _data_batches(pipe, args):
                                 plucker_embedding=plucker)
 
 
+def _pp_batches(cfg, args, mesh):
+    """Infinite random DiT flow-matching batches, batch-sharded over
+    'data' (replicated over 'pipe': every stage sees the full batch and
+    the pipeline microbatches it)."""
+    import jax
+    import jax.numpy as jnp
+    from jax.sharding import NamedSharding, PartitionSpec as P
+    from ..schedulers import FlowMatchScheduler
+
+    B = args.pipe_microbatches * max(1, args.mesh_data)
+    f, h2, w2 = 2, 8, 8
+    sched = FlowMatchScheduler().set_timesteps(1000)
+    rng = np.random.default_rng(args.seed)
+    sharding = NamedSharding(mesh, P("data"))
+    while True:
+        idx = int(rng.integers(0, len(sched.sigmas)))
+        batch = {
+            "clean_latents": rng.standard_normal((B, cfg.in_dim, f, h2, w2)),
+            "noise": rng.standard_normal((B, cfg.in_dim, f, h2, w2)),
+            "sigma": np.float32(sched.sigmas[idx]),
+            "timestep": np.full((B,), float(sched.timesteps[idx]),
+                                np.float32),
+            "context": rng.standard_normal((B, 64, cfg.text_dim)) * 0.02,
+        }
+        yield {k: (jax.device_put(jnp.asarray(v, jnp.float32), sharding)
+                   if np.ndim(v) > 0 else jnp.float32(v))
+               for k, v in batch.items()}
+
+
+def _run_pipe(args) -> None:
+    """--pipe_stages S: video-DiT GPipe trainer (training/pp.py). The plain
+    Wan DiT is a homogeneous block stack, so the blocks themselves shard
+    over a ('pipe','data') mesh -- each device holds L/S blocks plus their
+    optimizer moments; microbatches march through the stages. The fusion
+    stack (PCB/IRG mix) is heterogeneous and stays on the GSPMD trainer."""
+    import glob as globmod
+    import time
+    import jax
+    import jax.numpy as jnp
+    from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+    from ..models.wan.dit import WanDiTConfig, init_wan_dit
+    from ..parallel.sharding import shard_opt_state
+    from ..training.pp import make_pp_train_step, split_dit_trainable
+    from ..utils.observability import Metrics, get_logger, profile_trace
+
+    if args.lora_rank:
+        raise SystemExit("--pipe_stages does not compose with --lora_rank")
+    if args.mesh_seq != 1 or args.mesh_model != 1:
+        raise SystemExit("the PP trainer wires a ('pipe','data') mesh; "
+                         "seq/model axes compose at the library level "
+                         "(parallel/pipeline.py) but are not CLI-wired")
+    log = get_logger("train.pp")
+    S, D = args.pipe_stages, max(1, args.mesh_data)
+    devs = np.asarray(jax.devices())
+    if devs.size < S * D:
+        raise SystemExit(f"pipe={S} x data={D} needs {S * D} devices, "
+                         f"have {devs.size}")
+    mesh = Mesh(devs[:S * D].reshape(S, D), ("pipe", "data"))
+
+    if args.synthetic:
+        dim = args.demo_dim
+        cfg = WanDiTConfig(dim=dim, in_dim=16, ffn_dim=dim * 2, out_dim=16,
+                           text_dim=4096, freq_dim=128, patch_size=(1, 2, 2),
+                           num_heads=max(2, dim // 32),
+                           num_layers=args.demo_layers,
+                           has_image_input=False)
+        params = init_wan_dit(args.seed, cfg, jnp.float32)
+    else:
+        if not args.wan_ckpt_path:
+            raise SystemExit("real-weights PP mode needs --wan_ckpt_path "
+                             "(or --synthetic)")
+        from ..convert.orbax_io import (load_sharded_state_dict, cast_tree)
+        from ..convert.wan_dit import convert_wan_dit
+        shards = sorted(globmod.glob(os.path.join(
+            args.wan_ckpt_path, "diffusion_pytorch_model*.safetensors")))
+        if not shards:
+            raise SystemExit(f"no DiT shards under {args.wan_ckpt_path}")
+        cfg = WanDiTConfig()
+        params = cast_tree(
+            convert_wan_dit(load_sharded_state_dict(shards), cfg),
+            jnp.bfloat16)
+    if cfg.num_layers % S:
+        raise SystemExit(f"{cfg.num_layers} blocks not divisible by "
+                         f"{S} stages")
+    B = args.pipe_microbatches * D
+    log.info("PP trainer: %d blocks over %d stages x data=%d, "
+             "M=%d microbatches (bubble %.0f%%), batch %d",
+             cfg.num_layers, S, D, args.pipe_microbatches,
+             100 * (S - 1) / (args.pipe_microbatches + S - 1), B)
+
+    lite, blocks = split_dit_trainable(params)
+    with mesh:
+        # each device row holds its stage's L/S block slice (+ optimizer
+        # moments via shard_opt_state); lite (embeddings/head) replicates
+        blocks = jax.tree_util.tree_map(
+            lambda a: jax.device_put(a, NamedSharding(mesh, P("pipe"))),
+            blocks)
+        lite = jax.tree_util.tree_map(
+            lambda a: jax.device_put(a, NamedSharding(mesh, P())), lite)
+        trainable = (lite, blocks)
+        opt = _optimizer(args)
+        opt_state = shard_opt_state(jax.jit(opt.init)(trainable), trainable,
+                                    mesh)
+
+        start = 0
+        ckpt = root = None
+        if args.checkpoint_dir:
+            ckpt, root = _checkpointer(args.checkpoint_dir)
+            latest = _latest_step(root)
+            if latest is not None:
+                abstract = {"trainable": jax.tree_util.tree_map(
+                                _abstract_like, trainable),
+                            "opt_state": jax.tree_util.tree_map(
+                                _abstract_like, opt_state),
+                            "step": np.asarray(0, np.int64)}
+                state = _restore_state(ckpt, root, latest, abstract)
+                trainable, opt_state = state["trainable"], state["opt_state"]
+                start = int(state["step"])
+                log.info("resumed from %s at step %d", root, start)
+        if start >= args.steps:
+            print(f"train done: checkpoint already at step {start} "
+                  f">= --steps {args.steps}")
+            return
+
+        step_fn = jax.jit(
+            make_pp_train_step(cfg, opt, mesh=mesh,
+                               microbatches=args.pipe_microbatches),
+            donate_argnums=(0, 1))
+        batches = _pp_batches(cfg, args, mesh) if args.synthetic else None
+        if batches is None:
+            raise SystemExit("real-data batching for the PP trainer is not "
+                             "wired yet; use --synthetic")
+
+        metrics = Metrics()
+        with profile_trace(args.profile_dir):
+            for step in range(start, args.steps):
+                batch = next(batches)
+                t0 = time.perf_counter()
+                trainable, opt_state, loss = step_fn(trainable, opt_state,
+                                                     batch)
+                loss_val = float(np.asarray(loss))
+                dt = time.perf_counter() - t0
+                metrics.gauge("loss", loss_val)
+                metrics.observe("step", dt)
+                if step % args.log_every == 0 or step == args.steps - 1:
+                    log.info("step %d  loss %.5f  %.2fs", step, loss_val, dt)
+                if not np.isfinite(loss_val):
+                    raise SystemExit(f"non-finite loss at step {step}")
+                if ckpt and ((step + 1) % args.save_every == 0
+                             or step == args.steps - 1):
+                    path = _save_state(ckpt, root, step + 1, trainable,
+                                       opt_state)
+                    log.info("saved %s", path)
+        metrics.log_summary(log)
+    print(f"train done: {args.steps - start} step(s), final loss "
+          f"{loss_val:.5f}")
+
+
 def run(args) -> None:
     import time
     import jax
@@ -197,6 +369,8 @@ def run(args) -> None:
     from ..training.step import make_train_step
     from ..utils.observability import Metrics, get_logger, profile_trace
 
+    if args.pipe_stages > 0:
+        return _run_pipe(args)
     log = get_logger("train")
     mesh = make_mesh(data=args.mesh_data, seq=args.mesh_seq,
                      model=args.mesh_model)

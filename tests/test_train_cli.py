@@ -58,3 +58,29 @@ def test_train_cli_lora_mode(capsys):
           "--lora_rank", "2"])
     out = capsys.readouterr().out
     assert "train done: 1 step(s)" in out
+
+
+def test_train_cli_pipe_mode_and_resume(tmp_path, capsys):
+    """--pipe_stages: the GPipe video-DiT trainer (training/pp.py) through
+    the same CLI loop -- blocks stage-sharded over ('pipe','data'),
+    checkpoint save + resume."""
+    from fantasy_world_tpu.cli.train import main
+
+    ckpt_dir = tmp_path / "ckpt_pp"
+    args = ["--synthetic", "--steps", "2",
+            "--pipe_stages", "2", "--pipe_microbatches", "2",
+            "--mesh_data", "2",
+            "--demo_dim", "64", "--demo_layers", "4",
+            "--warmup", "1", "--lr", "1e-4",
+            "--save_every", "100", "--log_every", "1",
+            "--checkpoint_dir", str(ckpt_dir)]
+    main(args)
+    out = capsys.readouterr().out
+    assert "train done: 2 step(s)" in out
+    assert (ckpt_dir / "step_00000002").exists()
+
+    # resume runs exactly one more step
+    main(args[:2] + ["3"] + args[3:])
+    out = capsys.readouterr().out
+    assert "train done: 1 step(s)" in out
+    assert (ckpt_dir / "step_00000003").exists()
