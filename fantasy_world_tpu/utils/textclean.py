@@ -131,13 +131,15 @@ def restore_byte_a0(text: str) -> str:
         # A lead char + \xa0 is ALWAYS a valid 2-byte UTF-8 sequence, so the
         # structural acceptance test below is vacuous for this fixer; a
         # context gate stands in for ftfy's badness heuristic instead. An
-        # uppercase letter immediately before the lead char means an
-        # all-caps word ending in Ã/Â -- genuine text in Portuguese
-        # (MAÇÃ, IRMÃ, MANHÃ, ALEMÃ), which ftfy's heuristic deliberately
-        # declines to "fix". Everything else ('Ã la mode', 'VoilÃ !',
-        # trailing 'wordÂ ') is overwhelmingly squashed-\xa0 mojibake.
+        # uppercase letter immediately before 'Ã' means an all-caps word
+        # ending in Ã -- genuine text in Portuguese (MAÇÃ, IRMÃ, MANHÃ,
+        # ALEMÃ), which ftfy's heuristic deliberately declines to "fix".
+        # 'Â' has no such carve-out: no real word ends in 'Â '+space, while
+        # 'wordÂ ' (an nbsp whose C2 lead survived) is the single most
+        # common mojibake shape -- it repairs regardless of case context,
+        # as do 'Ã la mode' / 'VoilÃ !' style lowercase contexts.
         i = m.start()
-        if i > 0 and text[i - 1].isupper():
+        if i > 0 and m.group(1) == "Ã" and text[i - 1].isupper():
             return m.group(0)
         fixed, changed = _fix_chunk_once(m.group(1) + "\xa0")
         return fixed if changed else m.group(0)

@@ -219,6 +219,11 @@ def test_restore_byte_a0_spares_allcaps_words():
     assert fix_encoding("VoilÃ le monde") == "Voilàle monde"
     # and a lead char at the start of the string is still repaired
     assert fix_encoding("Ã la mode") == "àla mode"
+    # 'Â' has no all-caps carve-out: a squashed nbsp after an uppercase
+    # word (the single most common mojibake shape) still repairs
+    assert fix_encoding("NASAÂ 2026") == "NASA\xa02026"
+    from fantasy_world_tpu.utils.textclean import clean_prompt
+    assert clean_prompt("NASAÂ 2026") == "NASA 2026"
 
 
 def test_replace_lossy_sequences():
