@@ -347,10 +347,13 @@ def v5p8_comm_model():
         q,k,v in + out back, parallel/ulysses.py:local) for every
         attention whose query length clears the min_lq=2048 dispatch gate
         (fusion/model.py ulysses_min_lq): DiT self-attn (16,317 q),
-        DiT cross-attn (q/out at 16,317; k/v at the 512-token text side),
-        aggregator GLOBAL attention (16,422 q) and both bicross directions
-        (each a2a's one 16,317-side and one 16,422-side tensor pair at
-        hidden 1152). Per-frame VGGT attention (782 q) stays local.
+        DiT cross-attn -- TWO dispatched calls per block in the deploy
+        has_image_input config (dit.py:cross_attention: text k/v at 512
+        tokens, then the image branch re-attends the same 16,317-token q
+        against the 257 CLIP tokens), aggregator GLOBAL attention
+        (16,422 q) and both bicross directions (each a2a's one
+        16,317-side and one 16,422-side tensor pair at hidden 1152).
+        Per-frame VGGT attention (782 q) stays local.
     Ring all-reduce over an axis of size n moves 2(n-1)/n x bytes per chip;
     all_to_all moves (n-1)/n x bytes per chip. v5p ICI: 9e10 B/s per link
     per direction, 6 links (3D torus); a 2x2x2 submesh gives each mesh axis
@@ -369,14 +372,16 @@ def v5p8_comm_model():
     ar = lambda n, size: 2 * (n - 1) / n * size      # noqa: E731
     a2a = lambda n, size: (n - 1) / n * size         # noqa: E731
 
-    l_txt = 512 // 2
+    l_txt, l_img = 512 / 2, 257 / 2
     # TP all-reduces (axis size 2), DiT half of every block only: self-attn
     # out, cross-attn out, ffn out. VGGT/bicross params replicate -> no TP.
     tp_bytes = n_dit * 3 * ar(2, l_dit * D * BYTES)
     # ulysses all_to_alls (axis size 2), one set of 4 per dispatched attn
     sp_bytes = n_dit * 4 * a2a(2, l_dit * D * BYTES)            # DiT self
-    sp_bytes += n_dit * 2 * (a2a(2, l_dit * D * BYTES)          # DiT cross:
+    sp_bytes += n_dit * 2 * (a2a(2, l_dit * D * BYTES)          # cross text:
                              + a2a(2, l_txt * D * BYTES))       # q/out + k/v
+    sp_bytes += n_dit * 2 * (a2a(2, l_dit * D * BYTES)          # cross img:
+                             + a2a(2, l_img * D * BYTES))       # 2nd call
     sp_bytes += n_irg * 4 * a2a(2, l_agg * A * BYTES)           # agg global
     sp_bytes += n_irg * 4 * (a2a(2, l_dit * BD * BYTES)         # bicross,
                              + a2a(2, l_agg * BD * BYTES))      # both dirs

@@ -64,3 +64,23 @@ def test_comm_model_tp_term_matches_param_rules():
     n_dit = bench.FULL_PCB + bench.FULL_IRG
     expect_tp = n_dit * 3 * (2 * (2 - 1) / 2) * (l_dit * 5120 * 2)
     assert abs(info["tp_gbytes_per_chip_per_step"] - expect_tp / 1e9) < 5e-3
+
+
+def test_comm_model_sp_term_matches_dispatch_set():
+    """The ulysses byte count must cover exactly the attentions that clear
+    the min_lq=2048 dispatch gate at production shapes -- including the
+    SECOND cross-attention call of the deploy has_image_input config
+    (image branch re-attends the full query against 257 CLIP tokens) --
+    and exclude the 782-token per-frame VGGT attention."""
+    _, info = bench.v5p8_comm_model()
+    D, A, BD = 5120, 1024, 1152
+    n_dit = bench.FULL_PCB + bench.FULL_IRG
+    n_irg = bench.FULL_IRG
+    l_dit, l_agg = bench.L_DIT // 2, bench.L_AGG // 2
+    a2a = lambda size: (2 - 1) / 2 * size * 2      # noqa: E731 (bf16 bytes)
+    expect = n_dit * 4 * a2a(l_dit * D)
+    expect += n_dit * 2 * (a2a(l_dit * D) + a2a(512 / 2 * D))
+    expect += n_dit * 2 * (a2a(l_dit * D) + a2a(257 / 2 * D))
+    expect += n_irg * 4 * a2a(l_agg * A)
+    expect += n_irg * 4 * (a2a(l_dit * BD) + a2a(l_agg * BD))
+    assert abs(info["sp_gbytes_per_chip_per_step"] - expect / 1e9) < 5e-3
