@@ -13,9 +13,10 @@ skipping trace, lowering, and compile entirely (reload through the tunnel:
 Cache keys fingerprint (a) the sources the function can actually reach --
 the static import closure of its defining module (falling back to every
 .py in the package when the source can't be located), the function's own
-bytecode, the bytecode of every same-file function it references through
-globals/cells/defaults (transitively), and the shape/dtype or value of
-its non-function cell and default bindings -- (b) a caller-supplied config
+bytecode, the bytecode of every same-file function or partial it reaches
+through globals/cells/defaults (transitively, bound args included), and
+the shape/dtype, deterministic value or type identity of every other
+binding it references -- (b) a caller-supplied config
 string, and (c) the arg shapes/dtypes, so a stale executable can never be
 silently loaded after a code or shape change, while an edit to an
 unrelated module (e.g. serving/) or to an unreferenced sibling function
@@ -224,28 +225,46 @@ def _closure_hash(root_file: str, pkg_root: str = _PKG_ROOT) -> str:
     return _CLOSURE_MEMO[key]
 
 
-def _const_repr(c) -> str:
-    """Deterministic repr for a code constant. ``repr`` of set/frozenset
-    follows iteration order, which varies with PYTHONHASHSEED -- that would
-    give a different fingerprint every process (permanent cache miss AND
-    prune of the valid entry each run). Sort set elements; recurse into
-    tuples, which may nest sets."""
+def _const_repr(c, depth: int = 6) -> str:
+    """Deterministic repr for a code constant or captured value. ``repr``
+    of set/frozenset/dict follows iteration order, which varies with
+    PYTHONHASHSEED -- that would give a different fingerprint every process
+    (permanent cache miss AND prune of the valid entry each run). Sort
+    set elements and dict items; recurse into containers (depth-capped
+    against cycles); array-likes contribute shape/dtype, not data."""
+    if hasattr(c, "shape") and hasattr(c, "dtype"):
+        return f"arr{c.shape}{c.dtype}"
+    if depth <= 0:
+        return f"<depth:{type(c).__name__}>"
     if isinstance(c, (set, frozenset)):
-        return "set{" + ",".join(sorted(_const_repr(e) for e in c)) + "}"
-    if isinstance(c, tuple):
-        return "(" + ",".join(_const_repr(e) for e in c) + ")"
-    return repr(c)
+        return ("set{" + ",".join(sorted(_const_repr(e, depth - 1)
+                                         for e in c)) + "}")
+    if isinstance(c, (tuple, list)):
+        o, cl = ("(", ")") if isinstance(c, tuple) else ("[", "]")
+        return o + ",".join(_const_repr(e, depth - 1) for e in c) + cl
+    if isinstance(c, dict):
+        items = sorted((_const_repr(k, depth - 1), _const_repr(v, depth - 1))
+                       for k, v in c.items())
+        return "{" + ",".join(f"{k}:{v}" for k, v in items) + "}"
+    if c is Ellipsis or isinstance(c, (int, float, complex, str, bytes,
+                                       bool, type(None))):
+        return repr(c)
+    # arbitrary objects: default repr embeds the memory address, which is
+    # process-nondeterministic -- hash the type identity only (structural
+    # changes to classes live in source files)
+    return f"<{type(c).__module__}.{type(c).__qualname__}>"
 
 
 def _scope_hash(fn: Optional[Callable]) -> str:
     """Source hash scoped to what ``fn`` can reach: the static import
     closure of its defining file, fn's own bytecode, the bytecode of every
-    same-file function it references (through globals, closure cells or
-    defaults, transitively -- so editing a helper next to the cached fn
-    invalidates it even when the defining file lives outside the package,
-    e.g. bench.py), and the shape/dtype or value of non-function cell and
-    default bindings. Falls back to the whole-package hash when the source
-    can't be located (REPL, C ext)."""
+    same-file function or partial it reaches through globals, closure
+    cells or defaults (transitively, partial bound args included -- so
+    editing a helper or constant next to the cached fn invalidates it even
+    when the defining file lives outside the package, e.g. bench.py), and
+    the shape/dtype, deterministic value or type identity of every other
+    referenced binding. Falls back to the whole-package hash when the
+    source can't be located (REPL, C ext)."""
     import functools
     import types
 
@@ -262,29 +281,42 @@ def _scope_hash(fn: Optional[Callable]) -> str:
     seen_codes: Set[int] = set()
     to_visit: List[Callable] = []
 
-    def same_file_fn(v):
-        """v is a plain function defined in fn's own file (package modules
-        are already covered by the import-closure hash)."""
-        if isinstance(v, functools.partial):
-            v = v.func
+    def is_same_file_fn(v):
+        """A plain function defined in fn's own file: its bytecode is part
+        of fn's effective source (package modules are covered by the
+        import-closure hash; other-file functions contribute their
+        module.qualname identity via hash_value)."""
         if not isinstance(v, types.FunctionType):
-            return None
+            return False
         try:
             vsrc = inspect.getsourcefile(v)
         except TypeError:
-            return None
-        return v if (vsrc and os.path.abspath(vsrc) == src) else None
+            return False
+        return bool(vsrc) and os.path.abspath(vsrc) == src
 
     def hash_value(v):
-        """Non-function binding reachable from fn: hash what affects the
-        traced program -- array-likes by shape/dtype, primitives by value."""
-        if hasattr(v, "shape") and hasattr(v, "dtype"):
-            h.update(f"arr{v.shape}{v.dtype}".encode())
-        elif isinstance(v, (int, float, complex, str, bytes, bool,
-                            type(None), tuple, frozenset)):
+        """Non-followed binding reachable from fn: hash what affects the
+        traced program -- array-likes by shape/dtype, containers and
+        primitives by (deterministic) value, foreign functions by
+        identity. Class instances are left to the closure hash of the
+        files defining them (a limitation for classes defined in an
+        out-of-package root)."""
+        if isinstance(v, (types.FunctionType, types.MethodType,
+                          types.BuiltinFunctionType)):
+            h.update(f"fn:{getattr(v, '__module__', '')}."
+                     f"{getattr(v, '__qualname__', repr(type(v)))}".encode())
+        elif isinstance(v, type):
+            h.update(f"cls:{v.__module__}.{v.__qualname__}".encode())
+        else:
             h.update(_const_repr(v).encode())
-        # anything else (modules, class instances): structural changes to
-        # them live in source files the closure hash already covers
+
+    def visit_value(v):
+        """Route one reachable binding: partials and same-file functions
+        are followed (bound args included); everything else value-hashes."""
+        if isinstance(v, functools.partial) or is_same_file_fn(v):
+            to_visit.append(v)
+        else:
+            hash_value(v)
 
     def hash_code(code, g):
         if id(code) in seen_codes:
@@ -297,41 +329,33 @@ def _scope_hash(fn: Optional[Callable]) -> str:
                 hash_code(c, g)
             else:
                 h.update(_const_repr(c).encode())
-        # global references from this code object: same-file functions are
-        # part of fn's effective source -- follow them
+        # global references from this code object. Module refs are covered
+        # by the import-closure hash; everything else (same-file helpers,
+        # partials, CONSTANTS -- which for an out-of-package root like
+        # bench.py appear in no hashed source) is followed or value-hashed.
         for name in code.co_names:
-            v = same_file_fn(g.get(name))
-            if v is not None:
-                to_visit.append(v)
+            if name in g and not isinstance(g[name], types.ModuleType):
+                visit_value(g[name])
 
     def hash_fn(f):
-        if isinstance(f, functools.partial):
+        while isinstance(f, functools.partial):
             for a in f.args:
-                hash_value(a)
+                visit_value(a)
             for k in sorted(f.keywords or {}):
-                hash_value(f.keywords[k])
+                h.update(f"kw:{k}".encode())
+                visit_value(f.keywords[k])
             f = f.func
         code = getattr(f, "__code__", None)
         if code is None:
             return
-        g = getattr(f, "__globals__", {})
-        hash_code(code, g)
+        hash_code(code, getattr(f, "__globals__", {}))
         for cell in (getattr(f, "__closure__", None) or ()):
             try:
-                v = cell.cell_contents
-            except ValueError:         # empty cell
+                visit_value(cell.cell_contents)
+            except ValueError:          # empty cell
                 continue
-            sf = same_file_fn(v)
-            if sf is not None:
-                to_visit.append(sf)
-            else:
-                hash_value(v)
         for v in (getattr(f, "__defaults__", None) or ()):
-            sf = same_file_fn(v)
-            if sf is not None:
-                to_visit.append(sf)
-            else:
-                hash_value(v)
+            visit_value(v)
 
     if fn is not None:
         to_visit.append(fn)

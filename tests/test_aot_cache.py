@@ -269,3 +269,46 @@ def test_fingerprint_set_constants_deterministic():
         assert out.returncode == 0, out.stderr
         fps.add(out.stdout.strip().splitlines()[-1])
     assert len(fps) == 1, f"fingerprint varies with hash seed: {fps}"
+
+
+def test_value_bindings_invalidate_fingerprint():
+    """Constants, partial bound args and container cells reachable from the
+    cached fn participate in the fingerprint -- for an out-of-package root
+    (bench.py style) these appear in no hashed source file, so value
+    hashing is the only staleness defense."""
+    import functools
+    import jax.numpy as jnp
+    from fantasy_world_tpu.utils.aot_cache import fingerprint
+
+    x = jnp.zeros(4)
+
+    def build(src):
+        ns = {"functools": functools}
+        exec(compile(src, __file__, "exec"), ns)
+        return ns["fn"]
+
+    # module-level constant referenced via globals
+    a = build("SCALE = 2\nfn = lambda v: v * SCALE\n")
+    b = build("SCALE = 3\nfn = lambda v: v * SCALE\n")
+    assert fingerprint((x,), fn=a) != fingerprint((x,), fn=b)
+
+    # partial bound keyword, partial discovered as a global value
+    a = build("def impl(v, s):\n    return v * s\n"
+              "run = functools.partial(impl, s=2)\n"
+              "fn = lambda v: run(v)\n")
+    b = build("def impl(v, s):\n    return v * s\n"
+              "run = functools.partial(impl, s=3)\n"
+              "fn = lambda v: run(v)\n")
+    assert fingerprint((x,), fn=a) != fingerprint((x,), fn=b)
+
+    # list captured in a closure cell
+    def make(taps):
+        return lambda v: v + len(taps)
+    assert (fingerprint((x,), fn=make([1, 2]))
+            != fingerprint((x,), fn=make([1, 2, 3])))
+
+    # dict values participate and hash order-independently
+    assert (fingerprint((x,), fn=make({"a": 1, "b": 2}))
+            == fingerprint((x,), fn=make({"b": 2, "a": 1})))
+    assert (fingerprint((x,), fn=make({"a": 1}))
+            != fingerprint((x,), fn=make({"a": 2})))
