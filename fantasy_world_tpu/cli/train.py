@@ -128,6 +128,61 @@ def _abstract_like(x):
     return x
 
 
+def _resume_state(args, trainable, opt_state, log):
+    """Orbax resume shared by both trainers: returns
+    (start, ckpt, root, trainable, opt_state)."""
+    import jax
+    start = 0
+    ckpt = root = None
+    if args.checkpoint_dir:
+        ckpt, root = _checkpointer(args.checkpoint_dir)
+        latest = _latest_step(root)
+        if latest is not None:
+            abstract = {"trainable": jax.tree_util.tree_map(
+                            _abstract_like, trainable),
+                        "opt_state": jax.tree_util.tree_map(
+                            _abstract_like, opt_state),
+                        "step": np.asarray(0, np.int64)}
+            state = _restore_state(ckpt, root, latest, abstract)
+            trainable, opt_state = state["trainable"], state["opt_state"]
+            start = int(state["step"])
+            log.info("resumed from %s at step %d", root, start)
+    return start, ckpt, root, trainable, opt_state
+
+
+def _train_loop(args, step_fn, batches, trainable, opt_state, start, ckpt,
+                root, log) -> float:
+    """The step loop shared by both trainers: jitted donated step, host
+    loss fetch (the dispatch barrier), metrics, non-finite guard, periodic
+    Orbax save. Returns the final loss."""
+    import time
+    from ..utils.observability import Metrics, profile_trace
+
+    metrics = Metrics()
+    loss_val = float("nan")
+    with profile_trace(args.profile_dir):
+        for step in range(start, args.steps):
+            batch = next(batches)
+            t0 = time.perf_counter()
+            trainable, opt_state, loss = step_fn(trainable, opt_state,
+                                                 batch)
+            loss_val = float(np.asarray(loss))    # host fetch = barrier
+            dt = time.perf_counter() - t0
+            metrics.gauge("loss", loss_val)
+            metrics.observe("step", dt)
+            if step % args.log_every == 0 or step == args.steps - 1:
+                log.info("step %d  loss %.5f  %.2fs", step, loss_val, dt)
+            if not np.isfinite(loss_val):
+                raise SystemExit(f"non-finite loss at step {step}")
+            if ckpt and ((step + 1) % args.save_every == 0
+                         or step == args.steps - 1):
+                path = _save_state(ckpt, root, step + 1, trainable,
+                                   opt_state)
+                log.info("saved %s", path)
+    metrics.log_summary(log)
+    return loss_val
+
+
 def _synthetic_batches(cfg, args, mesh):
     """Infinite iterator of random flow-matching batches at the demo
     geometry, sharded batch-over-'data' like the real path."""
@@ -229,6 +284,38 @@ def _pp_batches(cfg, args, mesh):
                for k, v in batch.items()}
 
 
+def _pp_data_batches(pipe, args, mesh):
+    """Real-clip PP batches: stack pipe_microbatches x mesh_data
+    single-clip batches from training/data.py (the pipeline's frozen
+    VAE/T5/CLIP encoders) into one batch with PER-SAMPLE sigma, dropping
+    the plucker conditioning -- the plain DiT trained here has no camera
+    adapters (split_dit_trainable would reject such a config anyway)."""
+    import jax
+    import jax.numpy as jnp
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    inner = _data_batches(pipe, args)
+    B = args.pipe_microbatches * max(1, args.mesh_data)
+    sharding = NamedSharding(mesh, P("data"))
+    while True:
+        parts = [next(inner) for _ in range(B)]
+        batch = {}
+        for k in ("clean_latents", "noise", "context", "clip_feature", "y"):
+            vals = [p.get(k) for p in parts]
+            if any(v is None for v in vals):
+                continue
+            batch[k] = jax.device_put(
+                jnp.concatenate([jnp.asarray(v) for v in vals], axis=0),
+                sharding)
+        batch["timestep"] = jnp.concatenate(
+            [jnp.asarray(p["timestep"]) for p in parts], axis=0)
+        # per-clip noise levels: broadcastable (B,1,1,1,1) instead of the
+        # single-clip scalar
+        batch["sigma"] = jnp.stack(
+            [jnp.asarray(p["sigma"]) for p in parts]).reshape(B, 1, 1, 1, 1)
+        yield batch
+
+
 def _run_pipe(args) -> None:
     """--pipe_stages S: video-DiT GPipe trainer (training/pp.py). The plain
     Wan DiT is a homogeneous block stack, so the blocks themselves shard
@@ -236,14 +323,13 @@ def _run_pipe(args) -> None:
     optimizer moments; microbatches march through the stages. The fusion
     stack (PCB/IRG mix) is heterogeneous and stays on the GSPMD trainer."""
     import glob as globmod
-    import time
     import jax
     import jax.numpy as jnp
     from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
     from ..models.wan.dit import WanDiTConfig, init_wan_dit
     from ..parallel.sharding import shard_opt_state
     from ..training.pp import make_pp_train_step, split_dit_trainable
-    from ..utils.observability import Metrics, get_logger, profile_trace
+    from ..utils.observability import get_logger
 
     if args.lora_rank:
         raise SystemExit("--pipe_stages does not compose with --lora_rank")
@@ -259,6 +345,7 @@ def _run_pipe(args) -> None:
                          f"have {devs.size}")
     mesh = Mesh(devs[:S * D].reshape(S, D), ("pipe", "data"))
 
+    pipe = None
     if args.synthetic:
         dim = args.demo_dim
         cfg = WanDiTConfig(dim=dim, in_dim=16, ffn_dim=dim * 2, out_dim=16,
@@ -268,15 +355,30 @@ def _run_pipe(args) -> None:
                            has_image_input=False)
         params = init_wan_dit(args.seed, cfg, jnp.float32)
     else:
-        if not args.wan_ckpt_path:
-            raise SystemExit("real-weights PP mode needs --wan_ckpt_path "
-                             "(or --synthetic)")
+        # validated up front -- the DiT conversion below is multi-GB work
+        if not (args.wan_ckpt_path and args.model_ckpt and args.data_root):
+            raise SystemExit(
+                "real-data PP mode needs --wan_ckpt_path (DiT shards; the "
+                "conditioning encoders load from the same bundle), "
+                "--model_ckpt and --data_root (or --synthetic)")
         from ..convert.orbax_io import (load_sharded_state_dict, cast_tree)
         from ..convert.wan_dit import convert_wan_dit
+        from ..models.fusion.model import FusionConfig
+        from ..pipelines.wan_video import FantasyWorldPipeline
+        from .infer_wan21 import load_fusion_params
         shards = sorted(globmod.glob(os.path.join(
             args.wan_ckpt_path, "diffusion_pytorch_model*.safetensors")))
         if not shards:
             raise SystemExit(f"no DiT shards under {args.wan_ckpt_path}")
+        # the pipeline supplies the frozen conditioning encoders (VAE, T5,
+        # CLIP) for batch building; the TRAINED params are the plain Wan
+        # DiT converted directly from the same shards
+        fus_cfg = FusionConfig()
+        pipe = FantasyWorldPipeline(
+            cfg=fus_cfg,
+            params=load_fusion_params(args.wan_ckpt_path, args.model_ckpt,
+                                      fus_cfg, jnp.bfloat16),
+            tokenizer_path=args.tokenizer_path)
         cfg = WanDiTConfig()
         params = cast_tree(
             convert_wan_dit(load_sharded_state_dict(shards), cfg),
@@ -303,22 +405,8 @@ def _run_pipe(args) -> None:
         opt = _optimizer(args)
         opt_state = shard_opt_state(jax.jit(opt.init)(trainable), trainable,
                                     mesh)
-
-        start = 0
-        ckpt = root = None
-        if args.checkpoint_dir:
-            ckpt, root = _checkpointer(args.checkpoint_dir)
-            latest = _latest_step(root)
-            if latest is not None:
-                abstract = {"trainable": jax.tree_util.tree_map(
-                                _abstract_like, trainable),
-                            "opt_state": jax.tree_util.tree_map(
-                                _abstract_like, opt_state),
-                            "step": np.asarray(0, np.int64)}
-                state = _restore_state(ckpt, root, latest, abstract)
-                trainable, opt_state = state["trainable"], state["opt_state"]
-                start = int(state["step"])
-                log.info("resumed from %s at step %d", root, start)
+        start, ckpt, root, trainable, opt_state = _resume_state(
+            args, trainable, opt_state, log)
         if start >= args.steps:
             print(f"train done: checkpoint already at step {start} "
                   f">= --steps {args.steps}")
@@ -328,38 +416,15 @@ def _run_pipe(args) -> None:
             make_pp_train_step(cfg, opt, mesh=mesh,
                                microbatches=args.pipe_microbatches),
             donate_argnums=(0, 1))
-        batches = _pp_batches(cfg, args, mesh) if args.synthetic else None
-        if batches is None:
-            raise SystemExit("real-data batching for the PP trainer is not "
-                             "wired yet; use --synthetic")
-
-        metrics = Metrics()
-        with profile_trace(args.profile_dir):
-            for step in range(start, args.steps):
-                batch = next(batches)
-                t0 = time.perf_counter()
-                trainable, opt_state, loss = step_fn(trainable, opt_state,
-                                                     batch)
-                loss_val = float(np.asarray(loss))
-                dt = time.perf_counter() - t0
-                metrics.gauge("loss", loss_val)
-                metrics.observe("step", dt)
-                if step % args.log_every == 0 or step == args.steps - 1:
-                    log.info("step %d  loss %.5f  %.2fs", step, loss_val, dt)
-                if not np.isfinite(loss_val):
-                    raise SystemExit(f"non-finite loss at step {step}")
-                if ckpt and ((step + 1) % args.save_every == 0
-                             or step == args.steps - 1):
-                    path = _save_state(ckpt, root, step + 1, trainable,
-                                       opt_state)
-                    log.info("saved %s", path)
-        metrics.log_summary(log)
+        batches = (_pp_batches(cfg, args, mesh) if args.synthetic
+                   else _pp_data_batches(pipe, args, mesh))
+        loss_val = _train_loop(args, step_fn, batches, trainable, opt_state,
+                               start, ckpt, root, log)
     print(f"train done: {args.steps - start} step(s), final loss "
           f"{loss_val:.5f}")
 
 
 def run(args) -> None:
-    import time
     import jax
     import jax.numpy as jnp
     from ..models.fusion.model import (FusionConfig, init_fusion,
@@ -367,7 +432,7 @@ def run(args) -> None:
     from ..parallel.sharding import (make_mesh, param_specs, shard_opt_state,
                                      stacked_specs, shard_tree)
     from ..training.step import make_train_step
-    from ..utils.observability import Metrics, get_logger, profile_trace
+    from ..utils.observability import get_logger
 
     if args.pipe_stages > 0:
         return _run_pipe(args)
@@ -425,21 +490,8 @@ def run(args) -> None:
         opt_state = shard_opt_state(jax.jit(opt.init)(trainable), trainable,
                                     mesh)
 
-        start = 0
-        ckpt = root = None
-        if args.checkpoint_dir:
-            ckpt, root = _checkpointer(args.checkpoint_dir)
-            latest = _latest_step(root)
-            if latest is not None:
-                abstract = {"trainable": jax.tree_util.tree_map(
-                                _abstract_like, trainable),
-                            "opt_state": jax.tree_util.tree_map(
-                                _abstract_like, opt_state),
-                            "step": np.asarray(0, np.int64)}
-                state = _restore_state(ckpt, root, latest, abstract)
-                trainable, opt_state = state["trainable"], state["opt_state"]
-                start = int(state["step"])
-                log.info("resumed from %s at step %d", root, start)
+        start, ckpt, root, trainable, opt_state = _resume_state(
+            args, trainable, opt_state, log)
         if start >= args.steps:
             print(f"train done: checkpoint already at step {start} "
                   f">= --steps {args.steps}")
@@ -460,28 +512,8 @@ def run(args) -> None:
                               donate_argnums=(0, 1))
         batches = (_synthetic_batches(cfg, args, mesh) if args.synthetic
                    else _data_batches(pipe, args))
-
-        metrics = Metrics()
-        with profile_trace(args.profile_dir):
-            for step in range(start, args.steps):
-                batch = next(batches)
-                t0 = time.perf_counter()
-                trainable, opt_state, loss = step_fn(trainable, opt_state,
-                                                     batch)
-                loss_val = float(np.asarray(loss))    # host fetch = barrier
-                dt = time.perf_counter() - t0
-                metrics.gauge("loss", loss_val)
-                metrics.observe("step", dt)
-                if step % args.log_every == 0 or step == args.steps - 1:
-                    log.info("step %d  loss %.5f  %.2fs", step, loss_val, dt)
-                if not np.isfinite(loss_val):
-                    raise SystemExit(f"non-finite loss at step {step}")
-                if ckpt and ((step + 1) % args.save_every == 0
-                             or step == args.steps - 1):
-                    path = _save_state(ckpt, root, step + 1, trainable,
-                                       opt_state)
-                    log.info("saved %s", path)
-        metrics.log_summary(log)
+        loss_val = _train_loop(args, step_fn, batches, trainable, opt_state,
+                               start, ckpt, root, log)
     print(f"train done: {args.steps - start} step(s), final loss "
           f"{loss_val:.5f}")
 

@@ -50,14 +50,18 @@ def split_dit_trainable(params: Dict) -> Tuple[Dict, Dict]:
 def pp_flow_match_loss(lite: Dict, blocks_stacked: Dict, cfg: WanDiTConfig,
                        clean_latents: jnp.ndarray, noise: jnp.ndarray,
                        sigma: jnp.ndarray, timestep: jnp.ndarray,
-                       context: jnp.ndarray, *, mesh, axis: str = "pipe",
+                       context: jnp.ndarray, clip_feature=None, y=None, *,
+                       mesh, axis: str = "pipe",
                        microbatches: int) -> jnp.ndarray:
     """Rectified-flow MSE (same objective as training/step.py
     flow_match_loss, reference wan_video_new.py:586-719) with the block
-    stack run as a GPipe pipeline over ``axis``."""
+    stack run as a GPipe pipeline over ``axis``. clip_feature/y carry the
+    i2v conditioning (CLIP tokens prepended to context, y-latents
+    channel-concatenated) for has_image_input/require_vae_embedding
+    configs; sigma may be scalar or per-sample broadcastable."""
     noisy = (1 - sigma) * clean_latents + sigma * noise
     tokens, t, t_mod, ctx, grid, (cos, sin) = prepare_inputs(
-        lite, cfg, noisy, timestep, context)
+        lite, cfg, noisy, timestep, context, clip_feature, y)
     tokens = pipeline_dit_blocks(blocks_stacked, cfg, tokens, ctx, t_mod,
                                  cos, sin, mesh=mesh, axis=axis,
                                  microbatches=microbatches)

@@ -103,3 +103,101 @@ def test_split_dit_trainable_rejects_heterogeneous_stack():
                                extra_adapter={"w": jnp.zeros((3,))})
     with pytest.raises(ValueError, match="homogeneous"):
         split_dit_trainable(params)
+
+
+def test_pp_loss_matches_sequential_with_i2v_conditioning():
+    """clip_feature/y conditioning (the deploy has_image_input +
+    require_vae_embedding config, what real-data PP batches carry) flows
+    through the pipeline path identically to the sequential forward, with
+    per-sample sigma."""
+    import jax
+    import jax.numpy as jnp
+    from jax.sharding import Mesh
+    from fantasy_world_tpu.models.wan.dit import (WanDiTConfig, init_wan_dit,
+                                                  wan_dit_forward)
+    from fantasy_world_tpu.training.pp import (pp_flow_match_loss,
+                                               split_dit_trainable)
+
+    L, B, F, H, W = 4, 4, 3, 4, 6
+    lat_ch = 8
+    # in_dim is the CONCATENATED channel count: latents + y (i2v concat)
+    cfg = WanDiTConfig(dim=96, in_dim=2 * lat_ch, ffn_dim=128, out_dim=8,
+                       text_dim=32, freq_dim=64, patch_size=(1, 2, 2),
+                       num_heads=4, num_layers=L, has_image_input=True,
+                       require_vae_embedding=True, clip_feature_dim=48)
+    params = init_wan_dit(0, cfg, jnp.float32)
+    lite, blocks = split_dit_trainable(params)
+    rng = np.random.default_rng(3)
+    batch = _batch(cfg, B, F, H, W, rng)
+    for k in ("clean_latents", "noise"):
+        batch[k] = jnp.asarray(
+            rng.standard_normal((B, lat_ch, F, H, W)), jnp.float32)
+    batch["sigma"] = jnp.asarray(
+        rng.uniform(0.2, 0.9, (B, 1, 1, 1, 1)), jnp.float32)
+    clip_feature = jnp.asarray(
+        rng.standard_normal((B, 257, cfg.clip_feature_dim)), jnp.float32)
+    y = jnp.asarray(
+        rng.standard_normal((B, lat_ch, F, H, W)), jnp.float32)
+
+    mesh = Mesh(np.asarray(jax.devices()[:2]), ("pipe",))
+    loss_pp = pp_flow_match_loss(lite, blocks, cfg, mesh=mesh,
+                                 microbatches=2, clip_feature=clip_feature,
+                                 y=y, **batch)
+
+    p = dict(lite)
+    p["blocks"] = [jax.tree_util.tree_map(lambda a: a[i], blocks)
+                   for i in range(L)]
+    noisy = ((1 - batch["sigma"]) * batch["clean_latents"]
+             + batch["sigma"] * batch["noise"])
+    pred = wan_dit_forward(p, cfg, noisy, batch["timestep"],
+                           batch["context"], clip_feature=clip_feature, y=y)
+    target = batch["noise"] - batch["clean_latents"]
+    loss_seq = jnp.mean(jnp.square(pred - target))
+    np.testing.assert_allclose(float(loss_pp), float(loss_seq),
+                               rtol=2e-5, atol=2e-6)
+
+
+def test_pp_data_batches_stacking(monkeypatch):
+    """cli.train._pp_data_batches: stacks M x data single-clip batches from
+    training/data.py into one PP batch -- per-sample sigma (B,1,1,1,1),
+    concatenated conditioning, plucker dropped."""
+    import types
+    import jax
+    import jax.numpy as jnp
+    import numpy as np_
+    from jax.sharding import Mesh
+    from fantasy_world_tpu.cli import train as train_cli
+
+    def fake_clips(pipe, args):
+        i = 0
+        while True:
+            i += 1
+            yield {
+                "clean_latents": jnp.full((1, 4, 2, 4, 4), float(i)),
+                "noise": jnp.zeros((1, 4, 2, 4, 4)),
+                "sigma": jnp.float32(0.1 * i),
+                "timestep": jnp.full((1,), 100.0 * i),
+                "context": jnp.full((1, 8, 16), float(i)),
+                "clip_feature": jnp.full((1, 257, 12), float(i)),
+                "y": jnp.zeros((1, 4, 2, 4, 4)),
+                "plucker_fea": jnp.zeros((1, 32, 8)),   # must be dropped
+            }
+
+    monkeypatch.setattr(train_cli, "_data_batches", fake_clips)
+    args = types.SimpleNamespace(pipe_microbatches=2, mesh_data=2)
+    mesh = Mesh(np_.asarray(jax.devices()[:4]).reshape(2, 2),
+                ("pipe", "data"))
+    batch = next(train_cli._pp_data_batches(object(), args, mesh))
+
+    assert "plucker_fea" not in batch
+    assert batch["clean_latents"].shape == (4, 4, 2, 4, 4)
+    assert batch["context"].shape == (4, 8, 16)
+    assert batch["clip_feature"].shape == (4, 257, 12)
+    assert batch["sigma"].shape == (4, 1, 1, 1, 1)
+    np_.testing.assert_allclose(np_.asarray(batch["sigma"]).ravel(),
+                                [0.1, 0.2, 0.3, 0.4], rtol=1e-6)
+    np_.testing.assert_allclose(np_.asarray(batch["timestep"]),
+                                [100.0, 200.0, 300.0, 400.0])
+    # per-clip latents kept in order
+    np_.testing.assert_allclose(
+        np_.asarray(batch["clean_latents"])[:, 0, 0, 0, 0], [1, 2, 3, 4])
