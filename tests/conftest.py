@@ -9,6 +9,10 @@ import sys
 # FW_TPU_TESTS=1 keeps the real platform (the tunneled TPU) instead of the
 # virtual CPU mesh, for the `tpu`-marked hardware-numerics tests:
 #   FW_TPU_TESTS=1 python -m pytest tests/ -m tpu -q
+# Platform choice is process-global in JAX, so under FW_TPU_TESTS=1 every
+# NON-tpu-marked test is auto-skipped (see pytest_collection_modifyitems):
+# they assume the 8-virtual-CPU-device mesh and would otherwise run -- and
+# fail -- against the single tunneled chip.
 _TPU_TESTS = os.environ.get("FW_TPU_TESTS") == "1"
 
 if not _TPU_TESTS:
@@ -46,6 +50,18 @@ jax.config.update("jax_compilation_cache_dir",
                   os.path.join(REPO_ROOT, ".jax_cache"))
 jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
 jax.config.update("jax_persistent_cache_min_entry_size_bytes", -1)
+
+def pytest_collection_modifyitems(config, items):
+    if not _TPU_TESTS:
+        return
+    import pytest
+    skip = pytest.mark.skip(
+        reason="FW_TPU_TESTS=1 pins the real TPU platform; this test "
+               "needs the virtual CPU mesh -- run it without the variable")
+    for item in items:
+        if "tpu" not in item.keywords:
+            item.add_marker(skip)
+
 
 REFERENCE_ROOT = "/root/reference"
 
