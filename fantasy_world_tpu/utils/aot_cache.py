@@ -249,9 +249,20 @@ def _const_repr(c, depth: int = 6) -> str:
     if c is Ellipsis or isinstance(c, (int, float, complex, str, bytes,
                                        bool, type(None))):
         return repr(c)
-    # arbitrary objects: default repr embeds the memory address, which is
-    # process-nondeterministic -- hash the type identity only (structural
-    # changes to classes live in source files)
+    # dataclass INSTANCES: field values are exactly what distinguishes one
+    # config from another (a captured DPTHeadConfig(taps=2, act='exp') vs
+    # act='inv_log' must fingerprint differently) and are deterministic --
+    # hash type + per-field values
+    import dataclasses as _dc
+    if _dc.is_dataclass(c) and not isinstance(c, type):
+        fields = ",".join(
+            f"{f.name}={_const_repr(getattr(c, f.name), depth - 1)}"
+            for f in _dc.fields(c))
+        return (f"dc:{type(c).__module__}.{type(c).__qualname__}"
+                f"({fields})")
+    # other arbitrary objects: default repr embeds the memory address,
+    # which is process-nondeterministic -- hash the type identity only
+    # (structural changes to classes live in source files)
     return f"<{type(c).__module__}.{type(c).__qualname__}>"
 
 

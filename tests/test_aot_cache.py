@@ -312,3 +312,27 @@ def test_value_bindings_invalidate_fingerprint():
             == fingerprint((x,), fn=make({"b": 2, "a": 1})))
     assert (fingerprint((x,), fn=make({"a": 1}))
             != fingerprint((x,), fn=make({"a": 2})))
+
+
+def test_dataclass_bindings_fingerprint_by_field_values():
+    """A captured config dataclass must fingerprint by its FIELD VALUES --
+    bench.py's timed lambdas close over e.g. a DPTHeadConfig whose literals
+    appear in no hashed source file."""
+    import dataclasses
+    import jax.numpy as jnp
+    from fantasy_world_tpu.utils.aot_cache import fingerprint
+
+    @dataclasses.dataclass(frozen=True)
+    class HeadCfg:
+        taps: int
+        act: str
+
+    x = jnp.zeros(4)
+
+    def make(cfg):
+        return lambda v: v if cfg.act == "exp" else -v
+
+    assert (fingerprint((x,), fn=make(HeadCfg(2, "exp")))
+            != fingerprint((x,), fn=make(HeadCfg(2, "inv_log"))))
+    assert (fingerprint((x,), fn=make(HeadCfg(2, "exp")))
+            == fingerprint((x,), fn=make(HeadCfg(2, "exp"))))
