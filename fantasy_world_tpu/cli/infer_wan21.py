@@ -86,46 +86,50 @@ def parse_args(argv=None):
 
 
 def load_fusion_params(wan_ckpt_path: str, model_ckpt: str, cfg,
-                       dtype):
-    """Assemble the full param set from the reference checkpoint layout,
-    or mmap-restore a pre-converted Orbax bundle (cli/convert.py)."""
+                       dtype,
+                       components=("fusion", "vae", "clip", "t5")):
+    """Assemble the param set from the reference checkpoint layout, or
+    mmap-restore a pre-converted Orbax bundle (cli/convert.py).
+
+    components: which trees to load. Encoder-only callers (the PP
+    trainer's batch builder) pass ("vae","clip","t5") and skip the
+    multi-GB base-DiT shard read + fusion surgery entirely."""
     import jax.numpy as jnp
     from ..convert.orbax_io import (is_bundle, load_bundle,
                                     load_torch_state_dict,
                                     load_sharded_state_dict, cast_tree)
 
     if is_bundle(wan_ckpt_path):
-        bundle = load_bundle(wan_ckpt_path,
-                             ("fusion", "vae", "clip", "t5"))
+        bundle = load_bundle(wan_ckpt_path, tuple(components))
         return {k: cast_tree(v, dtype) for k, v in bundle.items()}
     from ..convert.fusion import convert_fusion_checkpoint
     from ..convert.wan_vae import convert_wan_vae
     from ..convert.encoders import convert_t5, convert_clip_vision
 
-    shards = sorted(glob.glob(os.path.join(
-        wan_ckpt_path, "diffusion_pytorch_model-*.safetensors")))
-    base_dit_sd = load_sharded_state_dict(shards)
-    fusion_sd = load_torch_state_dict(model_ckpt)
-    fusion = convert_fusion_checkpoint(fusion_sd, base_dit_sd, cfg)
-
-    vae_sd = load_torch_state_dict(os.path.join(wan_ckpt_path,
-                                                "Wan2.1_VAE.pth"))
-    vae = convert_wan_vae({("model." + k) if not k.startswith("model.")
-                           else k: v for k, v in vae_sd.items()})
-    clip_sd = load_torch_state_dict(os.path.join(
-        wan_ckpt_path,
-        "models_clip_open-clip-xlm-roberta-large-vit-huge-14.pth"))
-    clip = convert_clip_vision(clip_sd)
-    t5_sd = load_torch_state_dict(os.path.join(
-        wan_ckpt_path, "models_t5_umt5-xxl-enc-bf16.pth"))
-    t5 = convert_t5(t5_sd)
-
-    return {
-        "fusion": cast_tree(fusion, dtype),
-        "vae": cast_tree(vae, dtype),
-        "clip": cast_tree(clip, dtype),
-        "t5": cast_tree(t5, dtype),
-    }
+    out = {}
+    if "fusion" in components:
+        shards = sorted(glob.glob(os.path.join(
+            wan_ckpt_path, "diffusion_pytorch_model-*.safetensors")))
+        base_dit_sd = load_sharded_state_dict(shards)
+        fusion_sd = load_torch_state_dict(model_ckpt)
+        out["fusion"] = cast_tree(
+            convert_fusion_checkpoint(fusion_sd, base_dit_sd, cfg), dtype)
+    if "vae" in components:
+        vae_sd = load_torch_state_dict(os.path.join(wan_ckpt_path,
+                                                    "Wan2.1_VAE.pth"))
+        out["vae"] = cast_tree(convert_wan_vae(
+            {("model." + k) if not k.startswith("model.") else k: v
+             for k, v in vae_sd.items()}), dtype)
+    if "clip" in components:
+        clip_sd = load_torch_state_dict(os.path.join(
+            wan_ckpt_path,
+            "models_clip_open-clip-xlm-roberta-large-vit-huge-14.pth"))
+        out["clip"] = cast_tree(convert_clip_vision(clip_sd), dtype)
+    if "t5" in components:
+        t5_sd = load_torch_state_dict(os.path.join(
+            wan_ckpt_path, "models_t5_umt5-xxl-enc-bf16.pth"))
+        out["t5"] = cast_tree(convert_t5(t5_sd), dtype)
+    return out
 
 
 def run(args) -> None:

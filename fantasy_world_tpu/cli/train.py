@@ -294,11 +294,34 @@ def _pp_data_batches(pipe, args, mesh):
     import jax.numpy as jnp
     from jax.sharding import NamedSharding, PartitionSpec as P
 
+    from ..utils.observability import get_logger
+    log = get_logger("train.pp")
     inner = _data_batches(pipe, args)
     B = args.pipe_microbatches * max(1, args.mesh_data)
     sharding = NamedSharding(mesh, P("data"))
+    ref_shape = None
+    skipped = 0
+
+    def next_uniform():
+        """Clips shorter than --frames produce fewer latent frames; a
+        mixed-shape stack cannot concatenate, so off-shape clips are
+        skipped (the non-PP trainer tolerates them via per-clip batches)."""
+        nonlocal ref_shape, skipped
+        while True:
+            p = next(inner)
+            shape = tuple(p["clean_latents"].shape)
+            if ref_shape is None:
+                ref_shape = shape
+            if shape == ref_shape:
+                return p
+            skipped += 1
+            if skipped in (1, 10) or skipped % 100 == 0:
+                log.warning(
+                    "skipped %d clip(s) with latent shape %s != %s "
+                    "(shorter than --frames?)", skipped, shape, ref_shape)
+
     while True:
-        parts = [next(inner) for _ in range(B)]
+        parts = [next_uniform() for _ in range(B)]
         batch = {}
         for k in ("clean_latents", "noise", "context", "clip_feature", "y"):
             vals = [p.get(k) for p in parts]
@@ -370,14 +393,16 @@ def _run_pipe(args) -> None:
             args.wan_ckpt_path, "diffusion_pytorch_model*.safetensors")))
         if not shards:
             raise SystemExit(f"no DiT shards under {args.wan_ckpt_path}")
-        # the pipeline supplies the frozen conditioning encoders (VAE, T5,
-        # CLIP) for batch building; the TRAINED params are the plain Wan
-        # DiT converted directly from the same shards
+        # the pipeline supplies only the frozen conditioning encoders (VAE,
+        # T5, CLIP) for batch building -- the fusion tree is NOT loaded, so
+        # the multi-GB DiT shards are read exactly once, for the TRAINED
+        # params: the plain Wan DiT converted directly from the shards
         fus_cfg = FusionConfig()
         pipe = FantasyWorldPipeline(
             cfg=fus_cfg,
             params=load_fusion_params(args.wan_ckpt_path, args.model_ckpt,
-                                      fus_cfg, jnp.bfloat16),
+                                      fus_cfg, jnp.bfloat16,
+                                      components=("vae", "clip", "t5")),
             tokenizer_path=args.tokenizer_path)
         cfg = WanDiTConfig()
         params = cast_tree(

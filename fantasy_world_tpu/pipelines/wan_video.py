@@ -156,7 +156,21 @@ class FantasyWorldPipeline:
     _scan_params: Dict = dataclasses.field(default=None, repr=False)
 
     def __post_init__(self):
-        self._scan_params = prepare_scan_params(self.params["fusion"], self.cfg)
+        # encoder-only instances (e.g. the PP trainer's batch builder) carry
+        # no fusion tree: the denoiser is unavailable but encode_prompt /
+        # encode_image / vae_encode keep working
+        if "fusion" in self.params:
+            self._scan_params = prepare_scan_params(self.params["fusion"],
+                                                    self.cfg)
+
+    def param_dtype(self):
+        """Compute dtype of the loaded weights: fusion when present, else
+        the first encoder tree (all components are cast together)."""
+        for key in ("fusion", "vae", "t5", "clip"):
+            if key in self.params:
+                import jax
+                return jax.tree_util.tree_leaves(self.params[key])[0].dtype
+        raise ValueError("pipeline has no parameter trees")
 
     def shard(self, mesh) -> None:
         """Shard the denoiser over a Mesh(('data','seq','model')): the
@@ -223,7 +237,7 @@ class FantasyWorldPipeline:
         image-context input (wan22 Fun-Control-Camera,
         require_clip_embedding=False)."""
         img = jnp.asarray(image, jnp.float32).transpose(2, 0, 1)[None]
-        dtype = self.params["fusion"]["dit"]["patch_embedding"]["kernel"].dtype
+        dtype = self.param_dtype()
         clip_feature = None
         if self.cfg.dit.has_image_input and "clip" in self.params:
             clip_in = preprocess_image(img)
@@ -285,7 +299,7 @@ class FantasyWorldPipeline:
     # -- camera -------------------------------------------------------------
 
     def encode_plucker(self, plucker_embedding: np.ndarray) -> jnp.ndarray:
-        dtype = self.params["fusion"]["dit"]["patch_embedding"]["kernel"].dtype
+        dtype = self.param_dtype()
         return camera_pose_encoder_apply(
             self.params["fusion"]["camera_pose_encoder"], self.pose_cfg,
             jnp.asarray(plucker_embedding, dtype))
@@ -351,7 +365,7 @@ class FantasyWorldPipeline:
         f = (num_frames - 1) // 4 + 1
         sched = FlowMatchScheduler().set_timesteps(num_inference_steps)
 
-        dtype = self.params["fusion"]["dit"]["patch_embedding"]["kernel"].dtype
+        dtype = self.param_dtype()
         B = context_pos.shape[0]
         zc = self.cfg.dit.out_dim          # latent channels (16 production)
         latents = self.generate_noise((B, zc, f, height // 8, width // 8),

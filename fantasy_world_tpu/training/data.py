@@ -36,7 +36,7 @@ def build_train_batch(pipe, video_frames: np.ndarray, prompt: str,
     T, H, W = frames.shape[:3]
     video = jnp.asarray(frames.transpose(3, 0, 1, 2))[None]   # (1,3,T,H,W)
 
-    dtype = pipe.params["fusion"]["dit"]["patch_embedding"]["kernel"].dtype
+    dtype = pipe.param_dtype()
     clean_latents = vae_encode(pipe.params["vae"], pipe.vae_cfg,
                                video.astype(dtype)).astype(jnp.float32)
 

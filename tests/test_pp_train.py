@@ -172,6 +172,17 @@ def test_pp_data_batches_stacking(monkeypatch):
         i = 0
         while True:
             i += 1
+            if i == 3:
+                # a short clip (fewer latent frames): must be SKIPPED, not
+                # crash the concatenate
+                yield {"clean_latents": jnp.zeros((1, 4, 1, 4, 4)),
+                       "noise": jnp.zeros((1, 4, 1, 4, 4)),
+                       "sigma": jnp.float32(0.9),
+                       "timestep": jnp.full((1,), 999.0),
+                       "context": jnp.zeros((1, 8, 16)),
+                       "clip_feature": jnp.zeros((1, 257, 12)),
+                       "y": jnp.zeros((1, 4, 1, 4, 4))}
+                continue
             yield {
                 "clean_latents": jnp.full((1, 4, 2, 4, 4), float(i)),
                 "noise": jnp.zeros((1, 4, 2, 4, 4)),
@@ -194,10 +205,24 @@ def test_pp_data_batches_stacking(monkeypatch):
     assert batch["context"].shape == (4, 8, 16)
     assert batch["clip_feature"].shape == (4, 257, 12)
     assert batch["sigma"].shape == (4, 1, 1, 1, 1)
+    # clip 3 (short, mismatched latent shape) was skipped, order preserved
     np_.testing.assert_allclose(np_.asarray(batch["sigma"]).ravel(),
-                                [0.1, 0.2, 0.3, 0.4], rtol=1e-6)
+                                [0.1, 0.2, 0.4, 0.5], rtol=1e-6)
     np_.testing.assert_allclose(np_.asarray(batch["timestep"]),
-                                [100.0, 200.0, 300.0, 400.0])
-    # per-clip latents kept in order
+                                [100.0, 200.0, 400.0, 500.0])
     np_.testing.assert_allclose(
-        np_.asarray(batch["clean_latents"])[:, 0, 0, 0, 0], [1, 2, 3, 4])
+        np_.asarray(batch["clean_latents"])[:, 0, 0, 0, 0], [1, 2, 4, 5])
+
+
+def test_pipeline_constructs_encoder_only():
+    """FantasyWorldPipeline without a fusion tree (the PP trainer's batch
+    builder) constructs and reports the encoder dtype."""
+    import jax.numpy as jnp
+    from fantasy_world_tpu.models.fusion.model import FusionConfig
+    from fantasy_world_tpu.pipelines.wan_video import FantasyWorldPipeline
+
+    pipe = FantasyWorldPipeline(
+        cfg=FusionConfig(),
+        params={"vae": {"w": jnp.zeros((2, 2), jnp.bfloat16)}})
+    assert pipe._scan_params is None
+    assert pipe.param_dtype() == jnp.bfloat16

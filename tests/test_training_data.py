@@ -26,6 +26,9 @@ def test_build_train_batch():
         def __init__(self, cfg):
             self.vae_cfg = cfg
 
+        def param_dtype(self):
+            return jnp.float32
+
         def encode_prompt(self, prompt):
             return jnp.zeros((1, 8, 16), jnp.float32)
 
