@@ -219,8 +219,13 @@ def _clip_dirs(root):
                   if os.path.isdir(d))
 
 
-def _data_batches(pipe, args):
-    """Cycle clip dirs -> build_train_batch dicts (real-checkpoint mode)."""
+def _data_batches(pipe, args, with_plucker=True):
+    """Cycle clip dirs -> build_train_batch dicts (real-checkpoint mode).
+
+    with_plucker=False skips the camera-pose embedding entirely: the PP
+    trainer drops it anyway, and computing it would call
+    pipe.encode_plucker, which needs the fusion tree the PP path's
+    encoder-only pipeline deliberately does not load."""
     import jax
     from ..data.video import VideoData
     from ..data.re10k import RealEstate10KPoseProcessor
@@ -244,7 +249,7 @@ def _data_batches(pipe, args):
             prompt = f.read().strip()
         plucker = None
         pose_file = os.path.join(clip, "poses.txt")
-        if os.path.exists(pose_file):
+        if with_plucker and os.path.exists(pose_file):
             proc = RealEstate10KPoseProcessor(
                 sample_stride=1, sample_n_frames=n,
                 sample_size=(args.height, args.width),
@@ -296,29 +301,39 @@ def _pp_data_batches(pipe, args, mesh):
 
     from ..utils.observability import get_logger
     log = get_logger("train.pp")
-    inner = _data_batches(pipe, args)
+    inner = _data_batches(pipe, args, with_plucker=False)
     B = args.pipe_microbatches * max(1, args.mesh_data)
     sharding = NamedSharding(mesh, P("data"))
-    ref_shape = None
+    # the expected latent geometry follows from --frames, NOT from
+    # whichever clip happens to come first (a short first clip must not
+    # redefine "full length" and skip every real clip)
+    ref_shape = (1, pipe.vae_cfg.z_dim, (args.frames - 1) // 4 + 1,
+                 args.height // 8, args.width // 8)
+    n_clips = len(_clip_dirs(args.data_root))
     skipped = 0
 
     def next_uniform():
         """Clips shorter than --frames produce fewer latent frames; a
         mixed-shape stack cannot concatenate, so off-shape clips are
         skipped (the non-PP trainer tolerates them via per-clip batches)."""
-        nonlocal ref_shape, skipped
+        nonlocal skipped
+        misses = 0
         while True:
             p = next(inner)
             shape = tuple(p["clean_latents"].shape)
-            if ref_shape is None:
-                ref_shape = shape
             if shape == ref_shape:
                 return p
             skipped += 1
+            misses += 1
             if skipped in (1, 10) or skipped % 100 == 0:
                 log.warning(
                     "skipped %d clip(s) with latent shape %s != %s "
                     "(shorter than --frames?)", skipped, shape, ref_shape)
+            if misses > n_clips:       # a full cycle with zero matches
+                raise SystemExit(
+                    f"no clip under --data_root matches the --frames/"
+                    f"--height/--width latent shape {ref_shape} "
+                    f"(last seen {shape})")
 
     while True:
         parts = [next_uniform() for _ in range(B)]
@@ -376,6 +391,14 @@ def _run_pipe(args) -> None:
                            num_heads=max(2, dim // 32),
                            num_layers=args.demo_layers,
                            has_image_input=False)
+    else:
+        cfg = WanDiTConfig()
+    # up-front: cfg is constant per mode, so this must fail BEFORE the
+    # multi-GB checkpoint read below, not after it
+    if cfg.num_layers % S:
+        raise SystemExit(f"{cfg.num_layers} blocks not divisible by "
+                         f"{S} stages")
+    if args.synthetic:
         params = init_wan_dit(args.seed, cfg, jnp.float32)
     else:
         # validated up front -- the DiT conversion below is multi-GB work
@@ -404,13 +427,9 @@ def _run_pipe(args) -> None:
                                       fus_cfg, jnp.bfloat16,
                                       components=("vae", "clip", "t5")),
             tokenizer_path=args.tokenizer_path)
-        cfg = WanDiTConfig()
         params = cast_tree(
             convert_wan_dit(load_sharded_state_dict(shards), cfg),
             jnp.bfloat16)
-    if cfg.num_layers % S:
-        raise SystemExit(f"{cfg.num_layers} blocks not divisible by "
-                         f"{S} stages")
     B = args.pipe_microbatches * D
     log.info("PP trainer: %d blocks over %d stages x data=%d, "
              "M=%d microbatches (bubble %.0f%%), batch %d",

@@ -150,7 +150,7 @@ class ImageEmbedderVAE(PipelineUnit):
         if input_image is None or not pipe.cfg.dit.require_vae_embedding:
             return {}
         from ..models.wan.vae import vae_encode
-        dtype = pipe.params["fusion"]["dit"]["patch_embedding"]["kernel"].dtype
+        dtype = pipe.param_dtype()
         img = jnp.asarray(input_image, jnp.float32).transpose(2, 0, 1)[None]
         msk = np.ones((1, num_frames, height // 8, width // 8), np.float32)
         msk[:, 1:] = 0
@@ -188,7 +188,7 @@ class ImageEmbedderCLIP(PipelineUnit):
                 or not pipe.cfg.dit.has_image_input:
             return {}
         from ..models.wan.clip import clip_encode_image, preprocess_image
-        dtype = pipe.params["fusion"]["dit"]["patch_embedding"]["kernel"].dtype
+        dtype = pipe.param_dtype()
 
         def enc(img):
             x = preprocess_image(jnp.asarray(img, jnp.float32))
@@ -237,7 +237,7 @@ class FunControl(PipelineUnit):
         if control_video is None:
             return {}
         from ..models.wan.vae import vae_encode
-        dtype = pipe.params["fusion"]["dit"]["patch_embedding"]["kernel"].dtype
+        dtype = pipe.param_dtype()
         video = jnp.asarray(control_video)        # (1, 3, T, H, W) in [-1,1]
         control_latents = vae_encode(pipe.params["vae"], pipe.vae_cfg,
                                      video.astype(dtype))
@@ -265,7 +265,7 @@ class FunReference(PipelineUnit):
         if reference_image is None:
             return {}
         from ..models.wan.vae import vae_encode
-        dtype = pipe.params["fusion"]["dit"]["patch_embedding"]["kernel"].dtype
+        dtype = pipe.param_dtype()
         img = jnp.asarray(reference_image, jnp.float32).transpose(2, 0, 1)
         ref_latents = vae_encode(pipe.params["vae"], pipe.vae_cfg,
                                  img[None, :, None].astype(dtype))

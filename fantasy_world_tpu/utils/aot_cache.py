@@ -231,8 +231,25 @@ def _const_repr(c, depth: int = 6) -> str:
     PYTHONHASHSEED -- that would give a different fingerprint every process
     (permanent cache miss AND prune of the valid entry each run). Sort
     set elements and dict items; recurse into containers (depth-capped
-    against cycles); array-likes contribute shape/dtype, not data."""
+    against cycles). Array-likes contribute shape/dtype AND a content
+    digest up to 16 MB -- a captured constant table whose VALUES change
+    must change the fingerprint, or the stale executable with the old
+    constants baked in would silently reload. Beyond the cap (big device
+    arrays; params travel as jitted args, not captured bindings, so this
+    is rare) content is skipped to avoid multi-GB hashing/transfers."""
     if hasattr(c, "shape") and hasattr(c, "dtype"):
+        try:
+            import numpy as _np
+            nbytes = getattr(c, "nbytes", None)
+            if nbytes is None:
+                nbytes = int(_np.prod(c.shape or (1,))) * \
+                    _np.dtype(c.dtype).itemsize
+            if nbytes <= (1 << 24):
+                a = _np.ascontiguousarray(_np.asarray(c))
+                dig = hashlib.md5(a.tobytes()).hexdigest()[:16]
+                return f"arr{c.shape}{c.dtype}:{dig}"
+        except Exception:
+            pass
         return f"arr{c.shape}{c.dtype}"
     if depth <= 0:
         return f"<depth:{type(c).__name__}>"
@@ -367,6 +384,9 @@ def _scope_hash(fn: Optional[Callable]) -> str:
                 continue
         for v in (getattr(f, "__defaults__", None) or ()):
             visit_value(v)
+        for k in sorted(getattr(f, "__kwdefaults__", None) or {}):
+            h.update(f"kwdef:{k}".encode())
+            visit_value(f.__kwdefaults__[k])
 
     if fn is not None:
         to_visit.append(fn)

@@ -17,12 +17,15 @@ natively:
                           chunk (ASCII space can never be a UTF-8
                           continuation byte, so chunking is lossless).
   * restore_byte_a0    -- a space where a 0xA0 continuation byte was
-                          squashed ('Ã la mode' -> 'à la mode'): the space
-                          is speculatively restored to \xa0, gated on word
-                          context (an uppercase letter before the lead char
-                          marks genuine all-caps text like 'MAÇÃ MADURA',
-                          which stays untouched -- the same carve-out
-                          ftfy's badness heuristic makes).
+                          squashed ('VoilÃ !' -> 'Voilà!'; 'Ã  la mode'
+                          with two spaces -> 'à la mode', and the fully
+                          collapsed 'Ã la mode' -> the lossy 'àla mode',
+                          since the space IS the destroyed byte): the
+                          space is speculatively restored to \xa0, gated
+                          on word context (an uppercase letter before the
+                          lead char marks genuine all-caps text like
+                          'MAÇÃ MADURA', which stays untouched -- the
+                          same carve-out ftfy's badness heuristic makes).
   * replace_lossy_sequences -- a mojibake lead char followed by U+FFFD
                           replacement characters (the continuation bytes
                           were destroyed) collapses to one U+FFFD, as ftfy
@@ -123,7 +126,8 @@ _LOSSY_RE = re.compile(f"[{re.escape(_LEAD_CHARS)}]"
 def restore_byte_a0(text: str) -> str:
     """ftfy.fixes.restore_byte_a0: a prior process turned \\xa0 (no-break
     space, a common UTF-8 continuation byte) into a plain space, breaking
-    the mojibake pattern ('Ã la mode' for 'à la mode').
+    the mojibake pattern ('Ã  la mode', two spaces, for 'à la mode'; the
+    fully collapsed single-space form recovers lossily as 'àla mode').
     Speculatively put the byte back wherever that single change lets the
     strict-UTF-8 repair succeed; otherwise leave the text untouched."""
 
@@ -140,6 +144,16 @@ def restore_byte_a0(text: str) -> str:
         # as do 'Ã la mode' / 'VoilÃ !' style lowercase contexts.
         i = m.start()
         if i > 0 and m.group(1) == "Ã" and text[i - 1].isupper():
+            return m.group(0)
+        # a LITERAL \xa0 in the word holding the lead char means this
+        # region's bytes were demonstrably not squashed -- leave it to the
+        # plain chunk repair. Gated per word, not per prompt: ftfy applies
+        # the fixer per mojibake sequence, so a genuine nbsp in 'café\xa0bar'
+        # must not stop 'VoilÃ le monde' elsewhere from repairing.
+        j = i
+        while j > 0 and text[j - 1] not in " \t\n\r\f\v":
+            j -= 1
+        if "\xa0" in text[j:i]:
             return m.group(0)
         fixed, changed = _fix_chunk_once(m.group(1) + "\xa0")
         return fixed if changed else m.group(0)
@@ -159,8 +173,7 @@ def fix_encoding(text: str, max_passes: int = 4) -> str:
     """Repair UTF-8-misread-as-cp1252 mojibake, including multiply-encoded
     text (each pass unwraps one layer, e.g. 'doesnÃ¢a€...'
     -> 'doesna€™t' -> 'doesn’t')."""
-    if "\xa0" not in text:             # a literal \xa0 means the bytes were
-        text = restore_byte_a0(text)   # NOT squashed; don't second-guess
+    text = restore_byte_a0(text)       # gates itself per word on literal \xa0
     parts = re.split(r"([ \t\n\r\f\v]+)", text)
     out = []
     for part in parts:

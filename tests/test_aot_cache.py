@@ -336,3 +336,51 @@ def test_dataclass_bindings_fingerprint_by_field_values():
             != fingerprint((x,), fn=make(HeadCfg(2, "inv_log"))))
     assert (fingerprint((x,), fn=make(HeadCfg(2, "exp")))
             == fingerprint((x,), fn=make(HeadCfg(2, "exp"))))
+
+
+def test_array_bindings_fingerprint_by_content():
+    """A captured constant TABLE whose VALUES change must change the
+    fingerprint -- shape/dtype alone would silently reload the executable
+    with the old constants baked in (bench.py-style out-of-package roots
+    have no hashed source to catch the edit)."""
+    import numpy as np
+    import jax.numpy as jnp
+    from fantasy_world_tpu.utils.aot_cache import fingerprint
+
+    x = jnp.zeros(4)
+
+    def make(table):
+        return lambda v: v + table[0]
+
+    assert (fingerprint((x,), fn=make(np.asarray([1.0, 2.0])))
+            != fingerprint((x,), fn=make(np.asarray([3.0, 4.0]))))
+    assert (fingerprint((x,), fn=make(np.asarray([1.0, 2.0])))
+            == fingerprint((x,), fn=make(np.asarray([1.0, 2.0]))))
+    # same content, different shape/dtype still distinguish
+    assert (fingerprint((x,), fn=make(np.zeros(2, np.float32)))
+            != fingerprint((x,), fn=make(np.zeros(2, np.float64))))
+
+
+def test_kwonly_default_participates_in_fingerprint():
+    """Keyword-only defaults live in __kwdefaults__, not __defaults__; an
+    edit there changes neither bytecode nor __defaults__ and must still
+    invalidate."""
+    import jax.numpy as jnp
+    from fantasy_world_tpu.utils.aot_cache import fingerprint
+
+    x = jnp.zeros(4)
+
+    def build(src):
+        ns = {}
+        exec(compile(src, __file__, "exec"), ns)
+        return ns["fn"]
+
+    a = build("def impl(v, *, s=2):\n    return v * s\n"
+              "fn = lambda v: impl(v)\n")
+    b = build("def impl(v, *, s=3):\n    return v * s\n"
+              "fn = lambda v: impl(v)\n")
+    assert fingerprint((x,), fn=a) != fingerprint((x,), fn=b)
+    # positional defaults keep working too
+    a = build("def impl(v, s=2):\n    return v * s\nfn = lambda v: impl(v)\n")
+    b = build("def impl(v, s=3):\n    return v * s\nfn = lambda v: impl(v)\n")
+    assert fingerprint((x,), fn=a) != fingerprint((x,), fn=b)

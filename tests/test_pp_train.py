@@ -168,7 +168,10 @@ def test_pp_data_batches_stacking(monkeypatch):
     from jax.sharding import Mesh
     from fantasy_world_tpu.cli import train as train_cli
 
-    def fake_clips(pipe, args):
+    def fake_clips(pipe, args, with_plucker=True):
+        # the PP path must NOT compute the plucker embedding: its pipeline
+        # is encoder-only (no fusion tree), so encode_plucker would KeyError
+        assert with_plucker is False
         i = 0
         while True:
             i += 1
@@ -195,10 +198,17 @@ def test_pp_data_batches_stacking(monkeypatch):
             }
 
     monkeypatch.setattr(train_cli, "_data_batches", fake_clips)
-    args = types.SimpleNamespace(pipe_microbatches=2, mesh_data=2)
+    monkeypatch.setattr(train_cli, "_clip_dirs",
+                        lambda root: ["c1", "c2", "c3", "c4", "c5"])
+    # ref latent shape derives from --frames/--height/--width + z_dim, not
+    # from the first clip seen: (frames-1)//4+1 = 2, 32//8 = 4
+    args = types.SimpleNamespace(pipe_microbatches=2, mesh_data=2,
+                                 frames=5, height=32, width=32,
+                                 data_root="unused")
+    pipe = types.SimpleNamespace(vae_cfg=types.SimpleNamespace(z_dim=4))
     mesh = Mesh(np_.asarray(jax.devices()[:4]).reshape(2, 2),
                 ("pipe", "data"))
-    batch = next(train_cli._pp_data_batches(object(), args, mesh))
+    batch = next(train_cli._pp_data_batches(pipe, args, mesh))
 
     assert "plucker_fea" not in batch
     assert batch["clean_latents"].shape == (4, 4, 2, 4, 4)

@@ -250,3 +250,18 @@ def test_halfwidth_katakana_widened():
     assert fix_text("ｱｲｳ｡｢ｴ｣") == "アイウ。「エ」"
     # genuine fullwidth katakana untouched
     assert fix_text("カタカナ") == "カタカナ"
+
+
+def test_restore_byte_a0_gates_per_word_not_per_prompt():
+    # A genuine literal nbsp in ONE word must not disable the squashed-\xa0
+    # repair for unrelated mojibake elsewhere in the prompt (ftfy applies
+    # the fixer per mojibake sequence, not gated on a whole-string property)
+    from fantasy_world_tpu.utils.textclean import fix_encoding
+    assert (fix_encoding("café\xa0bar VoilÃ le monde")
+            == "café\xa0bar Voilàle monde")
+    # the word that DOES hold a literal \xa0 is left to the plain chunk
+    # repair (its bytes were demonstrably not squashed)
+    assert fix_encoding("Ã\xa0 la mode") == "à la mode"
+    # and a lead-char+space inside a word that also carries a literal \xa0
+    # is not speculatively rewritten
+    assert fix_encoding("x\xa0Ã 2") == "x\xa0Ã 2"

@@ -25,6 +25,10 @@ class _StubPipe:
         v = float(abs(hash(prompt)) % 1000) / 1000.0
         return jnp.full((1, 4, 8), v)
 
+    def param_dtype(self):
+        import jax.numpy as jnp
+        return jnp.float32
+
 
 def test_runner_separate_cfg_and_quirk():
     from fantasy_world_tpu.pipelines.units import (PipelineUnitRunner,
