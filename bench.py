@@ -708,6 +708,41 @@ def parity_main(out_path="PARITY_TPU.json"):
             f"(tol {tol}) {'OK' if diff < tol else 'FAIL'}")
         del q, k, v, out, ref
 
+    # backward: the custom-VJP Pallas kernels (dq sweep over k blocks,
+    # dk/dv sweep over q blocks with in-kernel delta recomputation) are
+    # parity-tested in interpret mode on CPU (tests/test_flash_grad.py);
+    # this asserts the MOSAIC-COMPILED backward on the real device, at a
+    # ragged token count whose XLA backward still fits in HBM (2237 =
+    # 8 full 256-blocks + a 189 tail exercising the masked tail block).
+    t0 = time.perf_counter()
+    Lg, Hg, Dg = 2237, 8, 128
+    q, k, v = bf16((2, Lg, Hg, Dg)), bf16((2, Lg, Hg, Dg)), \
+        bf16((2, Lg, Hg, Dg))
+    do = bf16((2, Lg, Hg, Dg)).astype(jnp.float32)
+    sc = Dg ** -0.5
+
+    def vjp_grads(fn):
+        def loss(q, k, v):
+            return jnp.sum(fn(q, k, v).astype(jnp.float32) * do)
+        return jax.jit(jax.grad(loss, argnums=(0, 1, 2)))(q, k, v)
+
+    gp = vjp_grads(lambda q, k, v: flash_attention(q, k, v, scale=sc))
+    fetch_scalar(gp[0])
+    gr = vjp_grads(lambda q, k, v: attn_mod._xla_attention(q, k, v, sc))
+    diff = max(float(jnp.max(jnp.abs(
+        a.astype(jnp.float32) - b.astype(jnp.float32))))
+        for a, b in zip(gp, gr))
+    tol = 5e-2
+    results["checks"].append({
+        "name": "flash_vjp_ragged_D128",
+        "q_shape": [2, Lg, Hg, Dg], "kv_shape": [2, Lg, Hg, Dg],
+        "grads": "dq,dk,dv vs jax.grad of the XLA path (bf16 in, f32 loss)",
+        "max_abs_diff": round(diff, 6), "tol": tol, "ok": diff < tol,
+        "wall_s": round(time.perf_counter() - t0, 1)})
+    log(f"parity flash_vjp_ragged_D128: max|pallas-xla| grad diff = "
+        f"{diff:.2e} (tol {tol}) {'OK' if diff < tol else 'FAIL'}")
+    del q, k, v, do, gp, gr
+
     # end-to-end: tiny-config CFG joint forward, pallas vs xla dispatch
     t0 = time.perf_counter()
     from fantasy_world_tpu.utils.demo import demo_config
