@@ -665,7 +665,9 @@ def parity_main(out_path="PARITY_TPU.json"):
          on 512 probe queries -- the FIRST 256 rows and the LAST 256 rows,
          the latter exercising the ragged tail block (full-length XLA at
          16k tokens would materialize a 42 GB score tensor and OOM);
-      2. a tiny-config joint_forward end-to-end, pallas vs xla dispatch.
+      2. the compiled custom-VJP backward (dq/dk/dv) at a ragged length;
+      3. the int8 MXU dot of the serving path vs exact f64 emulation;
+      4. a tiny-config joint_forward end-to-end, pallas vs xla dispatch.
     Writes one JSON artifact and exits non-zero on any tolerance breach.
     """
     from fantasy_world_tpu.ops.flash_attention import flash_attention
@@ -742,6 +744,39 @@ def parity_main(out_path="PARITY_TPU.json"):
     log(f"parity flash_vjp_ragged_D128: max|pallas-xla| grad diff = "
         f"{diff:.2e} (tol {tol}) {'OK' if diff < tol else 'FAIL'}")
     del q, k, v, do, gp, gr
+
+    # int8 MXU dot: the serving option's int8xint8->int32 lax.dot_general
+    # (core/quant.py:qlinear), COMPILED on the device, vs an exact f64 host
+    # emulation of the same integer math (f64 holds every int32 partial
+    # exactly, and numpy f64 matmul is BLAS-fast). Catches an int8-MXU
+    # miscompile/saturation bug that the CPU drift test cannot see.
+    t0 = time.perf_counter()
+    from fantasy_world_tpu.core.quant import quantize_linear_params, qlinear
+    Kq = Nq = 5120
+    Mq = 512
+    pq = quantize_linear_params(
+        {"kernel": jnp.asarray(rng.standard_normal((Kq, Nq), np.float32))})
+    xq_in = jnp.asarray(rng.standard_normal((Mq, Kq), np.float32))
+    y_dev = np.asarray(jax.jit(qlinear)(pq, xq_in), np.float32)
+    fetch_scalar(jnp.asarray(y_dev[0, 0]))
+    xf = np.asarray(xq_in, np.float32)
+    sx = np.maximum(np.max(np.abs(xf), -1, keepdims=True) / 127.0, 1e-12)
+    xqi = np.clip(np.round(xf / np.asarray(sx, np.float32)), -127, 127)
+    y_ref = ((xqi.astype(np.float64)
+              @ np.asarray(pq["kernel_q"], np.float64))
+             * sx.astype(np.float64)
+             * np.asarray(pq["kscale"], np.float64))
+    diff = float(np.max(np.abs(y_dev - y_ref)) / np.max(np.abs(y_ref)))
+    tol = 1e-3   # f32 rescale rounding only; integer dot must be exact
+    results["checks"].append({
+        "name": "int8_mxu_qlinear",
+        "x_shape": [Mq, Kq], "kernel_shape": [Kq, Nq],
+        "reference": "exact f64 emulation of the int8 quant algebra",
+        "max_rel_diff": round(diff, 8), "tol": tol, "ok": diff < tol,
+        "wall_s": round(time.perf_counter() - t0, 1)})
+    log(f"parity int8_mxu_qlinear: max rel|tpu-f64| = {diff:.2e} "
+        f"(tol {tol}) {'OK' if diff < tol else 'FAIL'}")
+    del pq, xq_in, y_dev, y_ref
 
     # end-to-end: tiny-config CFG joint forward, pallas vs xla dispatch
     t0 = time.perf_counter()

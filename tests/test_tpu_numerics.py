@@ -51,3 +51,32 @@ def test_flash_kernel_matches_xla_on_hardware():
     diff = float(jnp.max(jnp.abs(out[:, rows].astype(jnp.float32)
                                  - ref.astype(jnp.float32))))
     assert diff < 2e-2, f"compiled-kernel drift on hardware: {diff}"
+
+
+@pytest.mark.skipif(not _on_tpu(),
+                    reason="needs FW_TPU_TESTS=1 and a real TPU")
+def test_int8_mxu_qlinear_matches_f64_emulation_on_hardware():
+    """The serving path's int8xint8->int32 MXU dot (core/quant.py:qlinear),
+    compiled on the real chip, must compute exactly the integer algebra the
+    quantizer specifies -- checked against an f64 host emulation (f64 holds
+    every int32 partial exactly). The CPU drift test bounds ACCURACY vs
+    bf16; this asserts the hardware path's CORRECTNESS vs its own spec."""
+    import jax
+    import jax.numpy as jnp
+    from fantasy_world_tpu.core.quant import quantize_linear_params, qlinear
+
+    rng = np.random.default_rng(7)
+    K = N = 5120
+    M = 256
+    p = quantize_linear_params(
+        {"kernel": jnp.asarray(rng.standard_normal((K, N), np.float32))})
+    x = jnp.asarray(rng.standard_normal((M, K), np.float32))
+    y_dev = np.asarray(jax.jit(qlinear)(p, x), np.float32)
+
+    xf = np.asarray(x, np.float32)
+    sx = np.maximum(np.max(np.abs(xf), -1, keepdims=True) / 127.0, 1e-12)
+    xqi = np.clip(np.round(xf / np.asarray(sx, np.float32)), -127, 127)
+    y_ref = ((xqi.astype(np.float64) @ np.asarray(p["kernel_q"], np.float64))
+             * sx.astype(np.float64) * np.asarray(p["kscale"], np.float64))
+    rel = float(np.max(np.abs(y_dev - y_ref)) / np.max(np.abs(y_ref)))
+    assert rel < 1e-3, f"int8 MXU path drift vs exact emulation: {rel}"
