@@ -24,6 +24,21 @@ from typing import Optional
 
 _INITIALIZED = False
 
+# Environment variables that mark a multi-host coordinator. Exported so
+# tests (and tools that sanitise the environment) stay in sync with
+# is_multiprocess_env() when a new coordinator variable is added.
+POD_ENV_VARS = (
+    "JAX_COORDINATOR_ADDRESS", "COORDINATOR_ADDRESS",
+    "MEGASCALE_COORDINATOR_ADDRESS",
+    "SLURM_STEP_NODELIST", "SLURM_JOB_NODELIST",
+    "TPU_WORKER_HOSTNAMES",
+)
+
+# The hostname-list variable is special-cased: it only counts as a pod when
+# it names MORE than one worker (see is_multiprocess_env).
+_COORDINATOR_VARS = tuple(v for v in POD_ENV_VARS
+                          if v != "TPU_WORKER_HOSTNAMES")
+
 
 def is_multiprocess_env() -> bool:
     """True when launched under a multi-host coordinator (TPU pod metadata
@@ -33,10 +48,7 @@ def is_multiprocess_env() -> bool:
     single-chip environments (e.g. the tunneled dev TPU here) export it as
     'localhost', and bootstrapping a one-process coordination service only
     adds failure modes."""
-    if any(os.environ.get(k) for k in (
-            "JAX_COORDINATOR_ADDRESS", "COORDINATOR_ADDRESS",
-            "MEGASCALE_COORDINATOR_ADDRESS",
-            "SLURM_STEP_NODELIST", "SLURM_JOB_NODELIST")):
+    if any(os.environ.get(k) for k in _COORDINATOR_VARS):
         return True
     hostnames = os.environ.get("TPU_WORKER_HOSTNAMES", "")
     return len([h for h in hostnames.split(",") if h.strip()]) > 1

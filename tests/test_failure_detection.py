@@ -68,13 +68,11 @@ def test_read_image_retry_exhausts_and_raises(tmp_path):
 # parallel/distributed.py: single-host no-op semantics + pod autodetection
 # ---------------------------------------------------------------------------
 
-_POD_VARS = ("JAX_COORDINATOR_ADDRESS", "COORDINATOR_ADDRESS",
-             "MEGASCALE_COORDINATOR_ADDRESS", "SLURM_STEP_NODELIST",
-             "SLURM_JOB_NODELIST", "TPU_WORKER_HOSTNAMES")
-
-
 def _clear_pod_env(monkeypatch):
-    for k in _POD_VARS:
+    # Shared constant with the implementation: adding a coordinator variable
+    # to distributed.py automatically clears (and thus tests) it here.
+    from fantasy_world_tpu.parallel.distributed import POD_ENV_VARS
+    for k in POD_ENV_VARS:
         monkeypatch.delenv(k, raising=False)
 
 
@@ -120,10 +118,14 @@ def test_initialize_force_failure_handling(monkeypatch):
     assert distributed._INITIALIZED is False
 
 
-def test_runtime_info_topology():
+def test_runtime_info_topology(monkeypatch):
     from fantasy_world_tpu.parallel import distributed
+    # Pin the module-global so the assertion does not depend on whether an
+    # earlier test in the session initialised jax.distributed.
+    monkeypatch.setattr(distributed, "_INITIALIZED", False)
     info = distributed.runtime_info()
-    assert info["process_count"] == 1
     assert info["global_device_count"] >= info["local_device_count"] >= 1
+    assert info["global_device_count"] == (info["process_count"]
+                                           * info["local_device_count"])
     assert info["platform"] in ("cpu", "tpu")
     assert info["initialized"] is False
