@@ -236,3 +236,80 @@ def test_pipeline_constructs_encoder_only():
         params={"vae": {"w": jnp.zeros((2, 2), jnp.bfloat16)}})
     assert pipe._scan_params is None
     assert pipe.param_dtype() == jnp.bfloat16
+
+
+def test_pp_train_composes_with_model_tp_axis():
+    """data=2 x pipe=2 x model=2: the block stack sharded P('pipe', <TP
+    rules over 'model'>), batch over 'data' -- the composition the driver
+    dryrun's stage 3 reproduces (pipe is the only MANUAL shard_map axis;
+    'data'/'model' stay GSPMD-auto inside each stage). Loss and updated
+    params must equal the sequential reference."""
+    import jax
+    import jax.numpy as jnp
+    import optax
+    from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+    from fantasy_world_tpu.models.wan.dit import init_wan_dit, wan_dit_forward
+    from fantasy_world_tpu.parallel.sharding import stacked_specs
+    from fantasy_world_tpu.training.pp import (make_pp_train_step,
+                                               split_dit_trainable)
+
+    L, B, F, H, W = 4, 4, 3, 4, 6
+    cfg = _tiny_cfg(L)
+    params = init_wan_dit(0, cfg, jnp.float32)
+    lite, blocks = split_dit_trainable(params)
+    batch = _batch(cfg, B, F, H, W, np.random.default_rng(7))
+
+    import jax as _jax
+    devs = np.asarray(_jax.devices()[:8]).reshape(2, 2, 2)
+    mesh = Mesh(devs, ("data", "pipe", "model"))
+
+    # TP specs for the stacked block tree (paths like self_attn/q/kernel get
+    # the megatron rules via the dit/blocks prefix), with the leading layer
+    # axis re-pinned to 'pipe' (stacked_specs leaves it None for lax.scan)
+    is_spec = lambda x: isinstance(x, P)  # noqa: E731
+    specs = stacked_specs(blocks, strip_prefix="dit/blocks/0/", mesh=mesh)
+    specs = jax.tree_util.tree_map(lambda s: P("pipe", *list(s)[1:]), specs,
+                                   is_leaf=is_spec)
+    flat = jax.tree_util.tree_leaves(specs, is_leaf=is_spec)
+    assert any("model" in s for s in flat), "TP rules matched no block param"
+    blocks_sh = jax.tree_util.tree_map(
+        lambda a, s: jax.device_put(a, NamedSharding(mesh, s)), blocks,
+        specs, is_leaf=is_spec)
+    lite_sh = jax.tree_util.tree_map(
+        lambda a: jax.device_put(a, NamedSharding(mesh, P())), lite)
+    sharded_batch = dict(batch)
+    for k in ("clean_latents", "noise", "context"):
+        sharded_batch[k] = jax.device_put(
+            batch[k], NamedSharding(mesh, P("data")))
+
+    opt = optax.sgd(1e-2)
+    trainable = (lite_sh, blocks_sh)
+    opt_state = opt.init(trainable)
+    step = make_pp_train_step(cfg, opt, mesh=mesh, microbatches=2)
+    (lite2, blocks2), _, loss_pp = jax.jit(step)(
+        trainable, opt_state, sharded_batch)
+
+    def seq_loss(tr):
+        lt, bl = tr
+        p = dict(lt)
+        p["blocks"] = [jax.tree_util.tree_map(lambda a: a[i], bl)
+                       for i in range(L)]
+        noisy = ((1 - batch["sigma"]) * batch["clean_latents"]
+                 + batch["sigma"] * batch["noise"])
+        pred = wan_dit_forward(p, cfg, noisy, batch["timestep"],
+                               batch["context"])
+        target = batch["noise"] - batch["clean_latents"]
+        return jnp.mean(jnp.square(pred.astype(jnp.float32)
+                                   - target.astype(jnp.float32)))
+
+    loss_seq, grads_seq = jax.value_and_grad(seq_loss)((lite, blocks))
+    np.testing.assert_allclose(float(loss_pp), float(loss_seq),
+                               rtol=2e-5, atol=2e-6)
+    updates, _ = opt.update(grads_seq, opt.init((lite, blocks)),
+                            (lite, blocks))
+    lite_ref, blocks_ref = optax.apply_updates((lite, blocks), updates)
+    for got, want in [(lite2, lite_ref), (blocks2, blocks_ref)]:
+        jax.tree_util.tree_map(
+            lambda a, b: np.testing.assert_allclose(
+                np.asarray(a), np.asarray(b), rtol=3e-5, atol=3e-6),
+            got, want)

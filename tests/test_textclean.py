@@ -83,22 +83,54 @@ def test_clean_prompt_is_noop_on_clean_prompts():
     assert clean_prompt(p) == p
 
 
-def test_against_real_ftfy_if_available():
-    ftfy = pytest.importorskip("ftfy")
-    # conftest.add_reference_to_path stubs absent reference deps (ftfy
-    # included) into sys.modules; a stub is not an oracle
-    if not callable(getattr(ftfy, "fix_text", None)) \
-            or ftfy.fix_text("abc") != "abc":
-        pytest.skip("ftfy is a conftest stub, not the real library")
-    import html
-    samples = [
-        "âœ” No problems", "doesnÃ¢â‚¬â„¢t", "fish &amp;amp; chips",
-        "café costs â‚¬5", "ﬁlm ﬂow", "ＦＵＬＬｗｉｄｔｈ！",
-        "The Mona Lisa doesnâ€™t have eyebrows.",
-    ]
-    for s in samples:
-        ref = html.unescape(html.unescape(ftfy.fix_text(s))).strip()
-        assert basic_clean(s) == ref, s
+def _golden():
+    import json
+    import os
+    path = os.path.join(os.path.dirname(__file__), "data",
+                        "textclean_golden.json")
+    with open(path) as fh:
+        return json.load(fh)
+
+
+def test_golden_fixture_all_cases():
+    """242-case golden fixture (tests/data/textclean_golden.json, r3 VERDICT
+    next-#7): mojibake constructed with the stdlib's real cp1252/latin-1
+    codecs plus table-driven entity/width/quote/control/surrogate cases.
+    The fixture is generated AND re-verifiable by
+    tools/gen_textclean_golden.py; when real ftfy is available anywhere,
+    `--with-ftfy --check` certifies the same file against the actual
+    library (ftfy is not installable in this image -- the checked-in
+    expectations use the implementation-independent stdlib oracles
+    documented in the generator). Runs unconditionally: no skip."""
+    doc = _golden()
+    assert doc["count"] == len(doc["cases"]) >= 200
+    failures = []
+    for case in doc["cases"]:
+        got = fix_text(case["input"])
+        if got != case["expected"]:
+            failures.append((case["class"], case["input"],
+                             case["expected"], got))
+    assert not failures, f"{len(failures)} golden mismatches: {failures[:5]}"
+
+
+def test_golden_fixture_covers_every_class():
+    classes = {c["class"] for c in _golden()["cases"]}
+    assert {"mojibake_cp1252", "mojibake_latin-1", "mojibake_double",
+            "mojibake_embedded", "noop", "fixer_table",
+            "entity"} <= classes
+
+
+def test_golden_fixture_matches_generator():
+    """The checked-in file must be exactly what the generator derives --
+    stops silent drift between the data and its documented oracles."""
+    import subprocess
+    import sys as _sys
+    import os
+    tool = os.path.join(os.path.dirname(__file__), os.pardir, "tools",
+                        "gen_textclean_golden.py")
+    r = subprocess.run([_sys.executable, tool, "--check"],
+                       capture_output=True, text=True)
+    assert r.returncode == 0, r.stdout + r.stderr
 
 
 # ---------------------------------------------------------------------------
