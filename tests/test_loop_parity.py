@@ -29,9 +29,13 @@ from test_fusion_e2e import (_build_reference, _our_config,   # noqa: E402
 STEPS, CFG_SCALE, SEED = 6, 5.0, 42
 
 
-def _reference_loop(ref, ctx_pos, ctx_neg, clip, y, plucker, steps, seed):
+def _reference_loop(ref, ctx_pos, ctx_neg, clip, y, plucker, steps, seed,
+                    record=None):
     """fusion/model_wan21.py:226-324 with the 14B-only pieces (vram moves,
-    pose encoder) factored out; plucker features are injected directly."""
+    pose encoder) factored out; plucker features are injected directly.
+    ``record``: optional list collecting the post-step latents (fp32 numpy)
+    after every scheduler step, for the 50-step drift-curve artifact
+    (test_loop_parity_50.py)."""
     from FantasyWorld.diffsynth_wan21.schedulers.flow_match import (
         FlowMatchScheduler)
 
@@ -65,6 +69,8 @@ def _reference_loop(ref, ctx_pos, ctx_neg, clip, y, plucker, steps, seed):
                 noise_pred_posi - noise_pred_nega)
             latents = sched.step(noise_pred, sched.timesteps[progress_id],
                                  latents)
+            if record is not None:
+                record.append(latents.float().numpy().copy())
     return latents, final_prediction
 
 
