@@ -1,7 +1,7 @@
 """State-dict conversion for the umT5 text encoder and CLIP visual tower."""
 from __future__ import annotations
 
-from typing import Dict, Mapping
+from typing import Dict, Mapping, Optional
 
 import numpy as np
 
@@ -29,13 +29,19 @@ def _ln(sd, name):
     return p
 
 
-def convert_t5(sd: Mapping, cfg: T5Config = T5Config(),
+def convert_t5(sd: Mapping, cfg: Optional[T5Config] = None,
                prefix: str = "") -> Dict:
     """wan_video_text_encoder.py WanTextEncoder layout (shared_pos=False:
-    per-block pos_embedding.embedding)."""
+    per-block pos_embedding.embedding). Tower depth is read from the state
+    dict itself; a cfg, when given, must agree."""
     pr = prefix
+    n_layers = 1 + max(int(k[len(pr) + 7:].split(".")[0]) for k in sd
+                       if k.startswith(pr + "blocks."))
+    if cfg is not None and cfg.num_layers != n_layers:
+        raise ValueError(f"config says {cfg.num_layers} T5 layers, the "
+                         f"checkpoint holds {n_layers}")
     blocks = []
-    for i in range(cfg.num_layers):
+    for i in range(n_layers):
         b = f"{pr}blocks.{i}"
         blocks.append({
             "norm1": {"scale": np.asarray(sd[b + ".norm1.weight"])},
@@ -54,13 +60,22 @@ def convert_t5(sd: Mapping, cfg: T5Config = T5Config(),
     }
 
 
-def convert_clip_vision(sd: Mapping, cfg: CLIPVisionConfig = CLIPVisionConfig(),
+def convert_clip_vision(sd: Mapping, cfg: Optional[CLIPVisionConfig] = None,
                         prefix: str = "model.visual.") -> Dict:
-    """VisionTransformer layout inside WanImageEncoder ('model.visual.*')."""
+    """VisionTransformer layout inside WanImageEncoder ('model.visual.*').
+
+    The tower depth is read from the state dict itself (count of
+    transformer.N blocks) so the converter is self-describing like the
+    others; a cfg, when given, must agree."""
     pr = prefix
     pe = np.asarray(sd[pr + "patch_embedding.weight"])   # (dim, 3, ps, ps)
+    n_layers = 1 + max(int(k[len(pr) + 12:].split(".")[0]) for k in sd
+                       if k.startswith(pr + "transformer."))
+    if cfg is not None and cfg.num_layers != n_layers:
+        raise ValueError(f"config says {cfg.num_layers} CLIP layers, the "
+                         f"checkpoint holds {n_layers}")
     blocks = []
-    for i in range(cfg.num_layers):
+    for i in range(n_layers):
         b = f"{pr}transformer.{i}"
         blocks.append({
             "norm1": _ln(sd, b + ".norm1"),
