@@ -1,11 +1,20 @@
-"""Benchmark: sec per denoise step (CFG pair) at the wan21 480P geometry.
+"""Benchmark: sec per denoise step (CFG pair) at BOTH production geometries.
 
-Measures the fusion joint denoise at the REAL Wan2.1-480P token geometry
-(16,317 DiT tokens / 16,422 geometry tokens) and real component widths (DiT
-dim 5120 / 40 heads / ffn 13824, VGGT 1024, bicross 1152) at a reduced layer
-count that fits single-chip HBM; per-layer marginal cost is measured from
-two depths and extrapolated linearly to the full 16 PCB + 24 IRG stack.
-Prints ONE json line.
+Measures the fusion joint denoise at the REAL token geometries --
+wan21 480P (16,317 DiT tokens / 16,422 geometry tokens) and, since round 4,
+wan22 480x832 (32,760 DiT tokens / 32,865 geometry tokens, control-camera
+patchify, no CLIP branch, dual 14B experts phase-switched so ONE is hot per
+step: inference_wan22.py:459-468, fusion/model_wan22.py:231-348) -- at real
+component widths (DiT dim 5120 / 40 heads / ffn 13824, VGGT 1024, bicross
+1152) and reduced layer counts that fit single-chip HBM; per-layer marginal
+cost is measured from three depths and extrapolated to the full 16 PCB +
+24 IRG stack, with a held-out depth validating each fit.
+
+The FINAL stdout line is the result; interim lines with the same schema are
+emitted after every phase group so a hard kill still leaves a parseable
+(partial-flagged) result. The headline metric stays the wan21 step (round
+continuity); wan22 lives in points.wan22 with its own fit, holdout residual
+and v5p-8 clip projection.
 
 Round-1 fixes (VERDICT.md "What's weak" 1-2):
   * params are built abstractly (core.params.abstract_init) and zero-filled
@@ -46,7 +55,7 @@ TARGET_HW_TFLOPS = 8 * 459.0       # v5p-8 bf16 peak, the target's hardware
 CHIP_PEAKS_TFLOPS = {              # bf16 peak per chip generation
     "v5 lite": 197.0, "v5e": 197.0, "v5p": 459.0, "v4": 275.0, "v6": 918.0,
 }
-BUDGET_S = float(os.environ.get("BENCH_BUDGET_S", "560"))
+BUDGET_S = float(os.environ.get("BENCH_BUDGET_S", "1800"))
 AUX_REPS = max(1, int(os.environ.get("BENCH_AUX_REPS", "3")))
 _T_START = time.perf_counter()
 
@@ -118,7 +127,7 @@ def retry_transient(fn, what, attempts=3):
             time.sleep(5.0 * (i + 1))
 
 
-def build(num_layers, start_index, quant=False):
+def build(num_layers, start_index, quant=False, variant="wan21"):
     from fantasy_world_tpu.core.params import abstract_init
     from fantasy_world_tpu.models.fusion.model import (
         FusionConfig, init_fusion, prepare_scan_params)
@@ -132,12 +141,24 @@ def build(num_layers, start_index, quant=False):
                            reverse=True))[:4]
     while len(dpt_idx) < 4:
         dpt_idx = dpt_idx + (0,)
+    if variant == "wan22":
+        # Fun-A14B-Control-Camera expert (wan22 wan_video_dit.py:841-859):
+        # no CLIP branch, control-camera latents folded into the patch
+        # embedding via SimpleAdapter, no per-block camera adapters
+        dit = WanDiTConfig(dim=5120, in_dim=36, ffn_dim=13824, out_dim=16,
+                           text_dim=4096, num_heads=40,
+                           num_layers=num_layers, has_image_input=False,
+                           require_vae_embedding=True,
+                           add_control_adapter=True,
+                           in_dim_control_adapter=24, camera_adapter_end=0)
+    else:
+        dit = WanDiTConfig(dim=5120, in_dim=36, ffn_dim=13824, out_dim=16,
+                           text_dim=4096, num_heads=40,
+                           num_layers=num_layers, has_image_input=True,
+                           camera_adapter_end=start_index + 1,
+                           plucker_dim=2048)
     cfg = FusionConfig(
-        dit=WanDiTConfig(dim=5120, in_dim=36, ffn_dim=13824, out_dim=16,
-                         text_dim=4096, num_heads=40, num_layers=num_layers,
-                         has_image_input=True,
-                         camera_adapter_end=start_index + 1,
-                         plucker_dim=2048),
+        dit=dit,
         vggt=VGGTConfig(embed_dim=1024, wan_dim=5120, dpt_layer_idx=dpt_idx,
                         aggregator=AggregatorConfig(embed_dim=1024,
                                                     depth=n_irg)),
@@ -165,85 +186,139 @@ def build(num_layers, start_index, quant=False):
     return cfg, params, scan
 
 
-# wan21 480P CFG-pair geometry
-B, F, H2, W2 = 2, 21, 42, 74
-L_DIT = F * (H2 // 2) * (W2 // 2)          # 16,317 video tokens
-L_CTX = 512 + 257                          # text + CLIP tokens
-L_AGG_P = 5 + (H2 // 2) * (W2 // 2)        # 782 geometry tokens per frame
-L_AGG = F * L_AGG_P                        # 16,422
+# CFG-pair production geometries. wan21: 480P (reference
+# inference_wan21.py); wan22: 480x832 (inference_wan22.py:459-468 defaults,
+# latents 21x60x104 -> 30x52 patch grid, no CLIP tokens).
+GEOM = {
+    "wan21": dict(F=21, H2=42, W2=74, ctx=512, clip_tokens=257),
+    "wan22": dict(F=21, H2=60, W2=104, ctx=512, clip_tokens=0),
+}
+B = 2                                      # CFG pair
 
 
-def analytic_flops(num_layers, start_index) -> float:
+def geom_tokens(variant):
+    g = GEOM[variant]
+    l_dit = g["F"] * (g["H2"] // 2) * (g["W2"] // 2)
+    l_agg_p = 5 + (g["H2"] // 2) * (g["W2"] // 2)
+    return l_dit, l_agg_p, g["F"] * l_agg_p
+
+
+# wan21 constants (parity_main + the comm model's defaults)
+F, H2, W2 = GEOM["wan21"]["F"], GEOM["wan21"]["H2"], GEOM["wan21"]["W2"]
+L_DIT, L_AGG_P, L_AGG = geom_tokens("wan21")   # 16,317 / 782 / 16,422
+L_CTX = 512 + 257                              # text + CLIP tokens
+
+
+def analytic_flops(num_layers, start_index, variant="wan21") -> float:
     """Matmul FLOPs of one CFG-pair joint forward (2*M*N*K per matmul).
     Attention counted as QK^T + AV; projections 4x dense. Elementwise and
     norm costs excluded (bandwidth-bound, not MXU)."""
     D, FFN, HD = 5120, 13824, 128
     A, AF = 1024, 4096
     BD = 1152
+    g = GEOM[variant]
+    l_dit, l_agg_p, l_agg = geom_tokens(variant)
+    n_ctx = g["ctx"] + g["clip_tokens"]
+    n_frames = g["F"]
     fl = 0.0
-    # DiT blocks
+    # DiT blocks. wan21's cross-attention runs TWO dispatched calls (text
+    # k/v then the CLIP image branch re-attending the same query); wan22
+    # has no image branch -- one call over 512 text tokens. In FLOPs terms
+    # both reduce to k/v over n_ctx total tokens + scores over n_ctx.
     n_dit = num_layers
     per_dit = (
-        4 * 2 * L_DIT * D * D            # self qkvo
-        + 2 * 2 * L_DIT * L_DIT * D      # self scores + values
-        + 2 * 2 * L_DIT * D * D          # cross q,o
-        + 4 * 2 * L_CTX * D * D          # cross k,v (text+img split)
-        + 2 * 2 * L_DIT * L_CTX * D      # cross scores + values
-        + 2 * 2 * L_DIT * D * FFN        # ffn
+        4 * 2 * l_dit * D * D            # self qkvo
+        + 2 * 2 * l_dit * l_dit * D      # self scores + values
+        + 2 * 2 * l_dit * D * D          # cross q,o
+        + 4 * 2 * n_ctx * D * D          # cross k,v
+        + 2 * 2 * l_dit * n_ctx * D      # cross scores + values
+        + 2 * 2 * l_dit * D * FFN        # ffn
     )
     fl += n_dit * per_dit
     n_irg = num_layers - start_index
     # VGGT frame blocks: F independent attentions over P tokens
-    per_frame = (4 * 2 * L_AGG * A * A
-                 + F * (2 * 2 * L_AGG_P * L_AGG_P * A)
-                 + 2 * 2 * L_AGG * A * AF)
+    per_frame = (4 * 2 * l_agg * A * A
+                 + n_frames * (2 * 2 * l_agg_p * l_agg_p * A)
+                 + 2 * 2 * l_agg * A * AF)
     # VGGT global blocks: one attention over S*P tokens
-    per_global = (4 * 2 * L_AGG * A * A
-                  + 2 * 2 * L_AGG * L_AGG * A
-                  + 2 * 2 * L_AGG * A * AF)
+    per_global = (4 * 2 * l_agg * A * A
+                  + 2 * 2 * l_agg * l_agg * A
+                  + 2 * 2 * l_agg * A * AF)
     # bicross: q from dit (D->BD), k from agg (A->BD), v both sides, two
     # directions of one score matrix + output projections
-    per_bicross = (2 * L_DIT * D * BD + 2 * L_AGG * A * BD      # q, k
-                   + 2 * L_DIT * D * BD + 2 * L_AGG * A * BD    # v1, v2
-                   + 2 * 2 * L_DIT * L_AGG * BD                 # shared scores both dirs
-                   + 2 * L_DIT * L_AGG * BD * 2                 # two value gathers
-                   + 2 * L_DIT * BD * D + 2 * L_AGG * BD * A)   # out projs
+    per_bicross = (2 * l_dit * D * BD + 2 * l_agg * A * BD      # q, k
+                   + 2 * l_dit * D * BD + 2 * l_agg * A * BD    # v1, v2
+                   + 2 * 2 * l_dit * l_agg * BD                 # shared scores both dirs
+                   + 2 * l_dit * l_agg * BD * 2                 # two value gathers
+                   + 2 * l_dit * BD * D + 2 * l_agg * BD * A)   # out projs
     fl += n_irg * (per_frame + per_global + per_bicross)
     return fl * B
 
 
-def _aot_forward(cfg, args, cache_name):
+# In-process memo of loaded AOT executables: load_or_compile costs 10-270 s
+# through the tunnel PER CALL; before round 4 every aux rep re-loaded its
+# executables, which dominated the heads phase (r3: 16 s of compute inside a
+# 111 s rep) and was the main source of the 9.8->16.4 s cross-round
+# "variance" the r3 VERDICT flagged (weak-#2). Memoized, reps 2+ time pure
+# execution.
+_AOT_MEMO = {}
+
+
+def _memo_load(fn, args, name, config):
+    from fantasy_world_tpu.utils.aot_cache import load_or_compile
+    if name not in _AOT_MEMO:
+        _AOT_MEMO[name] = load_or_compile(fn, args, name=name,
+                                          cache_dir=_CACHE_DIR,
+                                          config=config, log=log)
+    return _AOT_MEMO[name]
+
+
+def _aot_forward(cfg, args, cache_name, variant="wan21"):
     """AOT-compiled joint forward via the library executable cache
     (fantasy_world_tpu/utils/aot_cache.py): loading a serialized
     executable skips trace+lower+compile (~70 s vs ~340 s)."""
     from fantasy_world_tpu.models.fusion.model import joint_forward
-    from fantasy_world_tpu.utils.aot_cache import load_or_compile
 
-    return load_or_compile(
-        lambda p, s, l, t, c, cl, y, pf: joint_forward(
-            p, s, cfg, l, t, c, cl, y, plucker_fea=pf)[0],
-        args, name=f"bench_{cache_name}", cache_dir=_CACHE_DIR,
-        config=repr(cfg), log=log)
+    if variant == "wan22":
+        fn = lambda p, s, l, t, c, y, ctrl: joint_forward(      # noqa: E731
+            p, s, cfg, l, t, c, None, y, control_camera_latents=ctrl)[0]
+    else:
+        fn = lambda p, s, l, t, c, cl, y, pf: joint_forward(    # noqa: E731
+            p, s, cfg, l, t, c, cl, y, plucker_fea=pf)[0]
+    return _memo_load(fn, args, f"bench_{cache_name}", repr(cfg))
 
 
-def time_step(cfg, params, scan, cache_name, reps=3):
-    latents = jnp.zeros((B, 16, F, H2, W2), jnp.bfloat16)
-    y = jnp.zeros((B, 20, F, H2, W2), jnp.bfloat16)
-    ctx = jnp.zeros((B, 512, 4096), jnp.bfloat16)
-    clip = jnp.zeros((B, 257, 1280), jnp.bfloat16)
-    plucker = jnp.zeros((B, L_DIT, 2048), jnp.bfloat16)
+def step_args(params, scan, variant):
+    g = GEOM[variant]
+    f, h2, w2 = g["F"], g["H2"], g["W2"]
+    l_dit = f * (h2 // 2) * (w2 // 2)
+    latents = jnp.zeros((B, 16, f, h2, w2), jnp.bfloat16)
+    y = jnp.zeros((B, 20, f, h2, w2), jnp.bfloat16)
+    ctx = jnp.zeros((B, g["ctx"], 4096), jnp.bfloat16)
     t = jnp.full((B,), 500.0)
+    if variant == "wan22":
+        # control-camera latents: 6 plucker channels x 4-frame fold at PIXEL
+        # resolution (inference_wan22.py:204-212); SimpleAdapter pixel-
+        # unshuffles 8x then convs stride-2 down to the patch grid
+        # (wan_video_camera_controller.py:13, wan_video_dit.py:386)
+        ctrl = jnp.zeros((B, 24, f, h2 * 8, w2 * 8), jnp.bfloat16)
+        return (params, scan, latents, t, ctx, y, ctrl)
+    clip = jnp.zeros((B, 257, 1280), jnp.bfloat16)
+    plucker = jnp.zeros((B, l_dit, 2048), jnp.bfloat16)
+    return (params, scan, latents, t, ctx, clip, y, plucker)
 
-    args = (params, scan, latents, t, ctx, clip, y, plucker)
-    fwd = _aot_forward(cfg, args, cache_name)
-    out = fwd(params, scan, latents, t, ctx, clip, y, plucker)
+
+def time_step(cfg, params, scan, cache_name, reps=3, variant="wan21"):
+    args = step_args(params, scan, variant)
+    fwd = _aot_forward(cfg, args, cache_name, variant)
+    out = fwd(*args)
     fetch_scalar(out)                       # warm + compile barrier
     t0 = time.perf_counter()
     sync0 = fetch_scalar(out)               # measure bare fetch cost
     sync_cost = time.perf_counter() - t0
     t0 = time.perf_counter()
     for _ in range(reps):
-        out = fwd(params, scan, latents, t, ctx, clip, y, plucker)
+        out = fwd(*args)
     fetch_scalar(out)
     dt = (time.perf_counter() - t0 - sync_cost) / reps
     del sync0
@@ -289,17 +364,26 @@ def emit(value_s, flops_full, partial, points):
 # assume it).
 POINTS = [("shallow", 4, 2), ("deep", 6, 3), ("irgheavy", 6, 2)]
 HOLDOUT = ("holdout", 5, 3)
+# wan22 carries 2x the tokens (32,760 DiT / 32,865 geometry): activations
+# roughly double, so the families stay one block shallower than wan21's
+# (whose 8-block tower measured RESOURCE_EXHAUSTED on the 16 GB v5e).
+POINTS22 = [("w22_shallow", 4, 2), ("w22_deep", 5, 3), ("w22_irgheavy", 5, 2)]
+HOLDOUT22 = ("w22_holdout", 4, 3)
+# int8 deep-range validation (r3 VERDICT next-#2): int8 weights (~350 MB/
+# block vs 700 MB bf16) let a 12-block tower fit v5e HBM -- 2x the deepest
+# bf16 point, measured and compared against the shallow-regime int8 fit.
+INT8_DEEP = ("int8_deep12", 12, 6)
 FULL_PCB, FULL_IRG = 16, 24
 
 
-def extrapolate(measured):
+def extrapolate(measured, variant="wan21"):
     """measured: list of (n_pcb, n_irg, t). Returns (t_full, fit_name,
     predict) where predict(n_pcb, n_irg) evaluates the fit.
 
     3+ points: solve t = fixed + n_pcb*c_pcb + n_irg*c_irg (falls back if
     the fit goes non-physical); 2 points: linear in analytic FLOPs;
     1 point: pure FLOPs ratio."""
-    flops_full = analytic_flops(FULL_PCB + FULL_IRG, FULL_PCB)
+    flops_full = analytic_flops(FULL_PCB + FULL_IRG, FULL_PCB, variant)
     if len(measured) >= 3:
         A = np.array([[1.0, p, i] for p, i, _ in measured])
         t = np.array([m[2] for m in measured])
@@ -317,22 +401,32 @@ def extrapolate(measured):
             f"c_pcb={c_pcb:.3f}, c_irg={c_irg:.3f}); falling back")
     if len(measured) >= 2:
         (p0, i0, t0), (p1, i1, t1) = measured[0], measured[1]
-        f0 = analytic_flops(p0 + i0, p0)
-        f1 = analytic_flops(p1 + i1, p1)
+        f0 = analytic_flops(p0 + i0, p0, variant)
+        f1 = analytic_flops(p1 + i1, p1, variant)
         slope = (t1 - t0) / (f1 - f0)
         fixed = max(0.0, t0 - slope * f0)
-        pred = lambda p, i: float(fixed + slope * analytic_flops(p + i, p))  # noqa: E731
+        pred = lambda p, i: float(fixed + slope                     # noqa: E731
+                                  * analytic_flops(p + i, p, variant))
         return fixed + slope * flops_full, "flops-linear", pred
     p0, i0, t0 = measured[0]
-    base = analytic_flops(p0 + i0, p0)
-    pred = lambda p, i: float(t0 * analytic_flops(p + i, p) / base)  # noqa: E731
+    base = analytic_flops(p0 + i0, p0, variant)
+    pred = lambda p, i: float(t0 * analytic_flops(p + i, p, variant)  # noqa: E731
+                              / base)
     return t0 * flops_full / base, "flops-ratio", pred
 
 
-def v5p8_comm_model():
+def v5p8_comm_model(variant="wan21"):
     """Analytic per-step ICI communication cost of the deploy sharding on a
     v5p-8 (2x2x2 submesh: data=2 CFG pair, seq=2, model=2 -- the mesh the
     multichip dryrun and tests/test_multichip.py validate).
+
+    wan22 differences (GEOM): 2x the DiT/geometry token counts, and the
+    cross-attention dispatches ONE ulysses'd call (512 text tokens; no CLIP
+    image branch re-attending the query). The dual 14B experts change HBM
+    (2 x 14B bf16 = 56 GB / 8 chips = 7 GB weights per chip on v5p's 95 GB
+    -- fits with the same sharding) but NOT per-step traffic: the experts
+    are phase-switched on the timestep boundary, exactly one is hot per
+    step (pipelines/wan_video_22.py DualModelDenoiser).
 
     Collectives counted per denoise step (bf16 activations, B=1 per data
     shard after the CFG split), mirroring exactly what the deploy sharding
@@ -368,11 +462,13 @@ def v5p8_comm_model():
     n_dit = FULL_PCB + FULL_IRG                 # every block has a DiT half
     n_irg = FULL_IRG
     # per-chip shard sizes after dp(CFG)/sp splits
-    l_dit, l_agg = L_DIT // 2, L_AGG // 2
+    ld_full, _, la_full = geom_tokens(variant)
+    l_dit, l_agg = ld_full // 2, la_full // 2
     ar = lambda n, size: 2 * (n - 1) / n * size      # noqa: E731
     a2a = lambda n, size: (n - 1) / n * size         # noqa: E731
 
-    l_txt, l_img = 512 / 2, 257 / 2
+    g = GEOM[variant]
+    l_txt, l_img = g["ctx"] / 2, g["clip_tokens"] / 2
     # TP all-reduces (axis size 2), DiT half of every block only: self-attn
     # out, cross-attn out, ffn out. VGGT/bicross params replicate -> no TP.
     tp_bytes = n_dit * 3 * ar(2, l_dit * D * BYTES)
@@ -380,8 +476,9 @@ def v5p8_comm_model():
     sp_bytes = n_dit * 4 * a2a(2, l_dit * D * BYTES)            # DiT self
     sp_bytes += n_dit * 2 * (a2a(2, l_dit * D * BYTES)          # cross text:
                              + a2a(2, l_txt * D * BYTES))       # q/out + k/v
-    sp_bytes += n_dit * 2 * (a2a(2, l_dit * D * BYTES)          # cross img:
-                             + a2a(2, l_img * D * BYTES))       # 2nd call
+    if l_img:
+        sp_bytes += n_dit * 2 * (a2a(2, l_dit * D * BYTES)      # cross img:
+                                 + a2a(2, l_img * D * BYTES))   # 2nd call
     sp_bytes += n_irg * 4 * a2a(2, l_agg * A * BYTES)           # agg global
     sp_bytes += n_irg * 4 * (a2a(2, l_dit * BD * BYTES)         # bicross,
                              + a2a(2, l_agg * BD * BYTES))      # both dirs
@@ -389,6 +486,7 @@ def v5p8_comm_model():
     comm_s = (tp_bytes + sp_bytes) / w_axis
     return comm_s, {
         "mesh": "data=2(cfg) seq=2 model=2",
+        "variant": variant,
         "tp_gbytes_per_chip_per_step": round(tp_bytes / 1e9, 3),
         "sp_gbytes_per_chip_per_step": round(sp_bytes / 1e9, 3),
         "ici_axis_bandwidth_gbs": round(w_axis / 1e9, 1),
@@ -397,19 +495,21 @@ def v5p8_comm_model():
     }
 
 
-def time_vae_decode():
-    """One full-clip VAE decode at the production geometry: latents
-    (1,16,21,42,74) -> (1,3,81,336,592), via the reference's tiled
-    parity config (tile (30,52) stride (15,26), inference_wan21.py:326,
-    wan_video_vae.py:643-692). The single full-tensor conv graph is
-    preferred on paper, but its XLA program crashes this platform's
-    remote-compile helper (measured 2026-08-18: OK at (21,21,37), HTTP
-    500 at (21,42,74)), and the tiled path is what the reference itself
-    deploys -- so the tiled number IS the deployable clip cost here."""
+def time_vae_decode(variant="wan21"):
+    """One full-clip VAE decode at the production geometry: wan21 latents
+    (1,16,21,42,74) -> (1,3,81,336,592); wan22 (1,16,21,60,104) ->
+    (1,3,81,480,832). Both via the reference's tiled parity config (tile
+    (30,52) stride (15,26), inference_wan21.py:326, wan_video_vae.py:
+    643-692). The single full-tensor conv graph is preferred on paper, but
+    its XLA program crashes this platform's remote-compile helper (measured
+    2026-08-18: OK at (21,21,37), HTTP 500 at (21,42,74)), and the tiled
+    path is what the reference itself deploys -- so the tiled number IS the
+    deployable clip cost here."""
     from fantasy_world_tpu.core.params import abstract_init
     from fantasy_world_tpu.models.wan.vae import (VAEConfig, init_wan_vae,
                                                   vae_decode_tiled)
 
+    g = GEOM[variant]
     cfg = VAEConfig()
     with abstract_init():
         host = init_wan_vae(0, cfg, jnp.bfloat16)
@@ -417,7 +517,7 @@ def time_vae_decode():
         lambda x: jax.ShapeDtypeStruct(x.shape, x.dtype), host)
     params = jax.jit(lambda: jax.tree_util.tree_map(
         lambda s: jnp.zeros(s.shape, s.dtype), abstract))()
-    lat = jnp.zeros((1, 16, F, H2, W2), jnp.bfloat16)
+    lat = jnp.zeros((1, 16, g["F"], g["H2"], g["W2"]), jnp.bfloat16)
     out = vae_decode_tiled(params, cfg, lat, (30, 52), (15, 26))  # compile
     fetch_scalar(out)
     t0 = time.perf_counter()
@@ -426,7 +526,7 @@ def time_vae_decode():
     return time.perf_counter() - t0
 
 
-def time_heads():
+def time_heads(variant="wan21"):
     """The final-step geometry heads (camera + depth + point DPT with 4x
     temporal upsample to 81 frames) at production widths. Tap tokens are
     synthetic; untapped layers alias one array so HBM holds 5 tensors, not
@@ -442,8 +542,10 @@ def time_heads():
         dpt_stage3_fuse)
     from fantasy_world_tpu.models.vggt.aggregator import AggregatorConfig
     from fantasy_world_tpu.core.params import abstract_init
-    from fantasy_world_tpu.utils.aot_cache import load_or_compile
 
+    g = GEOM[variant]
+    f_lat = g["F"]
+    _, l_agg_p, _ = geom_tokens(variant)
     cfg = VGGTConfig(embed_dim=1024, wan_dim=5120,
                      aggregator=AggregatorConfig(embed_dim=1024, depth=24))
     with abstract_init():
@@ -453,17 +555,19 @@ def time_heads():
     params = jax.jit(lambda: jax.tree_util.tree_map(
         lambda s: jnp.zeros(s.shape, s.dtype), abstract))()
     taps = sorted(set(cfg.dpt_layer_idx) | {23})
-    uniq = {i: jnp.zeros((1, F, L_AGG_P, 2048), jnp.bfloat16) for i in taps}
-    hw = (H2 // 2, W2 // 2)      # patch grid (21, 37) -> DPT out (336, 592)
+    uniq = {i: jnp.zeros((1, f_lat, l_agg_p, 2048), jnp.bfloat16)
+            for i in taps}
+    hw = (g["H2"] // 2, g["W2"] // 2)   # patch grid -> DPT out (x16 pixels)
+    tagv = "" if variant == "wan21" else f"_{variant}"
 
     def cam_run(p, last):
         return camera_head_forward(p["camera_head"], cfg.camera_head,
                                    last)[-1]
 
     def timed(fn, args, name):
-        """AOT-compile fn, run twice (warm/timed), return (t, out)."""
-        fwd = load_or_compile(fn, args, name=f"bench_heads_{name}",
-                              cache_dir=_CACHE_DIR, config=repr(cfg), log=log)
+        """AOT-compile fn (memoized in-process), run twice (warm/timed),
+        return (t, out)."""
+        fwd = _memo_load(fn, args, f"bench_heads_{name}{tagv}", repr(cfg))
         out = fwd(*args)
         fetch_scalar(out[0] if isinstance(out, (tuple, list)) else out)
         t0 = time.perf_counter()
@@ -502,9 +606,7 @@ def time_heads():
         sl0 = tuple(o[:, :, :chunk] for o in outs)
         t3, _ = timed(s3_run, (hp,) + sl0, f"{hname}_s3")
         total += t3                               # first chunk: timed
-        fwd3 = load_or_compile(s3_run, (hp,) + sl0, name=f"bench_heads_"
-                               f"{hname}_s3", cache_dir=_CACHE_DIR,
-                               config=repr(cfg), log=log)
+        fwd3 = _AOT_MEMO[f"bench_heads_{hname}_s3{tagv}"]
         for t0c in range(chunk, T_out, chunk):    # rest: same executable
             sl = tuple(o[:, :, t0c:t0c + chunk] for o in outs)
             t0 = time.perf_counter()
@@ -519,135 +621,216 @@ def main():
     import gc
     flops_full = analytic_flops(FULL_PCB + FULL_IRG, FULL_PCB)
 
-    measured = []          # bf16: (n_pcb, n_irg, t_step)
-    measured_q = []        # int8 variant
-    holdout_t = None
-    points = {}
-    last_phase_s = None
+    measured = {"wan21": [], "wan22": []}   # variant -> [(pcb, irg, t)]
+    measured_q = []                          # int8 (wan21 geometry)
+    holdout_t = {"wan21": None, "wan22": None}
+    aux = {}                                 # (variant, kind) -> median | None
+    points = {"wan22": {}}
+    state = {"last_phase_s": None}
 
     def budget_left(scale=1.1):
-        if last_phase_s is None:
+        if state["last_phase_s"] is None:
             return True
         elapsed = time.perf_counter() - _T_START
-        if elapsed + scale * last_phase_s > BUDGET_S:
+        if elapsed + scale * state["last_phase_s"] > BUDGET_S:
             log(f"budget guard at {elapsed:.0f}s "
-                f"(next phase projected {scale * last_phase_s:.0f}s)")
+                f"(next phase projected {scale * state['last_phase_s']:.0f}s)")
             return False
         return True
 
-    # phase order: bf16 headline points -> holdout (fit validation) ->
-    # VAE decode + geometry heads (clip-level projection) -> int8 rerun.
-    # The adaptive budget guard keeps a cold driver run safe (tunnel AOT
-    # load varies 60-270 s).
-    step_phases = ([(n, l, s, False, False) for n, l, s in POINTS]
-                   + [(HOLDOUT[0], HOLDOUT[1], HOLDOUT[2], False, True)])
-    step_phases += [(f"int8_{n}", l, s, True, False) for n, l, s in POINTS]
-    aux_done = {}
-
-    for name, nl, si, quant, is_holdout in step_phases:
-        if measured and not budget_left():
-            break
-        # run the aux phases once, between holdout and int8. Each point is
-        # measured AUX_REPS times (first call also compiles/loads AOT) and
-        # the MEDIAN feeds the clip projection: individual vae/heads runs
-        # swing +/-6 s through the tunnel (r2 VERDICT weak-#2), so a single
-        # observation is not a number, it's a sample.
-        if quant and "vae_decode_s" not in aux_done:
-            for aux_name, fn in (("vae_decode_s", time_vae_decode),
-                                 ("heads_s", time_heads)):
-                if not budget_left():
-                    break
-                runs = []
-                for rep in range(AUX_REPS):
-                    if runs and not budget_left(scale=0.6):
-                        log(f"{aux_name}: stopping at {len(runs)} rep(s) "
-                            f"for budget")
-                        break
-                    try:
-                        t0 = time.perf_counter()
-                        runs.append(retry_transient(fn, aux_name))
-                        last_phase_s = time.perf_counter() - t0
-                        log(f"{aux_name[:-2]} rep {rep + 1}/{AUX_REPS} "
-                            f"({last_phase_s:.0f}s wall) -> "
-                            f"{runs[-1]:.2f} s")
-                    except Exception as e:
-                        log(f"{aux_name} failed ({type(e).__name__}: "
-                            f"{str(e)[:200]})")
-                        break
-                    gc.collect()
-                if runs:
-                    med = float(np.median(runs))
-                    aux_done[aux_name] = med
-                    points[aux_name] = round(med, 3)
-                    points[f"{aux_name[:-2]}_min_med_max"] = [
-                        round(min(runs), 3), round(med, 3),
-                        round(max(runs), 3)]
-                else:
-                    aux_done[aux_name] = None
-                gc.collect()
-            if not budget_left():
-                break
+    def run_point(name, nl, si, variant="wan21", quant=False):
+        """Build + time one step point; returns t or None (OOM/failure)."""
         try:
             t0 = time.perf_counter()
-            cfg_p, p_p, s_p = build(nl, si, quant=quant)
+            cfg_p, p_p, s_p = build(nl, si, quant=quant, variant=variant)
             log(f"{name} build {time.perf_counter() - t0:.0f}s")
             t0 = time.perf_counter()
             t_p = retry_transient(
-                lambda: time_step(cfg_p, p_p, s_p, name), name)
-            last_phase_s = time.perf_counter() - t0
-            fl = analytic_flops(nl, si)
-            log(f"{name} compile+time {last_phase_s:.0f}s -> "
+                lambda: time_step(cfg_p, p_p, s_p, name, variant=variant),
+                name)
+            state["last_phase_s"] = time.perf_counter() - t0
+            fl = analytic_flops(nl, si, variant)
+            log(f"{name} compile+time {state['last_phase_s']:.0f}s -> "
                 f"{t_p * 1e3:.0f} ms/step ({fl / t_p / 1e12:.0f} TFLOP/s)")
             del p_p, s_p
             gc.collect()
+            return t_p
         except Exception as e:              # RESOURCE_EXHAUSTED etc.
             log(f"{name} point failed ({type(e).__name__}: {str(e)[:200]})")
-            if not measured:
-                raise
-            if quant or is_holdout:
-                continue
-            break
-        if is_holdout:
-            holdout_t = t_p
-        else:
-            (measured_q if quant else measured).append((si, nl - si, t_p))
-        points[f"{name}_s"] = round(t_p, 4)
+            gc.collect()
+            return None
 
-    full, fit, predict = extrapolate(measured)
-    points["fit"] = fit
-    if holdout_t is not None:
-        pred = predict(HOLDOUT[2], HOLDOUT[1] - HOLDOUT[2])
-        resid = abs(pred - holdout_t) / holdout_t * 100.0
-        points["fit_residual_pct"] = round(resid, 2)
-        if resid > 10.0:
-            points["fit_residual_flag"] = (
-                f"holdout prediction off by {resid:.1f}% (>10%): treat the "
-                f"extrapolated headline with suspicion")
-            log(points["fit_residual_flag"])
-    if aux_done.get("vae_decode_s") is not None \
-            and aux_done.get("heads_s") is not None:
+    def run_family(variant, pts, holdout, quant=False, dest=None):
+        """Measure a point family + its holdout into `dest`/holdout_t."""
+        pts_dest = points["wan22"] if variant == "wan22" else points
+        for name, nl, si in pts:
+            if (any(len(v) for v in measured.values()) and
+                    not budget_left()):
+                return
+            t_p = run_point(name, nl, si, variant, quant)
+            if t_p is None:
+                if not any(len(v) for v in measured.values()) \
+                        and not quant:
+                    raise RuntimeError(f"first point {name} failed")
+                continue
+            (dest if dest is not None else measured[variant]).append(
+                (si, nl - si, t_p))
+            pts_dest[f"{name}_s"] = round(t_p, 4)
+        if holdout and budget_left():
+            name, nl, si = holdout
+            t_p = run_point(name, nl, si, variant, quant)
+            if t_p is not None:
+                holdout_t[variant] = t_p
+                pts_dest[f"{name}_s"] = round(t_p, 4)
+
+    def fit_points(variant, pts_dest):
+        ms = measured[variant]
+        if not ms:
+            return None
+        full_v, fit, predict = extrapolate(ms, variant)
+        pts_dest["fit"] = fit
+        hold = HOLDOUT if variant == "wan21" else HOLDOUT22
+        if holdout_t[variant] is not None:
+            pred = predict(hold[2], hold[1] - hold[2])
+            resid = abs(pred - holdout_t[variant]) / holdout_t[variant] * 100
+            pts_dest["fit_residual_pct"] = round(resid, 2)
+            if resid > 10.0:
+                pts_dest["fit_residual_flag"] = (
+                    f"holdout prediction off by {resid:.1f}% (>10%): treat "
+                    f"the extrapolated value with suspicion")
+                log(f"{variant}: " + pts_dest["fit_residual_flag"])
+        return full_v
+
+    def run_aux(variant):
+        """VAE decode + geometry heads, AUX_REPS times each, median kept.
+        With AOT loads memoized (round 4), rep 1 pays the load and reps 2+
+        time pure execution, so the median reflects the device, not the
+        tunnel (the r3 9.8->16.4 s swing was load overhead)."""
+        pts_dest = points["wan22"] if variant == "wan22" else points
+        for kind, fn in (("vae_decode_s", time_vae_decode),
+                         ("heads_s", time_heads)):
+            if not budget_left():
+                return
+            runs = []
+            for rep in range(AUX_REPS):
+                if runs and not budget_left(scale=0.6):
+                    log(f"{variant} {kind}: stopping at {len(runs)} rep(s) "
+                        f"for budget")
+                    break
+                try:
+                    t0 = time.perf_counter()
+                    runs.append(retry_transient(lambda: fn(variant), kind))
+                    state["last_phase_s"] = time.perf_counter() - t0
+                    log(f"{variant} {kind[:-2]} rep {rep + 1}/{AUX_REPS} "
+                        f"({state['last_phase_s']:.0f}s wall) -> "
+                        f"{runs[-1]:.2f} s")
+                except Exception as e:
+                    log(f"{variant} {kind} failed ({type(e).__name__}: "
+                        f"{str(e)[:200]})")
+                    break
+                gc.collect()
+            aux[(variant, kind)] = float(np.median(runs)) if runs else None
+            if runs:
+                pts_dest[kind] = round(aux[(variant, kind)], 3)
+                pts_dest[f"{kind[:-2]}_min_med_max"] = [
+                    round(min(runs), 3),
+                    round(aux[(variant, kind)], 3), round(max(runs), 3)]
+            gc.collect()
+
+    def project_clip(variant, full_v, pts_dest):
+        vae_s = aux.get((variant, "vae_decode_s"))
+        heads_s = aux.get((variant, "heads_s"))
+        if full_v is None or vae_s is None or heads_s is None:
+            return
         # end-to-end clip projection: 50 denoise steps + one tiled-VAE-
         # equivalent full decode + the final-step geometry heads. Encoders
         # (T5/CLIP/VAE-encode, one call each) and host pre/post are <1 s
         # and excluded, matching the reference's own accounting.
-        clip_s = 50.0 * float(full) + aux_done["vae_decode_s"] \
-            + aux_done["heads_s"]
-        points["projected_clip_seconds"] = round(clip_s, 1)
+        clip_s = 50.0 * float(full_v) + vae_s + heads_s
+        pts_dest["projected_clip_seconds"] = round(clip_s, 1)
         peak = chip_peak_tflops()
         # v5p-8 equivalence = peak-FLOPs rescale of the measured compute
         # PLUS the analytic ICI cost of the deploy sharding (the compute
         # rescale alone implied zero-cost collectives, r2 VERDICT weak-#4)
-        comm_s, comm_info = v5p8_comm_model()
-        points["v5p8_comm_model"] = dict(
+        comm_s, comm_info = v5p8_comm_model(variant)
+        pts_dest["v5p8_comm_model"] = dict(
             comm_seconds_per_step=round(comm_s, 4), **comm_info)
-        points["projected_clip_seconds_v5p8_equiv"] = round(
+        pts_dest["projected_clip_seconds_v5p8_equiv"] = round(
             clip_s * peak / TARGET_HW_TFLOPS + 50.0 * comm_s, 1)
-    if len(measured_q) >= 2:
-        full_q, fit_q, _ = extrapolate(measured_q)
-        points["int8_full_s"] = round(float(full_q), 4)
-        points["int8_fit"] = fit_q
-        points["int8_speedup"] = round(float(full) / float(full_q), 3)
-    emit(full, flops_full, len(measured) < 2, points)
+        if variant == "wan22":
+            # physics check: 50 CFG-pair steps at the 480x832 geometry are
+            # 50 x 4.21 PF = 210 PF of matmuls; v5p-8 peak moves that in
+            # >=57 s at MFU=1.0, so the wan21 <=60 s north star CANNOT
+            # carry over to wan22 on 8 chips for ANY implementation
+            # (the torch reference included). Report the floor, and the
+            # deploy size that does clear the bar (v5p-16: compute halves,
+            # per-step ICI cost kept unchanged -- conservative, since the
+            # doubled axis also halves per-chip shard bytes).
+            floor = 50.0 * analytic_flops(FULL_PCB + FULL_IRG, FULL_PCB,
+                                          variant) / (TARGET_HW_TFLOPS
+                                                      * 1e12)
+            pts_dest["flops_floor_seconds_v5p8_mfu1"] = round(floor, 1)
+            pts_dest["projected_clip_seconds_v5p16_equiv"] = round(
+                clip_s * peak / (2 * TARGET_HW_TFLOPS) + 50.0 * comm_s, 1)
+
+    def emit_now(partial):
+        """Refresh fits/projections and print a full result line. Called
+        after every phase group so a hard kill still leaves the last line
+        parseable; the FINAL line is the result of record."""
+        full21 = fit_points("wan21", points)
+        project_clip("wan21", full21, points)
+        full22 = fit_points("wan22", points["wan22"])
+        if full22 is not None:
+            points["wan22"]["metric"] = \
+                "sec_per_denoise_step_wan22_480x832_14b_extrapolated"
+            points["wan22"]["value"] = round(float(full22), 4)
+            points["wan22"]["note"] = (
+                "dual 14B experts are phase-switched; exactly one is hot "
+                "per step, so step cost == single-expert cost")
+            project_clip("wan22", full22, points["wan22"])
+        if full21 is not None:
+            emit(full21, flops_full, partial, points)
+        return full21
+
+    # ---- phase groups (each followed by a checkpoint emission) ----------
+    run_family("wan21", POINTS, HOLDOUT)
+    emit_now(partial=True)
+    run_family("wan22", POINTS22, HOLDOUT22)
+    emit_now(partial=True)
+    if budget_left():
+        run_aux("wan21")
+        emit_now(partial=True)
+    if budget_left():
+        run_aux("wan22")
+        emit_now(partial=True)
+    # int8 serving points + the 12-block deep-range validation (the fit is
+    # trained on <=6-block towers; int8 weights let 12 blocks fit HBM, so
+    # the deep point checks the extrapolation 2x beyond its training range)
+    if budget_left():
+        run_family("wan21", [(f"int8_{n}", l, s) for n, l, s in POINTS],
+                   None, quant=True, dest=measured_q)
+        if len(measured_q) >= 2:
+            full_q, fit_q, predict_q = extrapolate(measured_q)
+            points["int8_full_s"] = round(float(full_q), 4)
+            points["int8_fit"] = fit_q
+            full21 = fit_points("wan21", points)
+            if full21:
+                points["int8_speedup"] = round(float(full21) / float(full_q),
+                                               3)
+            if budget_left(scale=2.5):
+                name, nl, si = INT8_DEEP
+                t_deep = run_point(name, nl, si, "wan21", quant=True)
+                if t_deep is not None:
+                    pred = predict_q(si, nl - si)
+                    points["deep_holdout"] = {
+                        "blocks": nl, "pcb": si, "irg": nl - si,
+                        "precision": "int8",
+                        "measured_s": round(t_deep, 4),
+                        "predicted_s": round(pred, 4),
+                        "residual_pct": round(
+                            abs(pred - t_deep) / t_deep * 100.0, 2),
+                    }
+    emit_now(partial=False)
 
 
 def parity_main(out_path="PARITY_TPU.json"):

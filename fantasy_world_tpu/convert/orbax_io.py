@@ -16,9 +16,24 @@ import jax.numpy as jnp
 import numpy as np
 
 
+def _torch_to_np(v):
+    """torch tensor -> numpy WITHOUT upcasting: a 14B bf16 checkpoint
+    upcast to fp32 is 56 GB of host RAM before conversion even starts
+    (measured during the r4 production-shape rehearsal); keep bf16 as
+    ml_dtypes.bfloat16 (the dtype numpy/jax already share) and fp16 as
+    fp16. The converters are renames/transposes (dtype-agnostic) and
+    cast_tree produces the same final bf16 bits either way (bf16->f32->bf16
+    is the identity)."""
+    import torch
+    if v.dtype == torch.bfloat16:
+        import ml_dtypes
+        return v.view(torch.int16).numpy().view(ml_dtypes.bfloat16)
+    return v.numpy()
+
+
 def load_torch_state_dict(path: str) -> Dict[str, np.ndarray]:
-    """Load .pth/.bin (torch) or .safetensors into numpy, dequantizing any
-    low-precision tensors to float32 host-side."""
+    """Load .pth/.bin (torch) or .safetensors into numpy, preserving the
+    stored precision (bf16 arrives as ml_dtypes.bfloat16)."""
     if path.endswith(".safetensors"):
         from safetensors.numpy import load_file
         try:
@@ -26,15 +41,14 @@ def load_torch_state_dict(path: str) -> Dict[str, np.ndarray]:
         except Exception:
             # bf16 safetensors need the torch loader
             from safetensors.torch import load_file as load_pt
-            return {k: v.float().numpy() for k, v in load_pt(path).items()}
+            return {k: _torch_to_np(v) for k, v in load_pt(path).items()}
     import torch
     sd = torch.load(path, map_location="cpu", weights_only=True)
     if isinstance(sd, dict) and "model_state" in sd:
         sd = sd["model_state"]
     if isinstance(sd, dict) and "model" in sd and isinstance(sd["model"], dict):
         sd = sd["model"]
-    return {k: (v.float().numpy() if v.dtype in (torch.bfloat16, torch.float16)
-                else v.numpy())
+    return {k: _torch_to_np(v)
             for k, v in sd.items() if hasattr(v, "numpy")}
 
 
