@@ -130,7 +130,7 @@ def retry_transient(fn, what, attempts=3):
 def build(num_layers, start_index, quant=False, variant="wan21"):
     from fantasy_world_tpu.core.params import abstract_init
     from fantasy_world_tpu.models.fusion.model import (
-        FusionConfig, init_fusion, prepare_scan_params)
+        FusionConfig, init_fusion, split_trainable)
     from fantasy_world_tpu.models.wan.dit import WanDiTConfig
     from fantasy_world_tpu.models.vggt.model import VGGTConfig
     from fantasy_world_tpu.models.vggt.aggregator import AggregatorConfig
@@ -171,9 +171,13 @@ def build(num_layers, start_index, quant=False, variant="wan21"):
     # STRUCTURE abstractly too: quantizing materialized bf16 params on
     # device would keep bf16 + f32 + int8 copies live at once and OOM the
     # deep points (measured RESOURCE_EXHAUSTED at 6 layers).
+    # split_trainable (round 4): blocks live ONLY in the scan stacks --
+    # until r3 the bench kept params["dit"]["blocks"] AND the stacks, so
+    # every tower paid 2x its block weights in HBM; the split is what let
+    # the wan22 family and the 10/12-block deep points fit the v5e at all.
     with abstract_init():
         host = init_fusion(0, cfg, jnp.bfloat16)
-        host = (host, prepare_scan_params(host, cfg))
+        host = split_trainable(host, cfg)
     abstract = jax.tree_util.tree_map(
         lambda x: jax.ShapeDtypeStruct(x.shape, x.dtype), host)
     if quant:
@@ -369,9 +373,11 @@ HOLDOUT = ("holdout", 5, 3)
 # (whose 8-block tower measured RESOURCE_EXHAUSTED on the 16 GB v5e).
 POINTS22 = [("w22_shallow", 4, 2), ("w22_deep", 5, 3), ("w22_irgheavy", 5, 2)]
 HOLDOUT22 = ("w22_holdout", 4, 3)
-# int8 deep-range validation (r3 VERDICT next-#2): int8 weights (~350 MB/
-# block vs 700 MB bf16) let a 12-block tower fit v5e HBM -- 2x the deepest
-# bf16 point, measured and compared against the shallow-regime int8 fit.
+# deep-range validation (r3 VERDICT next-#2): the fits train on <=6-block
+# towers; these points check them far outside that range. split_trainable
+# halved the towers' weight HBM (see build), so 10 blocks now fit in BF16
+# and 12 in int8 (~350 MB/block vs 700 MB bf16).
+BF16_DEEP = ("bf16_deep10", 10, 5)
 INT8_DEEP = ("int8_deep12", 12, 6)
 FULL_PCB, FULL_IRG = 16, 24
 
@@ -794,6 +800,23 @@ def main():
 
     # ---- phase groups (each followed by a checkpoint emission) ----------
     run_family("wan21", POINTS, HOLDOUT)
+    if budget_left(scale=2.5):
+        # bf16 deep-range check: predicted by the shallow-regime fit,
+        # measured at 10 blocks (2x the deepest fit point)
+        name, nl, si = BF16_DEEP
+        t_deep = run_point(name, nl, si, "wan21")
+        full21_now, _, predict21 = (extrapolate(measured["wan21"])
+                                    if measured["wan21"] else (None,) * 3)
+        if t_deep is not None and predict21 is not None:
+            pred = predict21(si, nl - si)
+            points["deep_holdout_bf16"] = {
+                "blocks": nl, "pcb": si, "irg": nl - si,
+                "precision": "bf16",
+                "measured_s": round(t_deep, 4),
+                "predicted_s": round(pred, 4),
+                "residual_pct": round(abs(pred - t_deep) / t_deep * 100.0,
+                                      2),
+            }
     emit_now(partial=True)
     run_family("wan22", POINTS22, HOLDOUT22)
     emit_now(partial=True)
