@@ -853,7 +853,9 @@ def main():
                         "residual_pct": round(
                             abs(pred - t_deep) / t_deep * 100.0, 2),
                     }
-    emit_now(partial=False)
+    # r3 semantics: partial == the HEADLINE fit is underdetermined (<2
+    # wan21 points); missing optional phases show as absent points keys
+    emit_now(partial=len(measured["wan21"]) < 2)
 
 
 def parity_main(out_path="PARITY_TPU.json"):
