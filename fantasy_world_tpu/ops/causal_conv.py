@@ -27,14 +27,22 @@ import numpy as np
 
 def conv3d(kernel: jnp.ndarray, bias, x: jnp.ndarray, *,
            stride=(1, 1, 1), padding=((0, 0), (0, 0), (0, 0))) -> jnp.ndarray:
-    """NCDHW conv with torch-layout kernel (O, I, kt, kh, kw)."""
+    """NCDHW conv with torch-layout kernel (O, I, kt, kw, kw).
+
+    Output dtype == input dtype, bias added at that dtype: the TPU MXU
+    accumulates convs in f32 regardless, and requesting an f32 OUTPUT
+    materialized a 2x-size tensor that a separate convert pass then
+    re-read -- the r4 xprof of the VAE tile decode showed 21% of device
+    time in convert_element_type from exactly this. bf16 bias-add also
+    matches the torch bf16 reference closer than the previous
+    f32-bias-then-round (torch adds conv bias at the layer dtype); the
+    f32 parity suites see no change at all (x.dtype is f32 there)."""
     y = jax.lax.conv_general_dilated(
         x, kernel.astype(x.dtype), window_strides=stride, padding=padding,
-        dimension_numbers=("NCDHW", "OIDHW", "NCDHW"),
-        preferred_element_type=jnp.float32)
+        dimension_numbers=("NCDHW", "OIDHW", "NCDHW"))
     if bias is not None:
-        y = y + bias.astype(jnp.float32)[None, :, None, None, None]
-    return y.astype(x.dtype)
+        y = y + bias.astype(y.dtype)[None, :, None, None, None]
+    return y
 
 
 def causal_conv3d(p: Dict, x: jnp.ndarray) -> jnp.ndarray:
@@ -48,17 +56,17 @@ def causal_conv3d(p: Dict, x: jnp.ndarray) -> jnp.ndarray:
 
 def conv2d(kernel: jnp.ndarray, bias, x: jnp.ndarray, *, stride=(1, 1),
            padding="SAME") -> jnp.ndarray:
-    """NCHW conv with torch-layout kernel (O, I, kh, kw)."""
+    """NCHW conv with torch-layout kernel (O, I, kh, kw). Same
+    output-dtype/bias-dtype policy as conv3d (see its docstring)."""
     if padding == "SAME":
         kh, kw = kernel.shape[2:]
         padding = ((kh // 2, kh // 2), (kw // 2, kw // 2))
     y = jax.lax.conv_general_dilated(
         x, kernel.astype(x.dtype), window_strides=stride, padding=padding,
-        dimension_numbers=("NCHW", "OIHW", "NCHW"),
-        preferred_element_type=jnp.float32)
+        dimension_numbers=("NCHW", "OIHW", "NCHW"))
     if bias is not None:
-        y = y + bias.astype(jnp.float32)[None, :, None, None]
-    return y.astype(x.dtype)
+        y = y + bias.astype(y.dtype)[None, :, None, None]
+    return y
 
 
 def _time_double(y: jnp.ndarray) -> jnp.ndarray:
