@@ -84,3 +84,40 @@ def test_comm_model_sp_term_matches_dispatch_set():
     expect += n_irg * 4 * a2a(l_agg * A)
     expect += n_irg * 4 * (a2a(l_dit * BD) + a2a(l_agg * BD))
     assert abs(info["sp_gbytes_per_chip_per_step"] - expect / 1e9) < 5e-3
+
+
+def test_wan22_geometry_and_comm_model():
+    """r4 wan22 family pins: token counts derive from the 480x832 latent
+    grid (inference_wan22.py:459-468), the comm model scales with them and
+    drops the CLIP image-branch a2a (no clip tokens), and the analytic
+    FLOPs grow superlinearly (attention is quadratic in tokens)."""
+    ld, lp, la = bench.geom_tokens("wan22")
+    assert (ld, lp, la) == (32760, 1565, 32865)
+    ld1, lp1, la1 = bench.geom_tokens("wan21")
+    assert (ld1, lp1, la1) == (16317, 782, 16422)
+
+    s21, i21 = bench.v5p8_comm_model("wan21")
+    s22, i22 = bench.v5p8_comm_model("wan22")
+    assert i22["variant"] == "wan22"
+    # tokens double -> per-step bytes roughly double, minus the missing
+    # image-branch a2a; bounded both sides so neither term silently drifts
+    assert 1.6 < s22 / s21 < 2.0, (s21, s22)
+
+    f21 = bench.analytic_flops(40, 16, "wan21")
+    f22 = bench.analytic_flops(40, 16, "wan22")
+    # 2x tokens: dense terms 2x, attention terms 4x -> strictly between
+    assert 2.0 < f22 / f21 < 4.0, (f21, f22)
+
+
+def test_wan22_step_args_shapes():
+    """The wan22 forward consumes control latents at PIXEL resolution (the
+    r4 bench initially fed latent-res and OOB-reshaped inside
+    SimpleAdapter; this pins the corrected contract)."""
+    args = bench.step_args(None, None, "wan22")
+    params, scan, latents, t, ctx, y, ctrl = args
+    assert latents.shape == (2, 16, 21, 60, 104)
+    assert ctx.shape == (2, 512, 4096)          # no CLIP tokens appended
+    assert ctrl.shape == (2, 24, 21, 480, 832)  # pixel-res 4-frame fold
+    a21 = bench.step_args(None, None, "wan21")
+    assert a21[2].shape == (2, 16, 21, 42, 74)
+    assert a21[5].shape == (2, 257, 1280)       # CLIP branch present
