@@ -369,9 +369,13 @@ def emit(value_s, flops_full, partial, points):
 POINTS = [("shallow", 4, 2), ("deep", 6, 3), ("irgheavy", 6, 2)]
 HOLDOUT = ("holdout", 5, 3)
 # wan22 carries 2x the tokens (32,760 DiT / 32,865 geometry): activations
-# roughly double, so the families stay one block shallower than wan21's
-# (whose 8-block tower measured RESOURCE_EXHAUSTED on the 16 GB v5e).
-POINTS22 = [("w22_shallow", 4, 2), ("w22_deep", 5, 3), ("w22_irgheavy", 5, 2)]
+# roughly double, so the family sits shallower than wan21's. FOUR fit
+# points (vs wan21's three): the 5-block 'deep' point swung +/-6% between
+# r4 runs and, in an exactly-determined 3-point solve, that noise maps
+# straight onto the per-layer coefficients -- the 6-block point makes the
+# least-squares over-determined so single-point noise averages down.
+POINTS22 = [("w22_shallow", 4, 2), ("w22_deep", 5, 3),
+            ("w22_irgheavy", 5, 2), ("w22_deep6", 6, 3)]
 HOLDOUT22 = ("w22_holdout", 4, 3)
 # deep-range validation (r3 VERDICT next-#2): the fits train on <=6-block
 # towers; these points check them far outside that range. split_trainable
