@@ -382,7 +382,12 @@ HOLDOUT22 = ("w22_holdout", 4, 3)
 # halved the towers' weight HBM (see build), so 10 blocks now fit in BF16
 # and 12 in int8 (~350 MB/block vs 700 MB bf16).
 BF16_DEEP = ("bf16_deep10", 10, 5)
-INT8_DEEP = ("int8_deep12", 12, 6)
+# two int8 depth checks: 2x and 2.7x beyond the fit's deepest training
+# point; 16 blocks is 40% of the full 40-block stack, so the remaining
+# extrapolation leap is 2.5x (residuals measured 2026-08-20: 0.1-0.3% at
+# 12, 0.43% at 16)
+INT8_DEEPS = [("int8_deep12", 12, 6, "deep_holdout"),
+              ("int8_deep16", 16, 8, "deep_holdout_16")]
 FULL_PCB, FULL_IRG = 16, 24
 
 
@@ -844,12 +849,13 @@ def main():
             if full21:
                 points["int8_speedup"] = round(float(full21) / float(full_q),
                                                3)
-            if budget_left(scale=2.5):
-                name, nl, si = INT8_DEEP
+            for name, nl, si, key in INT8_DEEPS:
+                if not budget_left(scale=2.5):
+                    break
                 t_deep = run_point(name, nl, si, "wan21", quant=True)
                 if t_deep is not None:
                     pred = predict_q(si, nl - si)
-                    points["deep_holdout"] = {
+                    points[key] = {
                         "blocks": nl, "pcb": si, "irg": nl - si,
                         "precision": "int8",
                         "measured_s": round(t_deep, 4),
