@@ -226,15 +226,17 @@ def analytic_flops(num_layers, start_index, variant="wan21") -> float:
     n_frames = g["F"]
     fl = 0.0
     # DiT blocks. wan21's cross-attention runs TWO dispatched calls (text
-    # k/v then the CLIP image branch re-attending the same query); wan22
-    # has no image branch -- one call over 512 text tokens. In FLOPs terms
-    # both reduce to k/v over n_ctx total tokens + scores over n_ctx.
+    # k/v then the CLIP image branch re-attending the same query, with its
+    # own k_img/v_img projections); wan22 has no image branch -- one call
+    # over 512 text tokens. In FLOPs terms both reduce to one k and one v
+    # matmul over n_ctx total tokens + scores over n_ctx (wan21: k over
+    # 512 + k_img over 257 = one D*D contraction over 769 rows).
     n_dit = num_layers
     per_dit = (
         4 * 2 * l_dit * D * D            # self qkvo
         + 2 * 2 * l_dit * l_dit * D      # self scores + values
         + 2 * 2 * l_dit * D * D          # cross q,o
-        + 4 * 2 * n_ctx * D * D          # cross k,v
+        + 2 * 2 * n_ctx * D * D          # cross k,v
         + 2 * 2 * l_dit * n_ctx * D      # cross scores + values
         + 2 * 2 * l_dit * D * FFN        # ffn
     )
@@ -329,7 +331,17 @@ def time_step(cfg, params, scan, cache_name, reps=3, variant="wan21"):
     return max(dt, 1e-9)
 
 
-def emit(value_s, flops_full, partial, points):
+# Latest complete result record. The driver's contract is ONE JSON line on
+# stdout; interim checkpoints therefore go to STDERR (forensics on a killed
+# run), and a SIGTERM handler (what `timeout` sends first) flushes the
+# best-so-far record to stdout so even a driver-side kill yields a
+# parseable final line.
+_LAST_RECORD = None
+_STDOUT_EMITTED = False
+
+
+def emit(value_s, flops_full, partial, points, to_stdout=False):
+    global _LAST_RECORD, _STDOUT_EMITTED
     value_s = float(value_s)               # np.float64 from lstsq fits
     peak = chip_peak_tflops()
     implied = flops_full / value_s / 1e12
@@ -353,8 +365,24 @@ def emit(value_s, flops_full, partial, points):
     if not sane:
         rec["error"] = (f"implied {implied:.0f} TFLOP/s exceeds chip peak "
                         f"{peak:.0f}; timing loop not synchronizing")
-    print(json.dumps(rec))
+    _LAST_RECORD = rec
+    if to_stdout:
+        print(json.dumps(rec), flush=True)
+        _STDOUT_EMITTED = True
+    else:
+        log("checkpoint: " + json.dumps(rec))
     return sane
+
+
+def _flush_on_term(signum, frame):
+    """`timeout`/driver kills send SIGTERM: flush the best-so-far record
+    as THE stdout line (marked) instead of dying silently. If the final
+    line already went out (signal raced the tail of main), print nothing —
+    stdout must carry exactly one record."""
+    if _LAST_RECORD is not None and not _STDOUT_EMITTED:
+        rec = dict(_LAST_RECORD, partial=True, terminated_by_signal=signum)
+        print(json.dumps(rec), flush=True)
+    raise SystemExit(143)
 
 
 # measurement points: (name, num_layers, start_index) -> PCB count =
@@ -510,16 +538,12 @@ def v5p8_comm_model(variant="wan21"):
     }
 
 
-def time_vae_decode(variant="wan21"):
-    """One full-clip VAE decode at the production geometry: wan21 latents
-    (1,16,21,42,74) -> (1,3,81,336,592); wan22 (1,16,21,60,104) ->
-    (1,3,81,480,832). Both via the reference's tiled parity config (tile
-    (30,52) stride (15,26), inference_wan21.py:326, wan_video_vae.py:
-    643-692). The single full-tensor conv graph is preferred on paper, but
-    its XLA program crashes this platform's remote-compile helper (measured
-    2026-08-18: OK at (21,21,37), HTTP 500 at (21,42,74)), and the tiled
-    path is what the reference itself deploys -- so the tiled number IS the
-    deployable clip cost here."""
+def build_vae_decode(variant="wan21"):
+    """Params + latents + runner for the production tiled VAE decode --
+    the reference's parity config (tile (30,52) stride (15,26),
+    inference_wan21.py:326, wan_video_vae.py:643-692). SHARED by
+    time_vae_decode (TPU timing) and tools/floor_analysis.py (CPU HLO
+    floors) so the floor and the measurement are the same program."""
     from fantasy_world_tpu.core.params import abstract_init
     from fantasy_world_tpu.models.wan.vae import (VAEConfig, init_wan_vae,
                                                   vae_decode_tiled)
@@ -533,24 +557,44 @@ def time_vae_decode(variant="wan21"):
     params = jax.jit(lambda: jax.tree_util.tree_map(
         lambda s: jnp.zeros(s.shape, s.dtype), abstract))()
     lat = jnp.zeros((1, 16, g["F"], g["H2"], g["W2"]), jnp.bfloat16)
-    out = vae_decode_tiled(params, cfg, lat, (30, 52), (15, 26))  # compile
+
+    def run(p, z):
+        return vae_decode_tiled(p, cfg, z, (30, 52), (15, 26))
+
+    return params, lat, run
+
+
+def time_vae_decode(variant="wan21"):
+    """One full-clip VAE decode at the production geometry: wan21 latents
+    (1,16,21,42,74) -> (1,3,81,336,592); wan22 (1,16,21,60,104) ->
+    (1,3,81,480,832). The single full-tensor conv graph is preferred on
+    paper, but its XLA program crashes this platform's remote-compile
+    helper (measured 2026-08-18: OK at (21,21,37), HTTP 500 at (21,42,74)),
+    and the tiled path is what the reference itself deploys -- so the tiled
+    number IS the deployable clip cost here."""
+    params, lat, run = build_vae_decode(variant)
+    out = run(params, lat)                 # compile
     fetch_scalar(out)
     t0 = time.perf_counter()
-    out = vae_decode_tiled(params, cfg, lat, (30, 52), (15, 26))
+    out = run(params, lat)
     fetch_scalar(out)
     return time.perf_counter() - t0
 
 
-def time_heads(variant="wan21"):
-    """The final-step geometry heads (camera + depth + point DPT with 4x
-    temporal upsample to 81 frames) at production widths. Tap tokens are
-    synthetic; untapped layers alias one array so HBM holds 5 tensors, not
-    24. Each head is compiled as its OWN executable and the times summed:
-    the monolithic three-head graph deterministically crashes this
-    platform's remote-compile helper (HTTP 500, measured 2026-08-19 across
-    retries -- same failure mode as the full-tensor VAE decode), and the
-    per-head sum is the honest accounting anyway since production runs the
-    heads once per clip."""
+def heads_stage_plan(variant="wan21"):
+    """The staged heads decomposition -- camera head; per-DPT-head
+    stage1+2 (projection pyramid + temporal upsample) as one graph; the
+    strictly per-frame stage 3 in <=27-frame chunks (identical math to the
+    monolithic call, which crashes this platform's remote-compile helper
+    at 81 frames). SINGLE source of truth shared by time_heads (TPU
+    timing) and tools/floor_analysis.py (CPU HLO floors): a staging change
+    here changes both, so they cannot silently diverge.
+
+    Returns (cfg, cam_stage, head_stages):
+      cam_stage   = (fn, args)
+      head_stages = [(hname, head_params, s12_fn, s12_args, make_s3)]
+                    where make_s3(outs) -> (s3_fn, first_chunk_args,
+                    chunk, n_chunks) given stage-1+2 outputs."""
     from fantasy_world_tpu.models.vggt.model import VGGTConfig, init_vggt
     from fantasy_world_tpu.models.vggt.heads import (
         camera_head_forward, dpt_stage1_project, dpt_stage2_upsample,
@@ -569,15 +613,58 @@ def time_heads(variant="wan21"):
         lambda x: jax.ShapeDtypeStruct(x.shape, x.dtype), host)
     params = jax.jit(lambda: jax.tree_util.tree_map(
         lambda s: jnp.zeros(s.shape, s.dtype), abstract))()
+    # tap tokens are synthetic; untapped layers alias one array so HBM
+    # holds 5 tensors, not 24
     taps = sorted(set(cfg.dpt_layer_idx) | {23})
     uniq = {i: jnp.zeros((1, f_lat, l_agg_p, 2048), jnp.bfloat16)
             for i in taps}
     hw = (g["H2"] // 2, g["W2"] // 2)   # patch grid -> DPT out (x16 pixels)
-    tagv = "" if variant == "wan21" else f"_{variant}"
+    tap_args = tuple(uniq[i] for i in taps)
 
     def cam_run(p, last):
         return camera_head_forward(p["camera_head"], cfg.camera_head,
                                    last)[-1]
+
+    cam_stage = (cam_run, (params, uniq[taps[-1]]))
+
+    head_stages = []
+    for hname, hcfg in (("depth", cfg.dpt_head(2, "exp")),
+                        ("point", cfg.dpt_head(4, "inv_log"))):
+        hp = params[f"{hname}_head"]
+
+        def s12_run(hp_, *tap_arrays, _hcfg=hcfg):
+            arrs = dict(zip(taps, tap_arrays))
+            inters = [arrs.get(i, tap_arrays[0]) for i in range(24)]
+            feats = dpt_stage1_project(hp_, _hcfg, inters, hw, 5)
+            return tuple(dpt_stage2_upsample(hp_, feats))
+
+        def s3_run(hp_, *outs_chunk, _hcfg=hcfg):
+            return dpt_stage3_fuse(hp_, _hcfg, list(outs_chunk), hw)[0]
+
+        def make_s3(outs, _s3=s3_run, _hp=hp):
+            # largest divisor of T_out that stays under the ~27-frame
+            # graph size the remote-compile helper tolerates (81 -> 27)
+            T_out = outs[0].shape[2]
+            chunk = next(c for c in range(min(27, T_out), 0, -1)
+                         if T_out % c == 0)
+            sl0 = tuple(o[:, :, :chunk] for o in outs)
+            return _s3, (_hp,) + sl0, chunk, T_out // chunk
+
+        head_stages.append((hname, hp, s12_run, (hp,) + tap_args, make_s3))
+    return cfg, cam_stage, head_stages
+
+
+def time_heads(variant="wan21"):
+    """The final-step geometry heads (camera + depth + point DPT with 4x
+    temporal upsample to 81 frames) at production widths, staged per
+    heads_stage_plan. Each head is compiled as its OWN executable and the
+    times summed: the monolithic three-head graph deterministically
+    crashes this platform's remote-compile helper (HTTP 500, measured
+    2026-08-19 across retries -- same failure mode as the full-tensor VAE
+    decode), and the per-head sum is the honest accounting anyway since
+    production runs the heads once per clip."""
+    cfg, (cam_run, cam_args), head_stages = heads_stage_plan(variant)
+    tagv = "" if variant == "wan21" else f"_{variant}"
 
     def timed(fn, args, name):
         """AOT-compile fn (memoized in-process), run twice (warm/timed),
@@ -590,38 +677,16 @@ def time_heads(variant="wan21"):
         fetch_scalar(out[0] if isinstance(out, (tuple, list)) else out)
         return time.perf_counter() - t0, out
 
-    tap_args = tuple(uniq[i] for i in taps)
-    total, _ = timed(cam_run, (params, uniq[taps[-1]]), "cam")
+    total, _ = timed(cam_run, cam_args, "cam")
 
-    # Each DPT is timed in stages: stage1+2 (projection pyramid + temporal
-    # upsample) as one graph, then the strictly per-frame stage 3 in frame
-    # chunks (identical math to the monolithic call, which crashes this
-    # platform's remote-compile helper at 81 frames).
-    for hname, hcfg in (("depth", cfg.dpt_head(2, "exp")),
-                        ("point", cfg.dpt_head(4, "inv_log"))):
-        hp = params[f"{hname}_head"]
-
-        def s12_run(hp_, *tap_arrays):
-            arrs = dict(zip(taps, tap_arrays))
-            inters = [arrs.get(i, tap_arrays[0]) for i in range(24)]
-            feats = dpt_stage1_project(hp_, hcfg, inters, hw, 5)
-            return tuple(dpt_stage2_upsample(hp_, feats))
-
-        t12, outs = timed(s12_run, (hp,) + tap_args, f"{hname}_s12")
+    for hname, hp, s12_run, s12_args, make_s3 in head_stages:
+        t12, outs = timed(s12_run, s12_args, f"{hname}_s12")
         total += t12
-        T_out = outs[0].shape[2]
-
-        def s3_run(hp_, *outs_chunk):
-            return dpt_stage3_fuse(hp_, hcfg, list(outs_chunk), hw)[0]
-
-        # largest divisor of T_out that stays under the ~27-frame graph
-        # size the remote-compile helper tolerates (T_out=81 -> 27)
-        chunk = next(c for c in range(min(27, T_out), 0, -1)
-                     if T_out % c == 0)
-        sl0 = tuple(o[:, :, :chunk] for o in outs)
-        t3, _ = timed(s3_run, (hp,) + sl0, f"{hname}_s3")
+        s3_fn, s3_args, chunk, _n = make_s3(outs)
+        t3, _ = timed(s3_fn, s3_args, f"{hname}_s3")
         total += t3                               # first chunk: timed
         fwd3 = _AOT_MEMO[f"bench_heads_{hname}_s3{tagv}"]
+        T_out = outs[0].shape[2]
         for t0c in range(chunk, T_out, chunk):    # rest: same executable
             sl = tuple(o[:, :, t0c:t0c + chunk] for o in outs)
             t0 = time.perf_counter()
@@ -671,7 +736,8 @@ def main():
             gc.collect()
             return t_p
         except Exception as e:              # RESOURCE_EXHAUSTED etc.
-            log(f"{name} point failed ({type(e).__name__}: {str(e)[:200]})")
+            state["last_error"] = f"{type(e).__name__}: {str(e)[:300]}"
+            log(f"{name} point failed ({state['last_error'][:220]})")
             gc.collect()
             return None
 
@@ -686,7 +752,11 @@ def main():
             if t_p is None:
                 if not any(len(v) for v in measured.values()) \
                         and not quant:
-                    raise RuntimeError(f"first point {name} failed")
+                    # preserve the root cause: the driver-visible error
+                    # record must say OOM vs tunnel vs code
+                    raise RuntimeError(
+                        f"first point {name} failed: "
+                        f"{state.get('last_error', 'unknown')}")
                 continue
             (dest if dest is not None else measured[variant]).append(
                 (si, nl - si, t_p))
@@ -804,7 +874,7 @@ def main():
                 "per step, so step cost == single-expert cost")
             project_clip("wan22", full22, points["wan22"])
         if full21 is not None:
-            emit(full21, flops_full, partial, points)
+            emit(full21, flops_full, partial, points, to_stdout=not partial)
         return full21
 
     # ---- phase groups (each followed by a checkpoint emission) ----------
@@ -1081,12 +1151,32 @@ if __name__ == "__main__":
     if "--parity" in sys.argv:
         parity_main()
         raise SystemExit(0)
+    import signal
+    signal.signal(signal.SIGTERM, _flush_on_term)
     try:
         main()
+        if not _STDOUT_EMITTED:
+            # the run finished but the headline fit stayed underdetermined
+            # (final emit was partial -> stderr only, or no fit at all):
+            # still honor the one-stdout-line contract
+            if _LAST_RECORD is not None:
+                print(json.dumps(dict(_LAST_RECORD, partial=True)),
+                      flush=True)
+            else:
+                print(json.dumps({
+                    "metric": "sec_per_denoise_step_480p_14b_extrapolated",
+                    "value": -1.0, "unit": "s", "vs_baseline": 0.0,
+                    "error": "no measurement points completed",
+                }))
     except Exception as e:                  # emit a parseable line no matter what
-        print(json.dumps({
-            "metric": "sec_per_denoise_step_480p_14b_extrapolated",
-            "value": -1.0, "unit": "s", "vs_baseline": 0.0,
-            "error": f"{type(e).__name__}: {e}"[:500],
-        }))
+        if _LAST_RECORD is not None:
+            rec = dict(_LAST_RECORD, partial=True,
+                       error=f"{type(e).__name__}: {e}"[:500])
+            print(json.dumps(rec), flush=True)
+        else:
+            print(json.dumps({
+                "metric": "sec_per_denoise_step_480p_14b_extrapolated",
+                "value": -1.0, "unit": "s", "vs_baseline": 0.0,
+                "error": f"{type(e).__name__}: {e}"[:500],
+            }))
         raise

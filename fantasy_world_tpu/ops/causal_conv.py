@@ -27,7 +27,7 @@ import numpy as np
 
 def conv3d(kernel: jnp.ndarray, bias, x: jnp.ndarray, *,
            stride=(1, 1, 1), padding=((0, 0), (0, 0), (0, 0))) -> jnp.ndarray:
-    """NCDHW conv with torch-layout kernel (O, I, kt, kw, kw).
+    """NCDHW conv with torch-layout kernel (O, I, kt, kh, kw).
 
     Output dtype == input dtype, bias added at that dtype: the TPU MXU
     accumulates convs in f32 regardless, and requesting an f32 OUTPUT

@@ -121,3 +121,48 @@ def test_wan22_step_args_shapes():
     a21 = bench.step_args(None, None, "wan21")
     assert a21[2].shape == (2, 16, 21, 42, 74)
     assert a21[5].shape == (2, 257, 1280)       # CLIP branch present
+
+
+def test_emit_contract_one_stdout_line(monkeypatch, capsys):
+    """The driver parses ONE JSON line from stdout. Checkpoint emissions
+    (partial phases) must go to stderr only; the final emission and the
+    SIGTERM flush are the only stdout writers."""
+    monkeypatch.setattr(bench, "_LAST_RECORD", None)
+    monkeypatch.setattr(bench, "_STDOUT_EMITTED", False)
+
+    bench.emit(1.0, 1e12, True, {"p": 1})            # checkpoint
+    out = capsys.readouterr()
+    assert out.out == ""                              # nothing on stdout
+    assert '"metric"' in out.err                      # forensics on stderr
+    assert bench._LAST_RECORD is not None
+    assert not bench._STDOUT_EMITTED
+
+    bench.emit(2.0, 1e12, False, {"p": 2}, to_stdout=True)   # final
+    out = capsys.readouterr()
+    import json as _json
+    lines = [l for l in out.out.splitlines() if l.strip()]
+    assert len(lines) == 1
+    rec = _json.loads(lines[0])
+    assert rec["value"] == 2.0 and rec["partial"] is False
+    assert bench._STDOUT_EMITTED
+
+
+def test_sigterm_flush_emits_best_so_far(monkeypatch, capsys):
+    """A driver-side `timeout` kill (SIGTERM) must still leave a parseable
+    best-so-far line on stdout, marked partial + terminated_by_signal."""
+    import json as _json
+    monkeypatch.setattr(bench, "_LAST_RECORD", None)
+    monkeypatch.setattr(bench, "_STDOUT_EMITTED", False)
+    bench.emit(3.0, 1e12, True, {"p": 3})            # only a checkpoint ran
+    capsys.readouterr()
+    try:
+        bench._flush_on_term(15, None)
+    except SystemExit as e:
+        assert e.code == 143
+    else:
+        raise AssertionError("handler must SystemExit")
+    out = capsys.readouterr()
+    rec = _json.loads(out.out.strip())
+    assert rec["value"] == 3.0
+    assert rec["partial"] is True
+    assert rec["terminated_by_signal"] == 15

@@ -33,6 +33,13 @@ sys.path.insert(0, os.path.join(os.path.dirname(os.path.abspath(__file__)),
                                 os.pardir))
 
 import jax
+
+# HLO cost analysis is backend-independent algebra; force the CPU backend
+# the same way tests/conftest.py does (the environment pins JAX_PLATFORMS
+# to the tunneled TPU at a level a shell export cannot override, and the
+# big tiled-VAE graphs crash that platform's remote-compile helper).
+jax.config.update("jax_platforms", "cpu")
+
 import jax.numpy as jnp
 
 import bench  # geometry constants + staged-unit layout
@@ -58,81 +65,36 @@ def floors(flops, byts):
 
 
 def vae_unit(variant):
-    from fantasy_world_tpu.core.params import abstract_init
-    from fantasy_world_tpu.models.wan.vae import (VAEConfig, init_wan_vae,
-                                                  vae_decode_tiled)
-    g = bench.GEOM[variant]
-    cfg = VAEConfig()
-    with abstract_init():
-        host = init_wan_vae(0, cfg, jnp.bfloat16)
-    params = jax.tree_util.tree_map(
-        lambda x: jnp.zeros(x.shape, x.dtype), host)
-    lat = jnp.zeros((1, 16, g["F"], g["H2"], g["W2"]), jnp.bfloat16)
-    fl, by = cost(lambda p, z: vae_decode_tiled(p, cfg, z, (30, 52),
-                                                (15, 26)), params, lat)
+    """Floors of the exact program bench.time_vae_decode times (shared
+    builder: bench.build_vae_decode)."""
+    params, lat, run = bench.build_vae_decode(variant)
+    fl, by = cost(run, params, lat)
     return floors(fl, by)
 
 
 def heads_unit(variant):
-    """Same staged decomposition bench.time_heads runs (cam + per-head
-    s12 + s3 chunks); stage-3 chunk cost is multiplied by the chunk count."""
-    from fantasy_world_tpu.core.params import abstract_init
-    from fantasy_world_tpu.models.vggt.model import VGGTConfig, init_vggt
-    from fantasy_world_tpu.models.vggt.aggregator import AggregatorConfig
-    from fantasy_world_tpu.models.vggt.heads import (
-        camera_head_forward, dpt_stage1_project, dpt_stage2_upsample,
-        dpt_stage3_fuse)
-
-    g = bench.GEOM[variant]
-    f_lat = g["F"]
-    _, l_agg_p, _ = bench.geom_tokens(variant)
-    cfg = VGGTConfig(embed_dim=1024, wan_dim=5120,
-                     aggregator=AggregatorConfig(embed_dim=1024, depth=24))
-    with abstract_init():
-        host = init_vggt(0, cfg, jnp.bfloat16)
-    params = jax.tree_util.tree_map(
-        lambda x: jnp.zeros(x.shape, x.dtype), host)
-    taps = sorted(set(cfg.dpt_layer_idx) | {23})
-    uniq = {i: jnp.zeros((1, f_lat, l_agg_p, 2048), jnp.bfloat16)
-            for i in taps}
-    hw = (g["H2"] // 2, g["W2"] // 2)
-    tap_args = tuple(uniq[i] for i in taps)
+    """Floors of the exact staged decomposition bench.time_heads times.
+    The staging (taps, s12/s3 split, chunk divisor) comes from the shared
+    bench.heads_stage_plan, so a staging change there changes this floor
+    too; stage-3 chunk cost is multiplied by the chunk count."""
+    _cfg, (cam_run, cam_args), head_stages = bench.heads_stage_plan(variant)
 
     out = {}
-    fl, by = cost(lambda p, last: camera_head_forward(
-        p["camera_head"], cfg.camera_head, last)[-1],
-        params, uniq[taps[-1]])
+    fl, by = cost(cam_run, *cam_args)
     out["camera_head"] = floors(fl, by)
 
     total_f = fl
     total_b = by
-    for hname, hcfg in (("depth", cfg.dpt_head(2, "exp")),
-                        ("point", cfg.dpt_head(4, "inv_log"))):
-        hp = params[f"{hname}_head"]
-
-        def s12_run(hp_, *tap_arrays):
-            arrs = dict(zip(taps, tap_arrays))
-            inters = [arrs.get(i, tap_arrays[0]) for i in range(24)]
-            feats = dpt_stage1_project(hp_, hcfg, inters, hw, 5)
-            return tuple(dpt_stage2_upsample(hp_, feats))
-
-        fl, by = cost(s12_run, hp, *tap_args)
-        outs = jax.eval_shape(s12_run, hp, *tap_args)
+    for hname, _hp, s12_run, s12_args, make_s3 in head_stages:
+        fl, by = cost(s12_run, *s12_args)
         out[f"{hname}_s12"] = floors(fl, by)
         total_f += fl
         total_b += by
 
-        T_out = outs[0].shape[2]
-        chunk = next(c for c in range(min(27, T_out), 0, -1)
-                     if T_out % c == 0)
-        sl0 = tuple(jnp.zeros(o.shape[:2] + (chunk,) + o.shape[3:], o.dtype)
-                    for o in outs)
-
-        def s3_run(hp_, *outs_chunk):
-            return dpt_stage3_fuse(hp_, hcfg, list(outs_chunk), hw)[0]
-
-        fl, by = cost(s3_run, hp, *sl0)
-        n_chunks = T_out // chunk
+        outs_sds = jax.eval_shape(s12_run, *s12_args)
+        outs = tuple(jnp.zeros(o.shape, o.dtype) for o in outs_sds)
+        s3_fn, s3_args, _chunk, n_chunks = make_s3(outs)
+        fl, by = cost(s3_fn, *s3_args)
         out[f"{hname}_s3"] = dict(floors(fl * n_chunks, by * n_chunks),
                                   chunks=n_chunks)
         total_f += fl * n_chunks

@@ -229,6 +229,49 @@ def main(argv):
     with_ftfy = "--with-ftfy" in argv
     cases = build_cases()
     oracle = "stdlib-codec-construction"
+
+    if check:
+        # check mode NEVER writes: it certifies the CHECKED-IN fixture
+        # against (a) this generator's derivation and, with --with-ftfy,
+        # (b) real ftfy run over the fixture's own inputs.
+        with open(OUT) as fh:
+            cur = json.load(fh)
+        rc = 0
+        # expectations are only comparable when the fixture carries this
+        # generator's own oracle; an ftfy-regenerated fixture legitimately
+        # differs in `expected`, so compare the input census instead
+        stdlib_oracle = cur["oracle"].startswith("stdlib")
+        ref = cases if stdlib_oracle else [
+            {k: c[k] for k in ("class", "input")} for c in cases]
+        got = cur["cases"] if stdlib_oracle else [
+            {k: c[k] for k in ("class", "input")} for c in cur["cases"]]
+        if ref != got:
+            print(f"fixture DIFFERS from generator derivation "
+                  f"({cur['count']} checked-in vs {len(cases)} derived, "
+                  f"compared {'fully' if stdlib_oracle else 'inputs-only'})",
+                  file=sys.stderr)
+            rc = 1
+        else:
+            print(f"fixture matches generator ({cur['count']} cases, "
+                  f"oracle={cur['oracle']})")
+        if with_ftfy:
+            import ftfy                  # the real library, on purpose
+            mismatches = [
+                (c["input"], c["expected"], got)
+                for c in cur["cases"]
+                if (got := ftfy.fix_text(c["input"])) != c["expected"]]
+            if mismatches:
+                print(f"{len(mismatches)} checked-in expectations disagree "
+                      f"with real ftfy {ftfy.__version__}:", file=sys.stderr)
+                for inp, exp, got in mismatches[:20]:
+                    print(f"  {inp!r}: fixture {exp!r} != ftfy {got!r}",
+                          file=sys.stderr)
+                rc = 1
+            else:
+                print(f"fixture certified against ftfy {ftfy.__version__} "
+                      f"({len(cur['cases'])} cases)")
+        return rc
+
     if with_ftfy:
         import ftfy                      # the real library, on purpose
         oracle = f"ftfy {ftfy.__version__}"
@@ -240,20 +283,12 @@ def main(argv):
             c["expected"] = got
         if mismatches:
             print(f"{len(mismatches)} derived expectations disagree with "
-                  f"real ftfy:", file=sys.stderr)
+                  f"real ftfy (fixture will carry ftfy's answers):",
+                  file=sys.stderr)
             for inp, exp, got in mismatches[:20]:
                 print(f"  {inp!r}: derived {exp!r} != ftfy {got!r}",
                       file=sys.stderr)
-            if check:
-                return 1
     doc = {"oracle": oracle, "count": len(cases), "cases": cases}
-    if check and not with_ftfy:
-        with open(OUT) as fh:
-            cur = json.load(fh)
-        same = cur["cases"] == cases
-        print(f"fixture {'matches' if same else 'DIFFERS from'} generator "
-              f"({cur['count']} cases, oracle={cur['oracle']})")
-        return 0 if same else 1
     os.makedirs(os.path.dirname(OUT), exist_ok=True)
     with open(OUT, "w") as fh:
         # ensure_ascii: the lone-surrogate cases are not

@@ -28,9 +28,10 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-
-def fetch_scalar(x):
-    return float(np.asarray(jax.device_get(x.ravel()[0]), np.float32))
+# bench.py owns the tunneled-platform sync workaround (block_until_ready
+# returns early on axon; syncing is fetching a scalar) -- reuse it so the
+# sweep can't silently drift out of sync with how the bench times things
+from bench import fetch_scalar
 
 
 def main():
@@ -71,10 +72,13 @@ def main():
                     fetch_scalar(out)
                     reps.append(time.perf_counter() - t0)
                 med = float(np.median(reps))
+                # the equivalence number is only meaningful against the
+                # reference tiling; if that config errored, later rows must
+                # NOT silently diff against some other baseline
                 diff = None
-                if base is None:
+                if name == "reference_30x52":
                     base = np.asarray(out, np.float32)
-                else:
+                elif base is not None:
                     o = np.asarray(out, np.float32)
                     diff = float(np.max(np.abs(o - base)))
                 rec = {"geom": geom_name, "name": name, "tile": tile,
