@@ -61,12 +61,6 @@ class FusionConfig:
             return frozenset(range(self.num_irg))
         return frozenset(self.cross_attention_list)
 
-    def head_layers(self) -> Tuple[int, ...]:
-        """Aggregator layers the heads consume: DPT pyramid + camera last."""
-        idx = set(self.vggt.dpt_head(2, "exp").intermediate_layer_idx)
-        idx.add(self.num_irg - 1)
-        return tuple(sorted(idx))
-
 
 def init_fusion(rng, cfg: FusionConfig, dtype=jnp.bfloat16) -> Dict:
     from ..wan.dit import init_wan_dit
@@ -172,10 +166,13 @@ def segment_adapter_flags(cfg: FusionConfig):
 
 def _forward_prologue(params: Dict, cfg: FusionConfig, latents, timestep,
                       context, clip_feature, y, control_camera_latents,
-                      mesh):
+                      mesh, control_tokens=None):
     """Embeddings + patchify + rope tables (fusion/model_wan21.py:119-147).
     Cheap relative to the block stack -- runs on every step even when
-    TeaCache skips the stack."""
+    TeaCache skips the stack. ``control_tokens``: the hoisted per-clip
+    control-camera embedding (dit.control_adapter_tokens) -- pass it
+    instead of control_camera_latents to keep the 62-TFLOP adapter out
+    of the per-step graph."""
     dcfg = cfg.dit
     dp = params["dit"]
     t, t_mod = dit_mod.time_embedding(dp, dcfg, timestep)
@@ -186,7 +183,8 @@ def _forward_prologue(params: Dict, cfg: FusionConfig, latents, timestep,
     if dcfg.has_image_input and clip_feature is not None:
         ctx = jnp.concatenate([dit_mod.img_embedding(dp, clip_feature), ctx],
                               axis=1)
-    x, (f, h, w) = dit_mod.patchify(dp, dcfg, x_in, control_camera_latents)
+    x, (f, h, w) = dit_mod.patchify(dp, dcfg, x_in, control_camera_latents,
+                                    control_tokens)
     tok_spec = PS("data", "seq", None)           # (B, L, D) video tokens
     x = maybe_constrain(x, mesh, tok_spec)
 
@@ -246,7 +244,6 @@ def _run_stack(params: Dict, scan_params: Dict, cfg: FusionConfig,
                                   camera_token)
     S = f
     P, C = tokens.shape[-2:]
-    pos_global = pos.reshape(B, S * P, 2)
     acfg = cfg.vggt.aggregator
     bcfg_blk = acfg.block_cfg
     # hoist the 2D-rope position gather out of the layer scan: positions are
@@ -340,6 +337,7 @@ def joint_forward(params: Dict, scan_params: Dict, cfg: FusionConfig,
                   plucker_fea: Optional[jnp.ndarray] = None,
                   camera_token: Optional[jnp.ndarray] = None,
                   control_camera_latents: Optional[jnp.ndarray] = None,
+                  control_tokens: Optional[jnp.ndarray] = None,
                   uncond: bool = False,
                   return_prediction: bool = False,
                   mesh=None, remat: bool = False,
@@ -373,7 +371,8 @@ def joint_forward(params: Dict, scan_params: Dict, cfg: FusionConfig,
     dp = params["dit"]
     (x, ctx, t, t_mod, fhw, ropes, rope_bi_dit, rope_bi_agg) = \
         _forward_prologue(params, cfg, latents, timestep, context,
-                          clip_feature, y, control_camera_latents, mesh)
+                          clip_feature, y, control_camera_latents, mesh,
+                          control_tokens)
     with ulysses_context(mesh if ulysses else None, min_lq=ulysses_min_lq):
         x, inters = _run_stack(params, scan_params, cfg, x, ctx, t_mod,
                                timestep, ropes, rope_bi_dit, rope_bi_agg,
@@ -386,8 +385,6 @@ def joint_forward(params: Dict, scan_params: Dict, cfg: FusionConfig,
     if not return_prediction:
         return noise_pred, None
 
-    B = latents.shape[0]
-    S = f
     all_inters = jnp.concatenate(inters, axis=0)     # (24, B, S, P, 2C)
     agg_list = [all_inters[i] for i in range(all_inters.shape[0])]
     prediction = head_prediction(params["vggt"], cfg.vggt, agg_list,
@@ -404,6 +401,7 @@ def joint_forward_tea(params: Dict, scan_params: Dict, cfg: FusionConfig,
                       skip: jnp.ndarray = None,
                       residual: jnp.ndarray = None,
                       control_camera_latents: Optional[jnp.ndarray] = None,
+                      control_tokens: Optional[jnp.ndarray] = None,
                       mesh=None, ulysses: bool = False,
                       ulysses_min_lq: int = 2048):
     """TeaCache-gated denoise evaluation (wan_video.py:691-745 re-designed
@@ -429,7 +427,8 @@ def joint_forward_tea(params: Dict, scan_params: Dict, cfg: FusionConfig,
     dp = params["dit"]
     (x, ctx, t, t_mod, fhw, ropes, rope_bi_dit, rope_bi_agg) = \
         _forward_prologue(params, cfg, latents, timestep, context,
-                          clip_feature, y, control_camera_latents, mesh)
+                          clip_feature, y, control_camera_latents, mesh,
+                          control_tokens)
     f, h, w = fhw
 
     def compute(x):

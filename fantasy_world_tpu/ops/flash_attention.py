@@ -91,9 +91,13 @@ def _fa_kernel(q_ref, k_ref, v_ref, *refs,
     the softmax sum (and nothing to the accumulator, v rows being zero).
     The tail block subtracts that known contribution -- n_pad * exp2(-m) --
     from l instead of paying iota/compare/select passes on every block.
-    (Padding clamps the running max at >= 0, which only costs underflow for
-    rows whose true max logit is < -126 in log2 -- unreachable for sane
-    attention inputs.)
+    The subtraction is exact in real arithmetic but cancels catastrophically
+    in f32 when the real keys' total mass is below ~2^-24 of the pad mass
+    (every true logit < about -25 in log2 after max-shift -- unreachable
+    for sane attention inputs, but it would be an Inf/NaN cliff): the
+    finalize therefore clamps the corrected l at 2^-23 * l, which is
+    inactive in every normal case and bounds |o| by max|v| in the
+    pathological one.
 
     with_stats: two extra (1, BQ, 128) outputs receive the pad-corrected
     softmax statistics per q row -- the base-2 running max m2 and the sum
@@ -146,7 +150,10 @@ def _fa_kernel(q_ref, k_ref, v_ref, *refs,
     def _finalize():
         l = l_ref[..., :1]
         if n_pad:
-            l = l - n_pad * jnp.exp2(-m_ref[..., :1])
+            # see kernel docstring: relative clamp kills the cancellation
+            # Inf/NaN cliff without touching the hot loop
+            l = jnp.maximum(l - n_pad * jnp.exp2(-m_ref[..., :1]),
+                            l * jnp.float32(1.1920929e-7))
         o_ref[0] = (acc_ref[...] / l).astype(o_ref.dtype)
         if with_stats:
             mstat_ref[0] = m_ref[...]
@@ -177,7 +184,9 @@ def _fa_kernel_onekv(q_ref, k_ref, v_ref, *refs, scale: float, n_pad: int,
     p = jnp.exp2(s - m)
     l = jnp.sum(p, axis=-1, keepdims=True)
     if n_pad:
-        l = l - n_pad * jnp.exp2(-m)
+        # relative clamp: see _fa_kernel docstring
+        l = jnp.maximum(l - n_pad * jnp.exp2(-m),
+                        l * jnp.float32(1.1920929e-7))
     pv = jax.lax.dot_general(
         p.astype(v.dtype), v, (((1,), (0,)), ((), ())),
         preferred_element_type=jnp.float32)
@@ -259,7 +268,9 @@ def _fa_kernel_pair(q_ref, k_ref, v_ref, o_ref, acc_ref, m_ref, l_ref, *,
     def _finalize():
         l = l_ref[...]
         if n_pad:
-            l = l - n_pad * jnp.exp2(-m_ref[...])
+            # relative clamp: see _fa_kernel docstring
+            l = jnp.maximum(l - n_pad * jnp.exp2(-m_ref[...]),
+                            l * jnp.float32(1.1920929e-7))
         o_ref[0] = (acc_ref[...] / l).astype(o_ref.dtype)
 
 

@@ -24,20 +24,31 @@ from ..models.fusion.model import FusionConfig, joint_forward
 from ..schedulers import FlowMatchScheduler
 
 
+@functools.partial(jax.jit, static_argnames=("dcfg",))
+def _control_tokens_jit(dit_params, dcfg, ctrl2):
+    """Per-clip evaluation of the step-invariant control-camera adapter
+    (dit.control_adapter_tokens): ~62 TFLOPs at 480x832, hoisted out of
+    the 50-step denoise scans below (the torch reference pays it inside
+    patchify on every CFG forward)."""
+    from ..models.wan.dit import control_adapter_tokens
+    return control_adapter_tokens(dit_params, dcfg, ctrl2)
+
+
 @functools.partial(jax.jit,
                    static_argnames=("cfg", "cfg_scale", "mesh", "ulysses"),
                    donate_argnums=(3,))
-def _expert_scan(params, scan, cfg, latents, xs, ctx, y2, ctrl2, cfg_scale,
+def _expert_scan(params, scan, cfg, latents, xs, ctx, y2, ctok2, cfg_scale,
                  mesh=None, ulysses=False):
     """One expert's denoise steps in a jitted scan; params as jit arguments
-    (closure capture would embed the 14B tree as lowering constants)."""
+    (closure capture would embed the 14B tree as lowering constants).
+    ctok2: the expert's precomputed control tokens (or None)."""
 
     def step_fn(lat, inputs):
         timestep, sigma, sigma_next = inputs
         lat2 = jnp.concatenate([lat] * 2, axis=0)
         noise, _ = joint_forward(params, scan, cfg, lat2,
                                  jnp.full((2,), timestep), ctx, None, y2,
-                                 control_camera_latents=ctrl2,
+                                 control_tokens=ctok2,
                                  mesh=mesh, ulysses=ulysses)
         pred = noise[1:2] + cfg_scale * (noise[0:1] - noise[1:2])
         return (lat.astype(jnp.float32) + pred.astype(jnp.float32)
@@ -51,7 +62,7 @@ def _expert_scan(params, scan, cfg, latents, xs, ctx, y2, ctrl2, cfg_scale,
                    static_argnames=("cfg", "cfg_scale", "mesh", "ulysses"),
                    donate_argnums=(3, 4))
 def _expert_scan_tea(params, scan, cfg, latents, residual0, xs, ctx, y2,
-                     ctrl2, cfg_scale, mesh=None, ulysses=False):
+                     ctok2, cfg_scale, mesh=None, ulysses=False):
     """TeaCache-gated expert scan: xs carries the host-planned per-step
     skip boolean, the carry threads the cached block-stack residual (see
     pipelines/tea_cache.py; reference wan_video_new.py:1380-1422). The
@@ -65,7 +76,7 @@ def _expert_scan_tea(params, scan, cfg, latents, residual0, xs, ctx, y2,
         lat2 = jnp.concatenate([lat] * 2, axis=0)
         noise, res = joint_forward_tea(
             params, scan, cfg, lat2, jnp.full((2,), timestep), ctx, None,
-            y2, skip=skip, residual=res, control_camera_latents=ctrl2,
+            y2, skip=skip, residual=res, control_tokens=ctok2,
             mesh=mesh, ulysses=ulysses)
         pred = noise[1:2] + cfg_scale * (noise[0:1] - noise[1:2])
         lat = (lat.astype(jnp.float32) + pred.astype(jnp.float32)
@@ -79,11 +90,11 @@ def _expert_scan_tea(params, scan, cfg, latents, residual0, xs, ctx, y2,
 @functools.partial(jax.jit,
                    static_argnames=("cfg", "cfg_scale", "mesh", "ulysses"))
 def _expert_final_step(params, scan, cfg, latents, t_last, sigma, sigma_next,
-                       ctx, y2, ctrl2, cfg_scale, mesh=None, ulysses=False):
+                       ctx, y2, ctok2, cfg_scale, mesh=None, ulysses=False):
     lat2 = jnp.concatenate([latents] * 2, axis=0)
     noise, prediction = joint_forward(
         params, scan, cfg, lat2, t_last, ctx, None, y2,
-        control_camera_latents=ctrl2, return_prediction=True,
+        control_tokens=ctok2, return_prediction=True,
         mesh=mesh, ulysses=ulysses)
     pred = noise[1:2] + cfg_scale * (noise[0:1] - noise[1:2])
     latents = (latents.astype(jnp.float32) + pred.astype(jnp.float32)
@@ -205,6 +216,16 @@ class DualModelDenoiser:
 
             latents, ctx, y2, ctrl2 = map(place, (latents, ctx, y2, ctrl2))
 
+        # hoist the step-invariant control adapter: one evaluation per
+        # expert (each has its own SimpleAdapter weights) feeds all of that
+        # expert's steps; the 0.8 GB pixel-res latents never enter the scans
+        ctok = {True: None, False: None}     # keyed by `high`
+        if ctrl2 is not None:
+            ctok[True] = _control_tokens_jit(self.params_high["dit"],
+                                             self.cfg.dit, ctrl2)
+            ctok[False] = _control_tokens_jit(self.params_low["dit"],
+                                              self.cfg.dit, ctrl2)
+
         pairs = sched.sigma_pairs()
         ts = sched.timesteps
         n_scan = len(ts) - 1                 # final step runs with heads
@@ -269,11 +290,11 @@ class DualModelDenoiser:
             xs = make_xs(i, j)
             if tea:
                 latents, residual = _expert_scan_tea(
-                    p, s, self.cfg, latents, residual, xs, ctx, y2, ctrl2,
-                    cfg_scale, mesh=mesh, ulysses=ulysses)
+                    p, s, self.cfg, latents, residual, xs, ctx, y2,
+                    ctok[high], cfg_scale, mesh=mesh, ulysses=ulysses)
             else:
                 latents = _expert_scan(p, s, self.cfg, latents, xs, ctx, y2,
-                                       ctrl2, cfg_scale, mesh=mesh,
+                                       ctok[high], cfg_scale, mesh=mesh,
                                        ulysses=ulysses)
             i = j
             if segmented:
@@ -294,13 +315,13 @@ class DualModelDenoiser:
                     progress_callback(i, total)
 
         # final step with geometry heads on the active expert
-        params, scan = ((self.params_high, self.scan_high)
-                        if n_high >= len(ts)
+        final_high = n_high >= len(ts)
+        params, scan = ((self.params_high, self.scan_high) if final_high
                         else (self.params_low, self.scan_low))
         latents, prediction = _expert_final_step(
             params, scan, self.cfg, latents, jnp.full((2,), float(ts[-1])),
             jnp.float32(pairs[-1, 0]), jnp.float32(pairs[-1, 1]), ctx, y2,
-            ctrl2, cfg_scale, mesh=mesh, ulysses=ulysses)
+            ctok[final_high], cfg_scale, mesh=mesh, ulysses=ulysses)
         if gen_ckpt_path:
             np.asarray(jax.device_get(latents.ravel()[0]))
             if os.path.exists(gen_ckpt_path):

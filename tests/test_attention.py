@@ -93,3 +93,32 @@ def test_pallas_flash_attention_stats_ragged():
               / (wa + wb)[..., None])
     ref = _ref_attention(q, k, v, d ** -0.5)
     np.testing.assert_allclose(merged, ref, rtol=2e-4, atol=2e-4)
+
+
+@pytest.mark.parametrize("lq,lk,h,d", [
+    (130, 300, 1, 128),     # generic multi-k-block path, ragged lk
+    (130, 200, 1, 128),     # one-kv fast path, ragged lk
+    (130, 300, 2, 64),      # paired-head path, ragged lk
+])
+def test_pallas_flash_ragged_all_negative_logits_finite(lq, lk, h, d):
+    """The ragged-tail zero-pad correction l - n_pad*exp2(-m) cancels to
+    exactly 0 in f32 when every real logit is ~2^-24 below the pad's
+    implicit 0 score -- the old finalize then emitted Inf/NaN rows. The
+    relative clamp must keep the output finite and bounded by max|v|
+    (r4 review finding; unreachable for sane inputs, but a NaN is a
+    clip-killer while a bounded row is not)."""
+    rng = np.random.default_rng(7)
+    e = np.zeros((d,), np.float32)
+    e[0] = 1.0
+    # scaled log2-domain logits ~= -57 for every (q, k) pair: far below
+    # the f32 cancellation cliff at ~-25
+    q = np.tile(8.0 * e, (1, lq, h, 1)).astype(np.float32)
+    k = np.tile(-40.0 * e, (1, lk, h, 1)).astype(np.float32)
+    v = rng.standard_normal((1, lk, h, d)).astype(np.float32)
+
+    from jax.experimental.pallas import tpu as pltpu
+    with pltpu.force_tpu_interpret_mode():
+        out = np.asarray(fa.flash_attention(
+            jnp.asarray(q), jnp.asarray(k), jnp.asarray(v)))
+    assert np.isfinite(out).all(), "Inf/NaN rows from pad-mass cancellation"
+    assert np.abs(out).max() <= np.abs(v).max() + 1e-3

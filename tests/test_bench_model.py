@@ -110,14 +110,16 @@ def test_wan22_geometry_and_comm_model():
 
 
 def test_wan22_step_args_shapes():
-    """The wan22 forward consumes control latents at PIXEL resolution (the
-    r4 bench initially fed latent-res and OOB-reshaped inside
-    SimpleAdapter; this pins the corrected contract)."""
+    """The wan22 step consumes PRE-computed control tokens (the
+    step-invariant SimpleAdapter is hoisted out of the denoise loop --
+    dit.control_adapter_tokens; its one-time cost is benched separately as
+    ctrl_adapter_s, which itself consumes pixel-res latents)."""
     args = bench.step_args(None, None, "wan22")
-    params, scan, latents, t, ctx, y, ctrl = args
+    params, scan, latents, t, ctx, y, ctok = args
     assert latents.shape == (2, 16, 21, 60, 104)
     assert ctx.shape == (2, 512, 4096)          # no CLIP tokens appended
-    assert ctrl.shape == (2, 24, 21, 480, 832)  # pixel-res 4-frame fold
+    l_dit, _, _ = bench.geom_tokens("wan22")
+    assert ctok.shape == (2, l_dit, 5120)       # token-space, hoisted
     a21 = bench.step_args(None, None, "wan21")
     assert a21[2].shape == (2, 16, 21, 42, 74)
     assert a21[5].shape == (2, 257, 1280)       # CLIP branch present

@@ -281,3 +281,51 @@ def test_wan22_joint_forward_smoke():
     cos = a @ b / (np.linalg.norm(a) * np.linalg.norm(b) + 1e-30)
     assert bool(jnp.isfinite(noise_q).all())
     assert cos > 0.99
+
+
+def test_wan22_hoisted_control_tokens_exact():
+    """The deploy pipelines evaluate the step-invariant SimpleAdapter once
+    per clip (dit.control_adapter_tokens) and feed patchify its token-space
+    output; that path must be BIT-identical to the reference-shaped
+    per-step control_camera_latents path (same function of the same
+    input, just hoisted out of the loop)."""
+    import jax, jax.numpy as jnp
+    from fantasy_world_tpu.models.fusion.model import (
+        FusionConfig, init_fusion, prepare_scan_params, joint_forward)
+    from fantasy_world_tpu.models.wan.dit import (WanDiTConfig,
+                                                  control_adapter_tokens)
+    from fantasy_world_tpu.models.vggt.model import VGGTConfig
+    from fantasy_world_tpu.models.vggt.aggregator import AggregatorConfig
+    from fantasy_world_tpu.models.fusion.bicross import BicrossConfig
+
+    cfg = FusionConfig(
+        dit=WanDiTConfig(dim=96, in_dim=8, ffn_dim=128, out_dim=4,
+                         text_dim=32, num_heads=4, num_layers=4,
+                         has_image_input=False, require_vae_embedding=True,
+                         add_control_adapter=True, in_dim_control_adapter=24,
+                         camera_adapter_end=0),
+        vggt=VGGTConfig(embed_dim=64, wan_dim=96, dpt_layer_idx=(1, 1, 0, 0),
+                        aggregator=AggregatorConfig(embed_dim=64, depth=2,
+                                                    num_heads=4)),
+        bicross=BicrossConfig(m1_dim=96, m2_dim=64, hidden=96, num_heads=4),
+        start_index=2, camera_control=False)
+
+    params = init_fusion(jax.random.PRNGKey(0), cfg, jnp.float32)
+    scan = prepare_scan_params(params, cfg)
+
+    rng = np.random.default_rng(3)
+    B, f, h2, w2 = 1, 3, 8, 12
+    latents = jnp.asarray(rng.standard_normal((B, 4, f, h2, w2)), jnp.float32)
+    y = jnp.asarray(rng.standard_normal((B, 4, f, h2, w2)), jnp.float32)
+    ctx = jnp.asarray(rng.standard_normal((B, 20, 32)), jnp.float32)
+    ctrl = jnp.asarray(rng.standard_normal((B, 24, f, h2 * 8, w2 * 8)),
+                       jnp.float32)
+    t = jnp.array([950.0])
+
+    ref, _ = joint_forward(params, scan, cfg, latents, t, ctx, None, y,
+                           control_camera_latents=ctrl)
+    ctok = control_adapter_tokens(params["dit"], cfg.dit, ctrl)
+    assert ctok.shape == (B, f * (h2 // 2) * (w2 // 2), cfg.dit.dim)
+    hoisted, _ = joint_forward(params, scan, cfg, latents, t, ctx, None, y,
+                               control_tokens=ctok)
+    np.testing.assert_array_equal(np.asarray(ref), np.asarray(hoisted))
