@@ -85,7 +85,12 @@ def slice_expand_and_flatten(token: jnp.ndarray, B: int, S: int) -> jnp.ndarray:
 
 
 def cam_token_projector(p: Dict, cam: jnp.ndarray, embed_dim: int) -> jnp.ndarray:
-    """(B, V, 9) pose encodings -> (B*ceil((V+3)/4), 1, C) camera tokens."""
+    """(B, V, 9) pose encodings -> (B*(V+3)//4, 1, C) camera tokens.
+
+    Requires V % 4 == 1 (production V=81): the fixed 3-frame first-view pad
+    followed by a (Vp//4, 4, 9) reshape comes verbatim from the reference
+    CamTokenProjector (layers/block.py:286-296), whose torch ``.view``
+    raises for any other V just like this reshape does."""
     B, V, _ = cam.shape
     pad = jnp.repeat(cam[:, :1], 3, axis=1)
     cam = jnp.concatenate([cam, pad], axis=1)

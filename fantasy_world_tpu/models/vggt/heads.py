@@ -144,7 +144,7 @@ def camera_head_forward(p: Dict, cfg: CameraHeadConfig,
     pose_tokens = last_tokens[:, :, 0]                     # (B, S, C)
     upsampled = channel_expand_reshape(p["camera_time_upsample"],
                                        pose_tokens[:, 1:])
-    normed = layer_norm(pose_tokens, p["token_norm"])
+    normed = layer_norm(pose_tokens, p["token_norm"], 1e-5)
     pose_tokens = jnp.concatenate([normed[:, 0:1], upsampled], axis=1)
 
     B = pose_tokens.shape[0]
@@ -164,7 +164,8 @@ def camera_head_forward(p: Dict, cfg: CameraHeadConfig,
         for blk in p["trunk"]:
             h = vggt_block_apply(blk, cfg.block_cfg, h)
         delta = _linear(p["pose_branch"]["fc2"], jax.nn.gelu(
-            _linear(p["pose_branch"]["fc1"], layer_norm(h, p["trunk_norm"])),
+            _linear(p["pose_branch"]["fc1"],
+                    layer_norm(h, p["trunk_norm"], 1e-5)),
             approximate=False))
         pred = delta if pred is None else pred + delta
         preds.append(activate_pose(pred, cfg.trans_act, cfg.quat_act,
@@ -349,7 +350,7 @@ def dpt_stage1_project(p: Dict, cfg: DPTHeadConfig,
     for dpt_idx, layer_idx in enumerate(cfg.intermediate_layer_idx):
         x = aggregated_tokens[layer_idx][:, :, patch_start_idx:]
         x = x.reshape(B * S, ph * pw, cfg.dim_in)
-        x = layer_norm(x, p["norm"])
+        x = layer_norm(x, p["norm"], 1e-5)
         x = x.transpose(0, 2, 1).reshape(B * S, cfg.dim_in, ph, pw)
         proj = p["projects"][dpt_idx]
         x = conv2d(proj["kernel"], proj["bias"], x, padding=((0, 0), (0, 0)))

@@ -120,11 +120,23 @@ def clip_encode_image(p: Dict, cfg: CLIPVisionConfig, images: jnp.ndarray,
 def preprocess_image(image: jnp.ndarray) -> jnp.ndarray:
     """CLIP preprocessing matching encode_image (wan_video_image_encoder.py:
     864-880): (B, 3, H, W) in [-1, 1] -> float bicubic resize to 224 (no
-    antialias, half-pixel centers like torch align_corners=False) -> [0, 1]
-    -> CLIP normalization."""
-    x = jax.image.resize(image.astype(jnp.float32),
-                         image.shape[:2] + (224, 224), method="bicubic",
-                         antialias=False)
+    antialias, half-pixel centers, torch Keys kernel a=-0.75) -> [0, 1]
+    -> CLIP normalization.
+
+    The resize runs as two torch-exact resample matmuls
+    (ops/bicubic.bicubic_matrix): jax.image.resize's 'bicubic' is
+    Catmull-Rom (a=-0.5), a different negative lobe than torch
+    F.interpolate's a=-0.75, which would shift every CLIP conditioning
+    token off the reference."""
+    from ...ops.bicubic import bicubic_matrix
+    H, W = image.shape[-2:]
+    ah = jnp.asarray(bicubic_matrix(H, 224), jnp.float32)
+    aw = jnp.asarray(bicubic_matrix(W, 224), jnp.float32)
+    # precision='highest': on TPU the default f32 einsum truncates to
+    # bf16 passes (7.7e-3 error vs torch, measured); full-f32 keeps the
+    # resize at 2e-4 of the torch oracle and the op is negligible
+    x = jnp.einsum("oh,bchw,pw->bcop", ah, image.astype(jnp.float32), aw,
+                   precision="highest")
     x = x * 0.5 + 0.5
     mean = jnp.asarray(CLIP_IMAGE_MEAN)[None, :, None, None]
     std = jnp.asarray(CLIP_IMAGE_STD)[None, :, None, None]

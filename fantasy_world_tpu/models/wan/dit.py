@@ -393,9 +393,9 @@ def img_embedding(p, clip_feature):
     x = clip_feature
     if "emb_pos" in ie:
         x = x + ie["emb_pos"].astype(x.dtype)
-    x = layer_norm(x, ie["norm_in"])
+    x = layer_norm(x, ie["norm_in"], 1e-5)
     x = _linear(ie["fc2"], jax.nn.gelu(_linear(ie["fc1"], x), approximate=False))
-    return layer_norm(x, ie["norm_out"])
+    return layer_norm(x, ie["norm_out"], 1e-5)
 
 
 def control_adapter_tokens(p, cfg: WanDiTConfig, control_camera_latents):

@@ -127,27 +127,10 @@ def dup_up3d(x: jnp.ndarray, out_channels: int, factor_t: int,
 # Resample38: like 2.1's Resample but channel-preserving on upsample
 # ---------------------------------------------------------------------------
 
-def resample38_apply(kind: str, p: Dict, x: jnp.ndarray) -> jnp.ndarray:
-    if kind in ("up3d", "up2d"):
-        if kind == "up3d":
-            # streaming equivalence as in 2.1 (ops/causal_conv.resample_up3d)
-            from ...ops.causal_conv import resample_up3d
-            x = resample_up3d(p, x)
-        return _spatial(lambda h: conv2d(p["resample_conv"]["kernel"],
-                                         p["resample_conv"]["bias"],
-                                         _nearest_up2(h)), x)
-    if kind in ("down2d", "down3d"):
-        x = _spatial(lambda h: conv2d(p["resample_conv"]["kernel"],
-                                      p["resample_conv"]["bias"], h,
-                                      stride=(2, 2),
-                                      padding=((0, 1), (0, 1))), x)
-        if kind == "down3d":
-            first = x[:, :, :1]
-            y = conv3d(p["time_conv"]["kernel"], p["time_conv"]["bias"], x,
-                       stride=(2, 1, 1), padding=((0, 0), (0, 0), (0, 0)))
-            x = jnp.concatenate([first, y], axis=2)
-        return x
-    raise ValueError(kind)
+# The 38-block VAE's resamplers share the 2.1 math exactly (the channel
+# behavior differs only through the conv kernel shapes in the param tree),
+# so the apply is the 2.1 function, not a copy.
+from .vae import resample_apply as resample38_apply  # noqa: E402
 
 
 # ---------------------------------------------------------------------------

@@ -36,6 +36,20 @@ def _axis_weights(n_in: int, n_out: int, scale: Optional[float]):
     return idx, w
 
 
+def bicubic_matrix(n_in: int, n_out: int, scale: Optional[float] = None
+                   ) -> np.ndarray:
+    """Dense (n_out, n_in) one-axis resample matrix of the torch bicubic
+    kernel: ``out = A @ x``. Edge-clamped taps accumulate onto the clamped
+    index (np.add.at), so A @ x == the gather/sum in bicubic_resize_2d
+    exactly. Lets device code run the torch-exact resize as two small
+    matmuls (the TPU-friendly form -- cf. ops/interpolate.py, where the
+    same banded-matmul trick measured 32x over a lane-axis gather)."""
+    idx, w = _axis_weights(n_in, n_out, scale)
+    A = np.zeros((n_out, n_in), np.float64)
+    np.add.at(A, (np.arange(n_out)[:, None], idx), w)
+    return A
+
+
 def bicubic_resize_2d(x: np.ndarray, out_hw: Tuple[int, int],
                       scales: Optional[Tuple[float, float]] = None
                       ) -> np.ndarray:

@@ -57,3 +57,30 @@ def test_clip_vision_parity():
     out = clip_encode_image(convert_clip_vision(sd, cfg), cfg,
                             jnp.asarray(imgs), use_31_block=True)
     np.testing.assert_allclose(np.asarray(out), ref_out, rtol=2e-3, atol=2e-3)
+
+
+def test_clip_preprocess_matches_torch_bicubic():
+    """preprocess_image's resize must be the torch bicubic kernel
+    (a=-0.75, half-pixel), NOT jax.image.resize's Catmull-Rom (a=-0.5):
+    encode_image resizes with F.interpolate(mode='bicubic') at
+    wan_video_image_encoder.py:864-880 and the r4 review caught the
+    kernel-coefficient mismatch. Cross-checked against torch directly."""
+    import torch
+    import torch.nn.functional as F
+    import jax.numpy as jnp
+    from fantasy_world_tpu.models.wan.clip import (
+        preprocess_image, CLIP_IMAGE_MEAN, CLIP_IMAGE_STD)
+
+    rng = np.random.default_rng(11)
+    img = rng.standard_normal((1, 3, 336, 592)).astype(np.float32)
+    img = np.clip(img, -1, 1)
+
+    got = np.asarray(preprocess_image(jnp.asarray(img)))
+
+    with torch.no_grad():
+        t = F.interpolate(torch.from_numpy(img), size=(224, 224),
+                          mode="bicubic", align_corners=False)
+    ref = t.numpy() * 0.5 + 0.5
+    ref = ((ref - np.asarray(CLIP_IMAGE_MEAN)[None, :, None, None])
+           / np.asarray(CLIP_IMAGE_STD)[None, :, None, None])
+    np.testing.assert_allclose(got, ref, atol=1e-3)  # f32 order-of-ops; a=-0.5 would be ~0.8 post-norm
