@@ -56,6 +56,10 @@ class VAEConfig:
     def temperal_upsample(self):
         return tuple(reversed(self.temperal_downsample))
 
+    # 8x spatial encode factor (vae_encode: H/8); the 38-block VAE
+    # overrides with 16 (extra 2x patchify front-end)
+    spatial_down: int = 8
+
 
 # ---------------------------------------------------------------------------
 # layer plans: ordered (kind, meta) lists mirroring the torch nn.Sequential

@@ -64,6 +64,9 @@ class VAE38Config:
     def temperal_upsample(self):
         return tuple(reversed(self.temperal_downsample))
 
+    # 2x patchify2 front-end x 8x encoder stages (vae38_encode: H/16)
+    spatial_down: int = 16
+
 
 # ---------------------------------------------------------------------------
 # pixel (un)shuffle and the parameter-free shortcuts

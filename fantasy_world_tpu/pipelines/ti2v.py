@@ -32,12 +32,16 @@ def _ti2v_scan(params: Dict, cfg: WanDiTConfig, latents, first_frame,
     def step_fn(lat, inputs):
         t, sigma, sigma_next = inputs
         lat2 = jnp.concatenate([lat, lat], axis=0)
+        # keep the timestep f32: bf16 spacing near t=1000 is 4, which
+        # would round t before the sinusoidal embedding; and do the Euler
+        # update in f32 like every other denoise loop (wan_video.py:52)
         noise = wan_dit_forward(params, cfg, lat2,
-                                jnp.full((2 * B,), t, lat.dtype), ctx2,
+                                jnp.full((2 * B,), t, jnp.float32), ctx2,
                                 fuse_first_frame=fuse)
         posi, nega = noise[:B], noise[B:]
         pred = nega + cfg_scale * (posi - nega)
-        lat = lat + pred * (sigma_next - sigma).astype(lat.dtype)
+        lat = (lat.astype(jnp.float32) + pred.astype(jnp.float32)
+               * (sigma_next - sigma)).astype(lat.dtype)
         if fuse:
             lat = lat.at[:, :, 0:1].set(first_frame.astype(lat.dtype))
         return lat, None

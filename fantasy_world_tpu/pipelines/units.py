@@ -97,7 +97,11 @@ class NoiseInitializer(PipelineUnit):
     def process(self, pipe, height, width, num_frames, seed):
         length = (num_frames - 1) // 4 + 1
         z = pipe.vae_cfg.z_dim
-        shape = (1, z, length, height // 8, width // 8)
+        # spatial grid follows the pipe's VAE: 8x for the 2.1 VAE, 16x for
+        # the 38-block TI2V VAE (z=48) -- hardcoding //8 gave TI2V a
+        # 4x-too-large noise tensor (r4 review)
+        sd = getattr(pipe.vae_cfg, "spatial_down", 8)
+        shape = (1, z, length, height // sd, width // sd)
         return {"noise": pipe.generate_noise(shape, seed=seed)}
 
 
@@ -191,9 +195,10 @@ class ImageEmbedderCLIP(PipelineUnit):
         dtype = pipe.param_dtype()
 
         def enc(img):
-            x = preprocess_image(jnp.asarray(img, jnp.float32))
+            # (H, W, 3) -> (1, 3, H, W): preprocess_image is strictly BCHW
+            chw = jnp.asarray(img, jnp.float32).transpose(2, 0, 1)[None]
             return clip_encode_image(pipe.params["clip"], pipe.clip_cfg,
-                                     x[None])
+                                     preprocess_image(chw))
         feat = enc(input_image)
         if end_image is not None and pipe.cfg.dit.has_image_pos_emb:
             feat = jnp.concatenate([feat, enc(end_image)], axis=1)
@@ -212,7 +217,12 @@ class ImageEmbedderFused(PipelineUnit):
         if input_image is None \
                 or not pipe.cfg.dit.fuse_vae_embedding_in_latents:
             return {}
-        from ..models.wan.vae import vae_encode
+        # TI2V-5B pairs with the 38-block VAE (z=48, 16x grid); encode
+        # through whichever VAE the pipe actually carries
+        if getattr(pipe.vae_cfg, "spatial_down", 8) == 16:
+            from ..models.wan.vae38 import vae38_encode as vae_encode
+        else:
+            from ..models.wan.vae import vae_encode
         img = jnp.asarray(input_image, jnp.float32).transpose(2, 0, 1)
         z = vae_encode(pipe.params["vae"], pipe.vae_cfg,
                        img[None, :, None].astype(latents.dtype))
@@ -272,8 +282,9 @@ class FunReference(PipelineUnit):
         if "clip" not in pipe.params:
             return {"reference_latents": ref_latents}
         from ..models.wan.clip import clip_encode_image, preprocess_image
-        x = preprocess_image(jnp.asarray(reference_image, jnp.float32))
-        feat = clip_encode_image(pipe.params["clip"], pipe.clip_cfg, x[None])
+        # reuse the CHW transpose from the VAE branch; BCHW for preprocess
+        x = preprocess_image(img[None].astype(jnp.float32))
+        feat = clip_encode_image(pipe.params["clip"], pipe.clip_cfg, x)
         return {"reference_latents": ref_latents,
                 "clip_feature": feat.astype(dtype)}
 

@@ -27,6 +27,14 @@ import functools
 
 from ..models.fusion.model import (FusionConfig, joint_forward,
                                    joint_forward_tea, prepare_scan_params)
+from ..models.wan.camera import (CameraPoseEncoderConfig,
+                                 camera_pose_encoder_apply)
+from ..models.wan.clip import (CLIPVisionConfig, clip_encode_image,
+                               preprocess_image)
+from ..models.wan.t5 import T5Config, t5_encode
+from ..models.wan.vae import (VAEConfig, vae_encode, vae_decode,
+                              vae_decode_tiled)
+from ..schedulers import FlowMatchScheduler
 
 
 @functools.partial(jax.jit,
@@ -124,15 +132,6 @@ def _final_step(params, scan_params, cfg, latents, t_last, sigma, sigma_next,
     latents = (latents.astype(jnp.float32) + pred.astype(jnp.float32)
                * (sigma_next - sigma)).astype(latents.dtype)
     return latents, prediction
-from ..models.wan import dit as dit_mod
-from ..models.wan.camera import (CameraPoseEncoderConfig,
-                                 camera_pose_encoder_apply)
-from ..models.wan.clip import (CLIPVisionConfig, clip_encode_image,
-                               preprocess_image)
-from ..models.wan.t5 import T5Config, t5_encode
-from ..models.wan.vae import (VAEConfig, vae_encode, vae_decode,
-                              vae_decode_tiled)
-from ..schedulers import FlowMatchScheduler
 
 
 @dataclasses.dataclass
@@ -404,6 +403,20 @@ class FantasyWorldPipeline:
         ts = jnp.asarray(sched.timesteps)
 
         if sliding_window_size is not None:
+            # the windowed path supports neither TeaCache nor segment
+            # checkpoints; dropping explicitly-requested options silently
+            # (pre-r4 behavior) corrupted expectations on exactly the long
+            # runs that need them -- fail loudly instead
+            unsupported = [n for n, v in (
+                ("tea_cache_l1_thresh", tea_cache_l1_thresh),
+                ("segment_size", segment_size),
+                ("gen_ckpt_path", gen_ckpt_path)) if v is not None]
+            if unsupported:
+                raise ValueError(
+                    f"sliding_window_size does not compose with "
+                    f"{', '.join(unsupported)}; drop them or run the "
+                    f"non-windowed path (TemporalTiler covers long videos "
+                    f"there)")
             latents = self._denoise_windowed(
                 params, scan_params, cfg, latents, ts, pairs, ctx, clip2,
                 y2, pl2, cfg_scale, f, height, width,
@@ -492,7 +505,13 @@ class FantasyWorldPipeline:
         if gen_ckpt_path and os.path.exists(gen_ckpt_path):
             data = np.load(gen_ckpt_path)
             if (int(data["n_scan"]) == n_scan
-                    and tuple(data["latents"].shape) == latents.shape):
+                    and tuple(data["latents"].shape) == latents.shape
+                    # a checkpoint from a non-TeaCache run carries no
+                    # residual; resuming a TeaCache run from it would make
+                    # planned-skip steps add a ZERO residual in place of
+                    # the 40-block stack output -- silent corruption.
+                    # Restart from scratch instead (r4 review).
+                    and (not tea or "residual" in data)):
                 start = int(data["step"])
 
                 def restore(x, like):

@@ -262,7 +262,11 @@ class DualModelDenoiser:
         if gen_ckpt_path and os.path.exists(gen_ckpt_path):
             data = np.load(gen_ckpt_path)
             if (int(data["n_scan"]) == n_scan
-                    and tuple(data["latents"].shape) == latents.shape):
+                    and tuple(data["latents"].shape) == latents.shape
+                    # no residual in the file = written without TeaCache;
+                    # resuming a TeaCache run from it would substitute a
+                    # zero residual for the block stack on skip steps
+                    and (not tea or "residual" in data)):
                 start = int(data["step"])
 
                 def restore(x, like):

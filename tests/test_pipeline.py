@@ -272,3 +272,26 @@ def test_denoise_bf16_production_dtype():
     assert lat.dtype == jnp.bfloat16
     assert bool(jnp.isfinite(lat.astype(jnp.float32)).all())
     assert pred is not None
+
+
+def test_sliding_window_rejects_uncomposable_options():
+    """The windowed path supports neither TeaCache nor segment
+    checkpoints; pre-r4 it silently dropped them (a preempted multi-hour
+    windowed run would restart from scratch with no warning). It must
+    refuse loudly instead."""
+    import pytest
+    import jax.numpy as jnp
+    pipe, cfg = _tiny_pipe()
+    f, h, w = 3, 64, 64
+    num_frames = 4 * (f - 1) + 1
+    ctx = jnp.zeros((1, 16, 4096), jnp.float32)
+    clip = jnp.zeros((1, 257, 1280), jnp.float32)
+    y = jnp.zeros((1, 20, f, h // 8, w // 8), jnp.float32)
+    for bad_kw in ({"tea_cache_l1_thresh": 0.05},
+                   {"segment_size": 2},
+                   {"gen_ckpt_path": "/tmp/never_written.npz"}):
+        with pytest.raises(ValueError, match="sliding_window_size"):
+            pipe.denoise(ctx, ctx, clip, y, h, w, num_frames=num_frames,
+                         num_inference_steps=2, seed=7,
+                         sliding_window_size=2, sliding_window_stride=1,
+                         **bad_kw)

@@ -67,6 +67,19 @@ def test_shape_checker_and_noise():
     shared, _, _ = runner(NoiseInitializer(), pipe, shared, {}, {})
     assert shared["noise"].shape == (1, 16, 21, 60, 106)
 
+    # TI2V-5B pairs with the 38-block VAE: z=48 on the 16x grid (the 8x
+    # hardcode gave a 4x-too-large noise tensor, r4 review)
+    class _Vae38Cfg:
+        z_dim = 48
+        spatial_down = 16
+
+    pipe38 = _StubPipe()
+    pipe38.vae_cfg = _Vae38Cfg()
+    shared38 = {"height": 480, "width": 848, "num_frames": 81,
+                "cfg_scale": 5.0, "seed": 3}
+    shared38, _, _ = runner(NoiseInitializer(), pipe38, shared38, {}, {})
+    assert shared38["noise"].shape == (1, 48, 21, 30, 53)
+
 
 class _DitCfg:
     in_dim = 36
@@ -176,9 +189,21 @@ def test_image_embedder_clip_gating(monkeypatch):
                                      dict(shared), {}, {})
     assert "clip_feature" not in out
 
-    monkeypatch.setattr(clip_mod, "preprocess_image", lambda x: x)
-    monkeypatch.setattr(clip_mod, "clip_encode_image",
-                        lambda p, cfg, x: jnp.ones((1, 257, 1280)))
+    # the stubs ENFORCE the layout contract instead of erasing it (the r4
+    # review found both CLIP units feeding (H, W, 3) into the strictly-
+    # BCHW preprocess_image, invisible to an identity stub)
+    real_preprocess = clip_mod.preprocess_image
+
+    def fake_preprocess(x):
+        assert x.ndim == 4 and x.shape[1] == 3, x.shape
+        return real_preprocess(x)
+
+    def fake_encode(p, cfg, x):
+        assert x.ndim == 4 and x.shape[1:] == (3, 224, 224), x.shape
+        return jnp.ones((1, 257, 1280))
+
+    monkeypatch.setattr(clip_mod, "preprocess_image", fake_preprocess)
+    monkeypatch.setattr(clip_mod, "clip_encode_image", fake_encode)
     pipe.params["clip"] = {}
     pipe.clip_cfg = None
     out, _, _ = PipelineUnitRunner()(ImageEmbedderCLIP(), pipe,

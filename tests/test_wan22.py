@@ -329,3 +329,55 @@ def test_wan22_hoisted_control_tokens_exact():
     hoisted, _ = joint_forward(params, scan, cfg, latents, t, ctx, None, y,
                                control_tokens=ctok)
     np.testing.assert_array_equal(np.asarray(ref), np.asarray(hoisted))
+
+
+def test_wan22_tea_resume_rejects_non_tea_checkpoint(tmp_path):
+    """A partial-state checkpoint written WITHOUT TeaCache carries no
+    residual; resuming a TeaCache run from it would add a zero residual in
+    place of the whole block stack on skip steps (silent corruption, r4
+    review). The resume gate must instead restart from scratch, giving the
+    same result as a fresh TeaCache run."""
+    import os
+    import jax, jax.numpy as jnp
+    from fantasy_world_tpu.models.fusion.model import init_fusion
+    from fantasy_world_tpu.pipelines.wan_video_22 import DualModelDenoiser
+
+    cfg = _tiny_dual_cfg()
+    params_h = init_fusion(jax.random.PRNGKey(0), cfg, jnp.float32)
+    params_l = init_fusion(jax.random.PRNGKey(1), cfg, jnp.float32)
+    f, h, w = 2, 32, 32
+    ctx_pos = jnp.zeros((1, 10, 32), jnp.float32)
+    ctx_neg = jnp.ones((1, 10, 32), jnp.float32) * 0.01
+    y = jnp.zeros((1, 4, f, h // 8, w // 8), jnp.float32)
+    kw = dict(num_frames=4 * (f - 1) + 1, num_inference_steps=5, seed=7)
+    den = DualModelDenoiser(cfg=cfg, params_high=params_h,
+                            params_low=params_l)
+
+    # write a NON-tea partial checkpoint by dying after the first segment
+    ckpt = str(tmp_path / "gen.npz")
+
+    class Die(RuntimeError):
+        pass
+
+    def die_after_first(done, total):
+        if done >= 2 and done < total:
+            raise Die()
+
+    with pytest.raises(Die):
+        den.denoise(ctx_pos, ctx_neg, y, h, w, segment_size=2,
+                    progress_callback=die_after_first, gen_ckpt_path=ckpt,
+                    **kw)
+    data = np.load(ckpt)
+    assert "residual" not in data       # precondition: non-tea checkpoint
+
+    # fresh tea run (forced skips so the residual actually matters)
+    lat_fresh, _ = den.denoise(ctx_pos, ctx_neg, y, h, w,
+                               tea_cache_l1_thresh=1e9, **kw)
+    # tea run pointed at the non-tea checkpoint must ignore it (restart)
+    lat_resumed, _ = den.denoise(ctx_pos, ctx_neg, y, h, w,
+                                 tea_cache_l1_thresh=1e9, segment_size=2,
+                                 gen_ckpt_path=ckpt, **kw)
+    np.testing.assert_allclose(np.asarray(lat_resumed, np.float32),
+                               np.asarray(lat_fresh, np.float32),
+                               rtol=1e-6, atol=1e-6)
+    assert not os.path.exists(ckpt)
