@@ -103,15 +103,19 @@ def _hub_download(repo_id: str, pattern: str, local_dir: str,
                 from huggingface_hub import snapshot_download
                 snapshot_download(repo_id, allow_patterns=[pattern],
                                   local_dir=local_dir)
-            # flatten single-file nested paths like the reference does
-            if "/" in pattern and "*" not in pattern:
-                src = os.path.join(local_dir, pattern)
-                dst = os.path.join(local_dir, os.path.basename(pattern))
-                if os.path.exists(src) and src != dst:
-                    shutil.move(src, dst)
-                    shutil.rmtree(os.path.join(local_dir,
-                                               pattern.split("/")[0]),
-                                  ignore_errors=True)
+            # flatten nested repo-relative paths like the reference does.
+            # snapshot_download preserves the repo layout under local_dir,
+            # so a directory-qualified pattern (with or without a glob --
+            # e.g. "high_noise_model/diffusion_pytorch_model*.safetensors"
+            # into a local_dir that already ends in high_noise_model) lands
+            # one level too deep; move every match up and drop the shell
+            if "/" in pattern:
+                for src in glob.glob(os.path.join(local_dir, pattern)):
+                    dst = os.path.join(local_dir, os.path.basename(src))
+                    if os.path.abspath(src) != os.path.abspath(dst):
+                        shutil.move(src, dst)
+                shutil.rmtree(os.path.join(local_dir, pattern.split("/")[0]),
+                              ignore_errors=True)
             return
         except Exception as e:                      # noqa: BLE001
             last_err = e
@@ -177,15 +181,18 @@ class ModelConfig:
                           (pattern + "*") if is_folder else pattern,
                           base, priority)
             matches = glob.glob(os.path.join(base, pattern or "*"))
+        # check MATCHES, not self.path: the folder branch builds a
+        # non-empty string even when nothing exists on disk, which used to
+        # defeat this error and fail later with a confusing glob/open error
+        if not matches:
+            raise FileNotFoundError(
+                f"no files matching {pattern!r} under {base}")
         if is_folder:
             self.path = os.path.join(base, pattern)
         else:
             self.path = sorted(matches)
             if len(self.path) == 1:
                 self.path = self.path[0]
-        if not self.path:
-            raise FileNotFoundError(
-                f"no files matching {pattern!r} under {base}")
 
 
 def resolve_ckpt_dir(ckpt_dir: str, preset: str = "Wan2.1-I2V-14B-480P",
@@ -201,4 +208,18 @@ def resolve_ckpt_dir(ckpt_dir: str, preset: str = "Wan2.1-I2V-14B-480P",
         raise FileNotFoundError(f"{ckpt_dir} missing and auto-download off")
     root = os.path.dirname(ckpt_dir.rstrip("/")) or "."
     download_models([preset], local_model_path=root)
-    return ckpt_dir
+    # the preset downloads into root/<preset subdir>; when the caller's
+    # basename differs, returning ckpt_dir unchanged pointed the sampler
+    # at a still-empty directory -- re-validate and return where the
+    # files actually are
+    for cand in (ckpt_dir, os.path.join(root, preset)):
+        if os.path.isdir(cand) and (
+                os.path.exists(os.path.join(
+                    cand, "models_t5_umt5-xxl-enc-bf16.pth"))
+                or glob.glob(os.path.join(cand, "*.safetensors"))
+                or glob.glob(os.path.join(cand, "*.pth"))
+                or glob.glob(os.path.join(cand, "*.pt"))):
+            return cand
+    raise FileNotFoundError(
+        f"downloaded preset {preset!r} but neither {ckpt_dir} nor "
+        f"{os.path.join(root, preset)} contains its files")

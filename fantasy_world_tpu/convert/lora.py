@@ -57,7 +57,12 @@ def resolve_lora_targets(sd: Mapping, lora_keys) -> Dict[str, str]:
         name = layer.split("lora_unet_")[-1].lstrip("_")
         target = flat_index.get(name)
         if target is None:
-            cands = [v for k, v in flat_index.items() if k.endswith(name)]
+            # suffix fallback with a token boundary: bare endswith would
+            # let "attn_q" match mid-token into "cross_attn_q" AND
+            # "self_attn_q" (dropping both) or worse, uniquely match an
+            # unrelated key and merge the delta into the wrong weight
+            cands = [v for k, v in flat_index.items()
+                     if k.endswith("_" + name)]
             target = cands[0] if len(cands) == 1 else None
         if target is not None:
             out[layer] = target
@@ -72,6 +77,12 @@ def merge_lora_into_state_dict(sd: Dict[str, np.ndarray],
     updates = defaultdict(dict)
     for key, value in lora_sd.items():
         key = _normalize_key(key)
+        if "." not in key:
+            # unrecognized element suffix (dora_scale, .diff, ...): count
+            # it as an unmatched layer like the reference loader instead
+            # of crashing the whole merge on the unpack below
+            updates[key]
+            continue
         layer, elem = key.split(".", 1)
         updates[layer][elem] = np.asarray(value)
 

@@ -37,8 +37,12 @@ class ModelManager:
     """load_models(paths) -> fetch_model(name) over converted param trees."""
 
     def __init__(self):
-        # name -> (config_obj_or_None, params)
-        self.models: Dict[str, Tuple[object, Dict]] = {}
+        # name -> [(config_obj_or_None, params), ...] in load order: two
+        # checkpoints of one architecture (the wan22 dual 14B experts both
+        # hash-detect as wan_video_dit) must coexist, matching the
+        # reference's list-of-models + fetch_model(index=...) semantics
+        # (wan22 model_manager.py:383-415)
+        self.models: Dict[str, List[Tuple[object, Dict]]] = {}
 
     # -- loading --------------------------------------------------------------
 
@@ -85,7 +89,7 @@ class ModelManager:
                  for k, v in sd.items()})
         else:                                        # pragma: no cover
             raise KeyError(name)
-        self.models[name] = (cfg, params)
+        self.models.setdefault(name, []).append((cfg, params))
         return name
 
     def load_models(self, paths: Sequence[Union[str, Sequence[str]]]
@@ -94,10 +98,22 @@ class ModelManager:
 
     # -- serving ----------------------------------------------------------------
 
-    def fetch_model(self, name: str) -> Tuple[object, Dict]:
+    def fetch_model(self, name: str, index: Optional[int] = None
+                    ) -> Union[Tuple[object, Dict],
+                               List[Tuple[object, Dict]]]:
+        """index=None -> the first loaded (cfg, params) pair (the
+        reference's behavior, with its warning when several match);
+        index=N -> the first N pairs as a list (dual-DiT flow,
+        wan22 model_manager.py:400-407)."""
         if name not in self.models:
             raise KeyError(f"{name} not loaded; have {sorted(self.models)}")
-        return self.models[name]
+        entries = self.models[name]
+        if index is not None:
+            return entries[:index]
+        if len(entries) > 1:
+            print(f"More than one {name} loaded; using the first of "
+                  f"{len(entries)} (pass index=N for the list)")
+        return entries[0]
 
     def fetch_params(self, name: str) -> Dict:
         return self.fetch_model(name)[1]

@@ -112,7 +112,12 @@ def convert_checkpoint_file(path: str, out_dir: Optional[str] = None,
     elif name == "wan_video_text_encoder":
         tree = convert_t5(sd)
     elif name == "wan_video_image_encoder":
-        tree = convert_clip_vision(sd)
+        # the raw checkpoint carries bare 'visual.*' keys; 'model.visual.*'
+        # only appears in from_civitai-renamed dicts (manager.py uses the
+        # bare prefix for the same file -- the two paths used to diverge)
+        pr = ("visual." if "visual.patch_embedding.weight" in sd
+              else "model.visual.")
+        tree = convert_clip_vision(sd, prefix=pr)
     else:
         raise KeyError(name)
     tree = cast_tree(tree, dtype)

@@ -41,11 +41,9 @@ def _attn_block(sd, pre):
 
 
 def _resample(sd, pre, kind):
-    p = {}
-    if kind in ("up3d", "up2d"):
-        p["resample_conv"] = _conv(sd, pre + ".resample.1")
-    else:
-        p["resample_conv"] = _conv(sd, pre + ".resample.1")
+    # every Resample variant keys its conv at .resample.1 (up: after the
+    # Upsample module; down: after the ZeroPad2d); only 3d adds time_conv
+    p = {"resample_conv": _conv(sd, pre + ".resample.1")}
     if kind in ("up3d", "down3d"):
         p["time_conv"] = _conv(sd, pre + ".time_conv")
     return p

@@ -180,9 +180,21 @@ def adjust_intrinsic_matrix_rot90(intri_opencv, image_width, image_height,
 
 
 def adjust_track_rot90(track, image_width, image_height, clockwise):
+    """(N, 2) pixel tracks under a 90-degree image rotation.
+
+    DELIBERATE DEVIATION from the reference (utils.py:785-790): the
+    reference's clockwise branch applies (x, y) -> (y, W-1-x), which is
+    the COUNTERclockwise pixel map -- inconsistent with its own
+    adjust_intrinsic_matrix_rot90 / rotate_image_and_depth_rot90 pair
+    ((u, v) -> (H-1-v, u) for clockwise), so rotating a sample with
+    track=... puts every track point 180 degrees from the pixel it
+    annotates. Here the branches agree with the image/intrinsic maps;
+    tests pin track-vs-projection consistency through a full rotation."""
     if clockwise:
-        return np.stack((track[:, 1], image_width - 1 - track[:, 0]), axis=-1)
-    return np.stack((image_height - 1 - track[:, 1], track[:, 0]), axis=-1)
+        # (x, y) -> (H - 1 - y, x), matching the image/intrinsic maps
+        return np.stack((image_height - 1 - track[:, 1], track[:, 0]),
+                        axis=-1)
+    return np.stack((track[:, 1], image_width - 1 - track[:, 0]), axis=-1)
 
 
 def rotate_90_degrees(image, depth_map, extri_opencv, intri_opencv,

@@ -367,3 +367,90 @@ def test_depth_png_roundtrip_and_readers(tmp_path):
     with pytest.raises(IOError, match="failed to read"):
         read_image_retry(str(tmp_path / "absent.png"), retries=2,
                          delay_s=0.0)
+
+
+def test_hub_download_flattens_directory_glob(tmp_path, monkeypatch):
+    """snapshot_download preserves repo-relative layout, so a pattern like
+    'high_noise_model/diffusion_pytorch_model*.safetensors' into a
+    local_dir that already ends in high_noise_model used to land one level
+    too deep and return no paths (r4 review). The flatten must now cover
+    glob patterns, not just single files."""
+    import sys
+    import types
+    from fantasy_world_tpu.convert import downloader
+
+    def fake_snapshot_download(repo_id, allow_patterns=None, local_dir=None):
+        # the real hub writes files at local_dir/<repo-relative-path>
+        pat = allow_patterns[0]
+        sub = os.path.join(local_dir, os.path.dirname(pat))
+        os.makedirs(sub, exist_ok=True)
+        for i in (1, 2):
+            with open(os.path.join(
+                    sub, f"diffusion_pytorch_model-{i}.safetensors"),
+                    "w") as fh:
+                fh.write("x")
+
+    fake_hub = types.ModuleType("huggingface_hub")
+    fake_hub.snapshot_download = fake_snapshot_download
+    monkeypatch.setitem(sys.modules, "huggingface_hub", fake_hub)
+    monkeypatch.setattr(downloader, "_have_hub",
+                        lambda r: r == "huggingface")
+
+    local_dir = str(tmp_path / "Wan2.2" / "high_noise_model")
+    os.makedirs(local_dir)
+    downloader._hub_download(
+        "PAI/x", "high_noise_model/diffusion_pytorch_model*.safetensors",
+        local_dir, priority=("huggingface",))
+    got = sorted(os.listdir(local_dir))
+    assert got == ["diffusion_pytorch_model-1.safetensors",
+                   "diffusion_pytorch_model-2.safetensors"], got
+
+
+def test_model_config_folder_pattern_missing_raises(tmp_path):
+    """A folder origin_file_pattern with nothing on disk must raise the
+    'no files matching' error, not set a dangling path (r4 review)."""
+    from fantasy_world_tpu.convert.downloader import ModelConfig
+    mc = ModelConfig(model_id="x/y", origin_file_pattern="google/umt5-xxl/",
+                     local_model_path=str(tmp_path), skip_download=True)
+    with pytest.raises(FileNotFoundError, match="no files matching"):
+        mc.download_if_necessary()
+
+
+def test_model_manager_keeps_multiple_same_arch(monkeypatch):
+    """Two checkpoints of one architecture (the wan22 dual 14B experts
+    both hash-detect as wan_video_dit) must coexist; pre-r4 the second
+    silently overwrote the first. Mirrors the reference's list +
+    fetch_model(index=N) semantics (wan22 model_manager.py:383-415)."""
+    from fantasy_world_tpu.convert import manager as mgr_mod
+    import fantasy_world_tpu.convert.wan_dit as wd
+    monkeypatch.setattr(mgr_mod, "detect",
+                        lambda sd: ("wan_video_dit", {}))
+    monkeypatch.setattr(wd, "convert_wan_dit", lambda sd, cfg: dict(sd))
+    m = mgr_mod.ModelManager()
+    m.load_model({"w": np.ones(1)})      # "high-noise expert"
+    m.load_model({"w": np.zeros(1)})     # "low-noise expert"
+    both = m.fetch_model("wan_video_dit", index=2)
+    assert len(both) == 2
+    assert both[0][1]["w"][0] == 1.0 and both[1][1]["w"][0] == 0.0
+    cfg, params = m.fetch_model("wan_video_dit")   # first, like the ref
+    assert params["w"][0] == 1.0
+
+
+def test_track_rot90_consistent_with_image_rotation():
+    """A track point must follow the pixel it annotates through rot90.
+    The reference's own adjust_track_rot90 branches are swapped relative
+    to its image/intrinsic maps (utils.py:785-790 vs 735-760) -- a
+    deliberate-deviation fix here; the cw->ccw roundtrip test alone
+    passes even with the branches swapped, so pin content-following."""
+    from fantasy_world_tpu.hostops import geometry_train as gt
+
+    H, W = 6, 9
+    img = np.zeros((H, W, 3), np.float32)
+    x, y = 7, 2
+    img[y, x] = 1.0
+    depth = np.zeros((H, W), np.float32)
+    for clockwise in (True, False):
+        rot_img, _ = gt.rotate_image_and_depth_rot90(img, depth, clockwise)
+        (nx, ny), = gt.adjust_track_rot90(
+            np.array([[x, y]], np.float64), W, H, clockwise)
+        assert rot_img[int(ny), int(nx), 0] == 1.0, (clockwise, nx, ny)
