@@ -107,7 +107,6 @@ def load_expert(wan_ckpt_path: str, origin_pattern: str, lora_path: str,
 
 
 def run(args) -> None:
-    import contextlib
     import time
 
     import jax
@@ -142,8 +141,8 @@ def run(args) -> None:
         end_image = (np.asarray(eimg.resize((args.width, args.height)))
                      / 255.0 * 2 - 1).astype(np.float32)
 
-    trace_ctx = (jax.profiler.trace(args.profile_dir)
-                 if args.profile_dir else contextlib.nullcontext())
+    from ..utils.observability import profile_trace
+    trace_ctx = profile_trace(args.profile_dir)
     progress = None
     if args.segment_size:
         progress = lambda done, total: print(

@@ -240,9 +240,13 @@ def _data_batches(pipe, args, with_plucker=True):
         clip = clips[i % len(clips)]
         i += 1
         src = os.path.join(clip, "video.mp4")
-        if not os.path.exists(src):
-            src = os.path.join(clip, "frames")
-        video = VideoData(src, height=args.height, width=args.width)
+        if os.path.exists(src):
+            video = VideoData(src, height=args.height, width=args.width)
+        else:
+            # frames/ image-folder mode: must bind image_folder, not
+            # video_file (imageio.get_reader rejects a directory)
+            video = VideoData(image_folder=os.path.join(clip, "frames"),
+                              height=args.height, width=args.width)
         n = min(len(video), args.frames)
         frames = np.stack([np.asarray(video[j]) for j in range(n)])
         with open(os.path.join(clip, "prompt.txt")) as f:
@@ -289,20 +293,19 @@ def _pp_batches(cfg, args, mesh):
                for k, v in batch.items()}
 
 
-def _pp_data_batches(pipe, args, mesh):
-    """Real-clip PP batches: stack pipe_microbatches x mesh_data
-    single-clip batches from training/data.py (the pipeline's frozen
-    VAE/T5/CLIP encoders) into one batch with PER-SAMPLE sigma, dropping
-    the plucker conditioning -- the plain DiT trained here has no camera
-    adapters (split_dit_trainable would reject such a config anyway)."""
+def _stacked_data_batches(pipe, args, mesh, B, with_plucker):
+    """Stack B single-clip batches from training/data.py into one
+    data-sharded batch with PER-SAMPLE sigma. Shared by the PP trainer
+    (plucker dropped -- the plain DiT has no camera adapters) and the
+    GSPMD trainer when --mesh_data > 1 (which previously fed B=1 batches
+    into a data-parallel mesh, idling data-axis devices; r4 review)."""
     import jax
     import jax.numpy as jnp
     from jax.sharding import NamedSharding, PartitionSpec as P
 
     from ..utils.observability import get_logger
-    log = get_logger("train.pp")
-    inner = _data_batches(pipe, args, with_plucker=False)
-    B = args.pipe_microbatches * max(1, args.mesh_data)
+    log = get_logger("train.batch")
+    inner = _data_batches(pipe, args, with_plucker=with_plucker)
     sharding = NamedSharding(mesh, P("data"))
     # the expected latent geometry follows from --frames, NOT from
     # whichever clip happens to come first (a short first clip must not
@@ -338,7 +341,10 @@ def _pp_data_batches(pipe, args, mesh):
     while True:
         parts = [next_uniform() for _ in range(B)]
         batch = {}
-        for k in ("clean_latents", "noise", "context", "clip_feature", "y"):
+        keys = ["clean_latents", "noise", "context", "clip_feature", "y"]
+        if with_plucker:
+            keys.append("plucker_fea")
+        for k in keys:
             vals = [p.get(k) for p in parts]
             if any(v is None for v in vals):
                 continue
@@ -352,6 +358,14 @@ def _pp_data_batches(pipe, args, mesh):
         batch["sigma"] = jnp.stack(
             [jnp.asarray(p["sigma"]) for p in parts]).reshape(B, 1, 1, 1, 1)
         yield batch
+
+
+def _pp_data_batches(pipe, args, mesh):
+    """Real-clip PP batches: pipe_microbatches x mesh_data clips per batch
+    (see _stacked_data_batches)."""
+    return _stacked_data_batches(
+        pipe, args, mesh, args.pipe_microbatches * max(1, args.mesh_data),
+        with_plucker=False)
 
 
 def _run_pipe(args) -> None:
@@ -554,8 +568,14 @@ def run(args) -> None:
             step_fn = jax.jit(make_train_step(cfg, opt, mesh=mesh,
                                               remat=not args.no_remat),
                               donate_argnums=(0, 1))
-        batches = (_synthetic_batches(cfg, args, mesh) if args.synthetic
-                   else _data_batches(pipe, args))
+        if args.synthetic:
+            batches = _synthetic_batches(cfg, args, mesh)
+        elif args.mesh_data > 1:
+            batches = _stacked_data_batches(pipe, args, mesh,
+                                            args.mesh_data,
+                                            with_plucker=True)
+        else:
+            batches = _data_batches(pipe, args)
         loss_val = _train_loop(args, step_fn, batches, trainable, opt_state,
                                start, ckpt, root, log)
     print(f"train done: {args.steps - start} step(s), final loss "

@@ -172,7 +172,11 @@ class FantasyWorldSampler:
         seeds = seeds if seeds is not None else list(range(B))
         assert len(images) == B and len(seeds) == B
 
-        ctx_p, ctx_n, clips, ys, pls = [], [], [], [], []
+        # one umT5-XXL forward for the shared negative prompt, tiled to B
+        # (it is identical across the batch by construction; encoding it
+        # per clip was B-1 wasted multi-second T5 calls)
+        ctx_n1 = self.pipe.encode_prompt(neg_prompt)
+        ctx_p, clips, ys, pls = [], [], [], []
         for i in range(B):
             img = np.asarray(PILImage.fromarray(
                 (images[i] * 255).astype(np.uint8)).resize(
@@ -187,11 +191,11 @@ class FantasyWorldSampler:
             clips.append(emb["clip_feature"])
             ys.append(emb["y"])
             ctx_p.append(self.pipe.encode_prompt(prompts[i]))
-            ctx_n.append(self.pipe.encode_prompt(neg_prompt))
 
         cat = lambda xs: jnp.concatenate(xs, axis=0)
+        ctx_n = jnp.concatenate([ctx_n1] * B, axis=0)
         latents, prediction = self.pipe.denoise(
-            cat(ctx_p), cat(ctx_n), cat(clips), cat(ys), height, width,
+            cat(ctx_p), ctx_n, cat(clips), cat(ys), height, width,
             num_frames=num_frames, num_inference_steps=sample_steps,
             cfg_scale=cfg_scale, seed=seeds,
             plucker_fea=cat(pls) if pls else None, mesh=mesh,
@@ -268,8 +272,11 @@ class Wan22Sampler:
                                  ("fusion_high", "fusion_low", "vae", "t5"))
             params_high = cast_tree(bundle["fusion_high"], dtype)
             params_low = cast_tree(bundle["fusion_low"], dtype)
-            shared = {"fusion": params_high,
-                      "vae": cast_tree(bundle["vae"], dtype),
+            # encoders only: denoising runs through DualModelDenoiser's
+            # own scan trees; putting an expert under 'fusion' would make
+            # the pipeline build an unused ~28 GB stacked scan copy that
+            # also dodges quantize()/shard() (r4 review)
+            shared = {"vae": cast_tree(bundle["vae"], dtype),
                       "t5": cast_tree(bundle["t5"], dtype)}
         else:
             from .convert.wan_vae import convert_wan_vae
@@ -295,7 +302,6 @@ class Wan22Sampler:
             t5_sd = load_torch_state_dict(os.path.join(
                 ckpt_dir, "models_t5_umt5-xxl-enc-bf16.pth"))
             shared = {
-                "fusion": params_high,
                 "vae": cast_tree(convert_wan_vae(
                     {("model." + k) if not k.startswith("model.") else k: v
                      for k, v in vae_sd.items()}), dtype),

@@ -34,7 +34,8 @@ from typing import Callable, Dict, List, Optional
 
 
 BATCH_KEY_FIELDS = ("height", "width", "num_frames", "sample_steps",
-                    "cfg_scale", "neg_prompt", "tea_cache_l1_thresh")
+                    "cfg_scale", "neg_prompt", "tea_cache_l1_thresh",
+                    "using_scale")
 
 DEFAULTS = {
     "neg_prompt": "", "height": 336, "width": 592, "num_frames": 81,
@@ -56,8 +57,13 @@ class Job:
     progress: Optional[Dict] = None   # {"done": N, "total": M} while running
 
     def batch_key(self):
+        # camera presence is part of the key: the batch_fn requires all-or-
+        # none camera jobs, so mixing them used to error the whole batch;
+        # using_scale is in BATCH_KEY_FIELDS for the same reason (one
+        # False job silently disabled scale-norm for its batchmates)
         return tuple(self.request.get(k, DEFAULTS.get(k))
-                     for k in BATCH_KEY_FIELDS)
+                     for k in BATCH_KEY_FIELDS) \
+            + (bool(self.request.get("camera_json")),)
 
     def public(self) -> Dict:
         out = {"job_id": self.id, "status": self.status,

@@ -458,9 +458,16 @@ def load_or_compile(fn: Callable, args: Sequence[Any], *, name: str,
         with open(path, "wb") as fh:
             pickle.dump((n_dev, se.serialize(compiled)), fh)
         if prune_stale:
+            # match the fingerprint suffix exactly: a bare aot_{name}_*
+            # glob also matches LONGER names sharing the prefix (e.g.
+            # 'bench_tea_hit' would delete 'bench_tea_hit_int8's valid
+            # entry on every save, re-paying its ~340 s compile)
+            import re
+            pat = re.compile(
+                rf"^aot_{re.escape(name)}_[0-9a-f]{{{len(fp)}}}\.pkl$")
             for stale in glob.glob(
                     os.path.join(cache_dir, f"aot_{name}_*.pkl")):
-                if stale != path:
+                if stale != path and pat.match(os.path.basename(stale)):
                     os.remove(stale)
         say(f"{name}: compiled + serialized AOT executable ({fp})")
     except Exception as e:

@@ -179,3 +179,19 @@ def test_make_batch_fn22_per_job_loop(tmp_path):
     assert jobs[0].progress == jobs[1].progress == {"done": 1, "total": 3}
     assert all(o["frames"] == 5 for o in out)
     assert {o["output_dir"].rsplit("/", 1)[-1] for o in out} == {"j0", "j1"}
+
+
+def test_camera_and_scale_split_batches():
+    """camera_json presence and using_scale are batch-key fields: mixing
+    them used to make the camera-aware batch_fn error the WHOLE batch
+    (all-or-none camera check) or silently disable scale-norm for
+    batchmates (r4 review)."""
+    from fantasy_world_tpu.serving.server import Job
+
+    base = {"prompt": "p", "image_path": "i.png", "height": 64, "width": 64}
+    j_cam = Job(id="1", request={**base, "camera_json": "c.json"})
+    j_plain = Job(id="2", request=dict(base))
+    j_noscale = Job(id="3", request={**base, "using_scale": False})
+    assert j_cam.batch_key() != j_plain.batch_key()
+    assert j_noscale.batch_key() != j_plain.batch_key()
+    assert Job(id="4", request=dict(base)).batch_key() == j_plain.batch_key()
