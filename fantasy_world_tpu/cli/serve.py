@@ -61,7 +61,55 @@ def parse_args(argv=None):
                    help="quantize the denoiser hot path before serving "
                         "(int8 w8a8 MXU fast path / fp8 storage, "
                         "core/quant.py)")
+    p.add_argument("--auth_token", type=str, default=None,
+                   help="require 'Authorization: Bearer <token>' on the "
+                        "generate/jobs endpoints")
+    p.add_argument("--io_root", type=str, default=None,
+                   help="restrict request file paths (image_path, "
+                        "camera_json, output_dir) to this directory -- "
+                        "requests carry raw filesystem paths, so set this "
+                        "(plus --auth_token) for any non-loopback --host")
     return p.parse_args(argv)
+
+
+def make_validate_fn(args):
+    """Per-job POST-time validation: reject malformed jobs with a 400
+    instead of letting them error their whole batch at run time, and
+    enforce the --io_root path sandbox."""
+
+    def _inside(path):
+        if args.io_root is None:
+            return True
+        root = os.path.realpath(args.io_root)
+        return os.path.realpath(path).startswith(root + os.sep)
+
+    def validate(req):
+        img = req.get("image_path")
+        if not isinstance(img, str) or not img:
+            return "'image_path' is required"
+        if not _inside(img):
+            return "image_path outside --io_root"
+        if not os.path.isfile(img):
+            return f"image_path not found: {img}"
+        cam = req.get("camera_json")
+        if cam is not None:
+            if not isinstance(cam, str) or not _inside(cam):
+                return "camera_json outside --io_root"
+            if not os.path.isfile(cam):
+                return f"camera_json not found: {cam}"
+        out_dir = req.get("output_dir")
+        if out_dir is not None and not _inside(out_dir):
+            return "output_dir outside --io_root"
+        seed = req.get("seed")
+        if seed is not None and not isinstance(seed, int):
+            return "'seed' must be an integer"
+        for k in ("height", "width", "num_frames", "sample_steps"):
+            v = req.get(k)
+            if v is not None and (not isinstance(v, int) or v <= 0):
+                return f"'{k}' must be a positive integer"
+        return None
+
+    return validate
 
 
 def make_batch_fn(sampler, args, mesh=None):
@@ -205,10 +253,16 @@ def main(argv=None) -> None:
         if mesh is not None:
             sampler.pipe.shard(mesh)
         batch_fn = make_batch_fn(sampler, args, mesh)
+    if args.host not in ("127.0.0.1", "localhost", "::1") \
+            and not (args.auth_token and args.io_root):
+        print("WARNING: non-loopback --host without --auth_token/--io_root: "
+              "requests carry raw filesystem paths", flush=True)
     server = GenerationServer(batch_fn,
                               host=args.host, port=args.port,
                               max_batch=args.max_batch,
-                              linger_s=args.linger_s)
+                              linger_s=args.linger_s,
+                              validate_fn=make_validate_fn(args),
+                              auth_token=args.auth_token)
     print(f"serving on http://{args.host}:{server.port}  "
           f"(max_batch={args.max_batch}, linger={args.linger_s}s)",
           flush=True)

@@ -94,14 +94,27 @@ class BatchWorker(threading.Thread):
         self.linger_s = linger_s
         self.queue: "queue.Queue[Optional[Job]]" = queue.Queue()
         self._pending: List[Job] = []     # same-key jobs deferred to later cycles
-        self._stop = False
+        self._stopping = False
 
     def submit(self, job: Job) -> None:
         self.queue.put(job)
 
     def stop(self) -> None:
-        self._stop = True
+        self._stopping = True
         self.queue.put(None)
+
+    def stranded(self) -> List[Job]:
+        """Jobs still queued/deferred after stop(): the owner marks them
+        terminal so pollers don't wait forever on status 'queued'."""
+        out, self._pending = list(self._pending), []
+        while True:
+            try:
+                j = self.queue.get_nowait()
+            except queue.Empty:
+                break
+            if j is not None:
+                out.append(j)
+        return out
 
     def _take(self, timeout: Optional[float]) -> Optional[Job]:
         try:
@@ -132,7 +145,7 @@ class BatchWorker(threading.Thread):
         while len(batch) < self.max_batch:
             job = self._take(max(0.0, deadline - time.time()))
             if job is None:
-                if self._stop or time.time() >= deadline:
+                if self._stopping or time.time() >= deadline:
                     break
                 continue
             if job.batch_key() == key:
@@ -142,10 +155,10 @@ class BatchWorker(threading.Thread):
         return batch
 
     def run(self) -> None:
-        while not self._stop:
+        while not self._stopping:
             batch = self._drain_batch()
             if not batch:
-                if self._stop:
+                if self._stopping:
                     return
                 continue
             for job in batch:
@@ -169,8 +182,24 @@ class GenerationServer:
     """HTTP front over a BatchWorker + job registry."""
 
     def __init__(self, batch_fn, host: str = "127.0.0.1", port: int = 8000,
-                 max_batch: int = 4, linger_s: float = 0.2):
+                 max_batch: int = 4, linger_s: float = 0.2,
+                 validate_fn: Optional[Callable[[Dict], Optional[str]]] = None,
+                 auth_token: Optional[str] = None,
+                 retention_s: Optional[float] = 3600.0,
+                 max_body_bytes: int = 16 << 20):
+        """validate_fn(request) -> error string | None: per-job validation
+        at POST time, so a malformed job is rejected with a 400 instead of
+        erroring its whole batch at run time (the fault wall in
+        BatchWorker.run is batch-granular). auth_token: require
+        'Authorization: Bearer <token>' on generate/jobs endpoints --
+        mandatory when binding a non-loopback host, since requests carry
+        raw filesystem paths. retention_s: finished jobs older than this
+        are pruned on the next submit (the registry was insert-only)."""
         self.jobs: Dict[str, Job] = {}
+        self.validate_fn = validate_fn
+        self.auth_token = auth_token
+        self.retention_s = retention_s
+        self.max_body_bytes = max_body_bytes
         self._lock = threading.Lock()
         self.worker = BatchWorker(batch_fn, max_batch=max_batch,
                                   linger_s=linger_s)
@@ -180,9 +209,18 @@ class GenerationServer:
 
     # -- job registry ----------------------------------------------------------
 
+    def _prune_locked(self) -> None:
+        if self.retention_s is None:
+            return
+        cut = time.time() - self.retention_s
+        for k in [k for k, j in self.jobs.items()
+                  if j.finished is not None and j.finished < cut]:
+            del self.jobs[k]
+
     def submit(self, request: Dict) -> Job:
         job = Job(id=uuid.uuid4().hex[:12], request=request)
         with self._lock:
+            self._prune_locked()
             self.jobs[job.id] = job
         self.worker.submit(job)
         return job
@@ -208,7 +246,13 @@ class GenerationServer:
 
     def shutdown(self) -> None:
         self.httpd.shutdown()
+        self.httpd.server_close()       # release the listen socket NOW
         self.worker.stop()
+        if self.worker.is_alive():
+            self.worker.join(timeout=5.0)   # let an in-flight batch finish
+        for job in self.worker.stranded():
+            job.status, job.error = "error", "server shutdown"
+            job.finished = time.time()
 
     # -- http -------------------------------------------------------------------
 
@@ -224,25 +268,53 @@ class GenerationServer:
                 self.end_headers()
                 self.wfile.write(body)
 
+            def _authorized(self) -> bool:
+                if server.auth_token is None:
+                    return True
+                return (self.headers.get("Authorization", "")
+                        == f"Bearer {server.auth_token}")
+
             def do_POST(self):
-                if self.path != "/v1/generate":
+                from urllib.parse import urlsplit
+                if urlsplit(self.path).path != "/v1/generate":
                     return self._send(404, {"error": "not found"})
+                if not self._authorized():
+                    return self._send(401, {"error": "unauthorized"})
                 try:
                     n = int(self.headers.get("Content-Length", "0"))
+                except ValueError:
+                    return self._send(400, {"error": "bad content-length"})
+                if n < 0 or n > server.max_body_bytes:
+                    # negative would make read() block to EOF; huge would
+                    # buffer the whole body before json.loads
+                    return self._send(413, {
+                        "error": f"body must be 0..{server.max_body_bytes} "
+                                 f"bytes"})
+                try:
                     req = json.loads(self.rfile.read(n) or b"{}")
                 except (ValueError, json.JSONDecodeError) as e:
                     return self._send(400, {"error": f"bad json: {e}"})
                 if not isinstance(req, dict) or "prompt" not in req:
                     return self._send(400, {"error": "'prompt' is required"})
+                if server.validate_fn is not None:
+                    err = server.validate_fn(req)
+                    if err:
+                        return self._send(400, {"error": err})
                 job = server.submit(req)
                 self._send(202, {"job_id": job.id, "status": job.status})
 
             def do_GET(self):
-                if self.path == "/v1/health":
+                # strip query strings: polling clients append cache-busting
+                # params, which used to 404 an existing job
+                from urllib.parse import urlsplit
+                path = urlsplit(self.path).path
+                if path == "/v1/health":
                     return self._send(200, {"ok": True,
                                             "queued": server.queued_count()})
-                if self.path.startswith("/v1/jobs/"):
-                    job = server.get(self.path.rsplit("/", 1)[1])
+                if path.startswith("/v1/jobs/"):
+                    if not self._authorized():
+                        return self._send(401, {"error": "unauthorized"})
+                    job = server.get(path.rsplit("/", 1)[1])
                     if job is None:
                         return self._send(404, {"error": "unknown job"})
                     return self._send(200, job.public())
