@@ -1054,6 +1054,37 @@ def main():
             log(f"tea hit {variant} failed "
                 f"({type(e).__name__}: {str(e)[:200]})")
             gc.collect()
+    # int8 at the wan22 geometry (optional last phase, budget-guarded):
+    # mirrors the wan21 int8 treatment -- its own 3-point fit, speedup vs
+    # bf16, and a deep point 2x outside the training range validating the
+    # second geometry's extrapolation at int8 like deep_holdout does for
+    # wan21 (the previous evidence was a single 5-block spot measurement)
+    if budget_left():
+        measured_q22 = []
+        run_family("wan22",
+                   [(f"int8_{n}", l, s) for n, l, s in POINTS22[:3]],
+                   None, quant=True, dest=measured_q22)
+        if len(measured_q22) >= 2:
+            full_q22, fit_q22, predict_q22 = extrapolate(measured_q22,
+                                                         "wan22")
+            points["wan22"]["int8_full_s"] = round(float(full_q22), 4)
+            points["wan22"]["int8_fit"] = fit_q22
+            if points["wan22"].get("value"):
+                points["wan22"]["int8_speedup"] = round(
+                    float(points["wan22"]["value"]) / float(full_q22), 3)
+            if budget_left(scale=2.5):
+                t_deep = run_point("int8_w22_deep8", 8, 4, "wan22",
+                                   quant=True)
+                if t_deep is not None:
+                    pred = predict_q22(4, 4)
+                    points["wan22"]["deep_holdout_int8"] = {
+                        "blocks": 8, "pcb": 4, "irg": 4,
+                        "precision": "int8",
+                        "measured_s": round(t_deep, 4),
+                        "predicted_s": round(float(pred), 4),
+                        "residual_pct": round(
+                            abs(float(pred) - t_deep) / t_deep * 100.0, 2),
+                    }
     # r3 semantics: partial == the HEADLINE fit is underdetermined (<2
     # wan21 points); missing optional phases show as absent points keys
     emit_now(partial=len(measured["wan21"]) < 2)
