@@ -1002,6 +1002,20 @@ def main():
             }
     emit_now(partial=True)
     run_family("wan22", POINTS22, HOLDOUT22)
+    # second wan22 holdout in the UP direction (pcb=2, irg=4): the of-
+    # record holdout (3,1) extrapolates DOWN below the fitted irg range
+    # [2,3] and reads ~3.5-3.9% there, while the family's four points
+    # agree internally to 0.02% -- the headline extrapolates UP, so pin
+    # that direction in bf16 too (int8 deep8 already validates it at int8)
+    if budget_left(scale=2.0):
+        name, nl, si = ("w22_holdout_up", 6, 2)
+        t_up = run_point(name, nl, si, "wan22")
+        if t_up is not None and len(measured["wan22"]) >= 3:
+            _, _, predict22 = extrapolate(measured["wan22"], "wan22")
+            pred = float(predict22(si, nl - si))
+            points["wan22"][f"{name}_s"] = round(t_up, 4)
+            points["wan22"]["fit_residual_up_pct"] = round(
+                abs(pred - t_up) / t_up * 100.0, 2)
     emit_now(partial=True)
     if budget_left():
         run_aux("wan21")
