@@ -929,9 +929,13 @@ def main():
             # the TeaCache paper/DiffSynth's documented operating range.
             pts_dest["tea_cache"] = {
                 "hit_step_s": t_hit,
+                # same per-clip constants as projected_clip_seconds (incl.
+                # the once-per-expert adapter for wan22): at r=0 the curve
+                # reproduces the headline projection exactly
                 "clip_seconds_at_skip_rate": {
                     str(r): round(50.0 * ((1.0 - r) * float(full_v)
-                                          + r * t_hit) + vae_s + heads_s, 1)
+                                          + r * t_hit)
+                                  + vae_s + heads_s + 2.0 * ctrl_s, 1)
                     for r in (0.2, 0.4, 0.6)},
                 "note": ("hit = prologue + cached-residual add + head "
                          "(depth-independent, measured on-chip); rate "

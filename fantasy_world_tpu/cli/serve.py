@@ -81,7 +81,8 @@ def make_validate_fn(args):
         if args.io_root is None:
             return True
         root = os.path.realpath(args.io_root)
-        return os.path.realpath(path).startswith(root + os.sep)
+        rp = os.path.realpath(path)
+        return rp == root or rp.startswith(root + os.sep)
 
     def validate(req):
         img = req.get("image_path")
@@ -98,8 +99,11 @@ def make_validate_fn(args):
             if not os.path.isfile(cam):
                 return f"camera_json not found: {cam}"
         out_dir = req.get("output_dir")
-        if out_dir is not None and not _inside(out_dir):
-            return "output_dir outside --io_root"
+        if out_dir is not None:
+            if not isinstance(out_dir, str):
+                return "'output_dir' must be a string"
+            if not _inside(out_dir):
+                return "output_dir outside --io_root"
         seed = req.get("seed")
         if seed is not None and not isinstance(seed, int):
             return "'seed' must be an integer"

@@ -86,10 +86,17 @@ def _have_hub(resource: str) -> bool:
 
 
 def _hub_download(repo_id: str, pattern: str, local_dir: str,
-                  priority: Sequence[str] = ("modelscope", "huggingface")):
+                  priority: Sequence[str] = ("modelscope", "huggingface"),
+                  flatten: bool = True):
     """Fetch files matching ``pattern`` from the first reachable hub.
     Mirrors download_from_{modelscope,huggingface} incl. the flatten-move
-    of nested origin paths (downloader.py:9-36)."""
+    of nested origin paths (downloader.py:9-36).
+
+    flatten: the PRESET tables glob ``local_dir/<basename>`` afterwards,
+    so nested repo-relative paths must be hoisted; ModelConfig callers
+    glob ``base/<full pattern>`` (the repo-relative layout) and pass
+    flatten=False -- hoisting there would move the files out from under
+    the very glob that looks for them (caught by the r4 review)."""
     last_err = None
     for resource in priority:
         if not _have_hub(resource):
@@ -109,7 +116,7 @@ def _hub_download(repo_id: str, pattern: str, local_dir: str,
             # e.g. "high_noise_model/diffusion_pytorch_model*.safetensors"
             # into a local_dir that already ends in high_noise_model) lands
             # one level too deep; move every match up and drop the shell
-            if "/" in pattern:
+            if flatten and "/" in pattern:
                 for src in glob.glob(os.path.join(local_dir, pattern)):
                     dst = os.path.join(local_dir, os.path.basename(src))
                     if os.path.abspath(src) != os.path.abspath(dst):
@@ -179,7 +186,7 @@ class ModelConfig:
                         else ["huggingface", "modelscope"])
             _hub_download(self.model_id,
                           (pattern + "*") if is_folder else pattern,
-                          base, priority)
+                          base, priority, flatten=False)
             matches = glob.glob(os.path.join(base, pattern or "*"))
         # check MATCHES, not self.path: the folder branch builds a
         # non-empty string even when nothing exists on disk, which used to

@@ -78,17 +78,6 @@ def prng_split(rng, num: int = 2):
     return jax.random.split(rng, num)
 
 
-def prng_fold(rng, data: int):
-    """jax.random.fold_in with the same host-int fast path as prng_split:
-    derives a fresh stream from (rng, data) without consuming rng."""
-    import numpy as np
-    if isinstance(rng, (int, np.integer)):
-        return (int(rng) * 6364136223846793005
-                + int(data) * 1442695040888963407 + 0x9E3779B9) \
-            & 0x7FFFFFFFFFFF
-    return jax.random.fold_in(rng, data)
-
-
 def prng_fold_in(rng, data: int):
     import numpy as np
     if isinstance(rng, (int, np.integer)):

@@ -92,10 +92,10 @@ def init_vggt(rng, cfg: VGGTConfig, dtype=jnp.bfloat16) -> Dict:
         p["point_head"] = init_dpt_head(rs[7], cfg.dpt_head(4, "inv_log"), dtype)
     if cfg.enable_track:
         from .track import init_track_head
-        # prng_fold: rs[4] already seeds the aggregator; reusing it verbatim
+        # fold: rs[4] already seeds the aggregator; reusing it verbatim
         # would give the two subtrees identical random streams
-        from ...core.params import prng_fold
-        p["track_head"] = init_track_head(prng_fold(rs[4], 1),
+        from ...core.params import prng_fold_in
+        p["track_head"] = init_track_head(prng_fold_in(rs[4], 1),
                                           cfg.track, cfg.track_dpt, dtype)
     return p
 

@@ -593,11 +593,21 @@ class FantasyWorldPipeline:
 
     def decode_video(self, latents, tiled: bool = False,
                      tile_size=(30, 52), tile_stride=(15, 26)) -> np.ndarray:
-        """latents (1,16,f,h,w) -> uint8 frames (T, H, W, 3)."""
-        if tiled:
-            video = vae_decode_tiled(self.params["vae"], self.vae_cfg,
-                                     latents, tile_size, tile_stride)
+        """latents (1,z,f,h,w) -> uint8 frames (T, H, W, 3). Decodes
+        through whichever VAE the pipe carries: the 2.1 VAE (z=16, 8x) or
+        the 38-block TI2V VAE (z=48, 16x) -- the encode side of the units
+        pipeline already dispatched on vae_cfg, and decoding the 38-block
+        tree with the 2.1 plan would fail only AFTER the full denoise was
+        paid (r4 review)."""
+        if getattr(self.vae_cfg, "spatial_down", 8) == 16:
+            from ..models.wan.vae38 import vae38_decode, vae38_decode_tiled
+            dec, dec_tiled = vae38_decode, vae38_decode_tiled
         else:
-            video = vae_decode(self.params["vae"], self.vae_cfg, latents)
+            dec, dec_tiled = vae_decode, vae_decode_tiled
+        if tiled:
+            video = dec_tiled(self.params["vae"], self.vae_cfg,
+                              latents, tile_size, tile_stride)
+        else:
+            video = dec(self.params["vae"], self.vae_cfg, latents)
         video = np.asarray(video[0].transpose(1, 2, 3, 0), np.float32)
         return np.clip((video + 1) / 2 * 255, 0, 255).astype(np.uint8)

@@ -94,6 +94,9 @@ class BatchWorker(threading.Thread):
         self.linger_s = linger_s
         self.queue: "queue.Queue[Optional[Job]]" = queue.Queue()
         self._pending: List[Job] = []     # same-key jobs deferred to later cycles
+        self._plock = threading.Lock()    # guards _pending: the shutdown
+                                          # path's stranded() drains it
+                                          # while run() may still append
         self._stopping = False
 
     def submit(self, job: Job) -> None:
@@ -106,7 +109,8 @@ class BatchWorker(threading.Thread):
     def stranded(self) -> List[Job]:
         """Jobs still queued/deferred after stop(): the owner marks them
         terminal so pollers don't wait forever on status 'queued'."""
-        out, self._pending = list(self._pending), []
+        with self._plock:
+            out, self._pending = list(self._pending), []
         while True:
             try:
                 j = self.queue.get_nowait()
@@ -125,23 +129,23 @@ class BatchWorker(threading.Thread):
     def _drain_batch(self) -> List[Job]:
         """Block for one job, linger for more, keep only same-key ones;
         different-key jobs go to _pending for the next cycle."""
-        if self._pending:
-            first = self._pending.pop(0)
-        else:
+        with self._plock:
+            first = self._pending.pop(0) if self._pending else None
+        if first is None:
             first = self._take(None)
             if first is None:
                 return []
         batch, key = [first], first.batch_key()
         deadline = time.time() + self.linger_s
-        source = self._pending
         # first scan any deferred jobs, then the live queue until linger ends
-        keep = []
-        for job in source:
-            if len(batch) < self.max_batch and job.batch_key() == key:
-                batch.append(job)
-            else:
-                keep.append(job)
-        self._pending = keep
+        with self._plock:
+            keep = []
+            for job in self._pending:
+                if len(batch) < self.max_batch and job.batch_key() == key:
+                    batch.append(job)
+                else:
+                    keep.append(job)
+            self._pending = keep
         while len(batch) < self.max_batch:
             job = self._take(max(0.0, deadline - time.time()))
             if job is None:
@@ -151,7 +155,8 @@ class BatchWorker(threading.Thread):
             if job.batch_key() == key:
                 batch.append(job)
             else:
-                self._pending.append(job)
+                with self._plock:
+                    self._pending.append(job)
         return batch
 
     def run(self) -> None:
@@ -271,8 +276,10 @@ class GenerationServer:
             def _authorized(self) -> bool:
                 if server.auth_token is None:
                     return True
-                return (self.headers.get("Authorization", "")
-                        == f"Bearer {server.auth_token}")
+                import hmac
+                return hmac.compare_digest(
+                    self.headers.get("Authorization", ""),
+                    f"Bearer {server.auth_token}")
 
             def do_POST(self):
                 from urllib.parse import urlsplit

@@ -454,3 +454,36 @@ def test_track_rot90_consistent_with_image_rotation():
         (nx, ny), = gt.adjust_track_rot90(
             np.array([[x, y]], np.float64), W, H, clockwise)
         assert rot_img[int(ny), int(nx), 0] == 1.0, (clockwise, nx, ny)
+
+
+def test_model_config_folder_download_keeps_nested_layout(tmp_path,
+                                                          monkeypatch):
+    """ModelConfig folder patterns glob base/<full pattern> (repo-relative
+    layout), so _hub_download must NOT flatten for them -- the r4 fix for
+    the preset tables initially flattened here too, moving the files out
+    from under the glob that looks for them."""
+    import sys
+    import types
+    from fantasy_world_tpu.convert import downloader
+    from fantasy_world_tpu.convert.downloader import ModelConfig
+
+    def fake_snapshot_download(repo_id, allow_patterns=None, local_dir=None):
+        pat = allow_patterns[0]
+        sub = os.path.join(local_dir, os.path.dirname(pat))
+        os.makedirs(sub, exist_ok=True)
+        with open(os.path.join(sub, "spiece.model"), "w") as fh:
+            fh.write("x")
+
+    fake_hub = types.ModuleType("huggingface_hub")
+    fake_hub.snapshot_download = fake_snapshot_download
+    monkeypatch.setitem(sys.modules, "huggingface_hub", fake_hub)
+    monkeypatch.setattr(downloader, "_have_hub",
+                        lambda r: r == "huggingface")
+
+    mc = ModelConfig(model_id="x/y", origin_file_pattern="google/umt5-xxl/",
+                     local_model_path=str(tmp_path),
+                     download_resource="HuggingFace")
+    mc.download_if_necessary()
+    assert os.path.isfile(os.path.join(
+        str(tmp_path), "x/y/google/umt5-xxl/spiece.model"))
+    assert mc.path == os.path.join(str(tmp_path), "x/y", "google/umt5-xxl/")
