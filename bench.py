@@ -416,8 +416,95 @@ def time_tea_hit(variant="wan21"):
 # run), and a SIGTERM handler (what `timeout` sends first) flushes the
 # best-so-far record to stdout so even a driver-side kill yields a
 # parseable final line.
+#
+# r5 (VERDICT r4 weak-#1/next-#1): the driver captures only a 2,000-char
+# TAIL of stdout; r4's single line grew to 3,615 chars (wan22 + int8
+# families + tea curves) and the round's of-record artifact came back
+# `parsed: null`. The stdout line is therefore a COMPACT headline capped at
+# COMPACT_CAP chars (every optional phase populated stays under it --
+# enforced by tests/test_bench_model.py::test_compact_line_stays_under_cap);
+# the full points tree is written to BENCH_DETAILS.json at every emission.
 _LAST_RECORD = None
 _STDOUT_EMITTED = False
+COMPACT_CAP = 1800
+DETAILS_PATH = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                            "BENCH_DETAILS.json")
+
+
+def _variant_summary(pts, step_value=None):
+    """Compact per-variant summary: the numbers a reader needs to judge the
+    deploy story, none of the per-point forensics (those live in
+    BENCH_DETAILS.json)."""
+    out = {}
+    if step_value is not None:
+        out["step_s"] = step_value
+    for src, dst in (("projected_clip_seconds", "clip_s"),
+                     ("projected_clip_seconds_v5p8_equiv", "v5p8_s"),
+                     ("projected_clip_seconds_v5p16_equiv", "v5p16_s"),
+                     ("flops_floor_seconds_v5p8_mfu1", "floor_v5p8_mfu1_s"),
+                     ("int8_full_s", "int8_step_s"),
+                     ("int8_speedup", "int8_speedup"),
+                     ("fit_residual_pct", "fit_residual_pct"),
+                     ("tea_cache_hit_step_s", "tea_hit_s")):
+        if src in pts:
+            out[dst] = pts[src]
+    # deepest validated depth point (the extrapolation evidence, one number)
+    deepest = None
+    for key in ("deep_holdout_bf16", "deep_holdout", "deep_holdout_16",
+                "deep_holdout_int8", "int8_full40"):
+        d = pts.get(key)
+        if isinstance(d, dict) and "blocks" in d:
+            if deepest is None or d["blocks"] > deepest["blocks"]:
+                deepest = d
+    if deepest:
+        out["deepest_depth_check"] = {
+            "blocks": deepest["blocks"], "precision": deepest["precision"],
+            "residual_pct": deepest.get("residual_pct")}
+    return out
+
+
+def make_compact(rec):
+    """The driver-parseable stdout line: headline metric + per-variant
+    summaries, <= COMPACT_CAP chars even with every optional phase
+    populated. Falls back to dropping optional sections (never the metric/
+    value/vs_baseline core) if a future field pushes it over the cap."""
+    points = rec.get("points", {})
+    compact = {k: rec[k] for k in
+               ("metric", "value", "unit", "vs_baseline", "implied_tflops",
+                "chip_peak_tflops", "implied_mfu", "sane", "partial",
+                "target_equiv_sec_this_chip") if k in rec}
+    for k in ("error", "terminated_by_signal"):
+        if k in rec:
+            compact[k] = rec[k]
+    if isinstance(points, dict):
+        w21 = _variant_summary(points)
+        if w21:
+            compact["wan21"] = w21
+        w22p = points.get("wan22")
+        if isinstance(w22p, dict) and w22p:
+            compact["wan22"] = _variant_summary(w22p,
+                                                step_value=w22p.get("value"))
+        for key in ("int8_full40", "composed_clip"):    # r5 headline items
+            if key in points:
+                compact[key] = points[key]
+    compact["details_file"] = os.path.basename(DETAILS_PATH)
+    line = json.dumps(compact)
+    if len(line) > COMPACT_CAP:
+        for drop in ("int8_full40", "composed_clip", "wan22", "wan21"):
+            compact.pop(drop, None)
+            compact["truncated"] = True
+            line = json.dumps(compact)
+            if len(line) <= COMPACT_CAP:
+                break
+    return line
+
+
+def _write_details(rec):
+    try:
+        with open(DETAILS_PATH, "w") as fh:
+            json.dump(rec, fh, indent=1)
+    except OSError as e:                    # read-only fs: stdout still wins
+        log(f"details write failed: {e}")
 
 
 def emit(value_s, flops_full, partial, points, to_stdout=False):
@@ -446,11 +533,12 @@ def emit(value_s, flops_full, partial, points, to_stdout=False):
         rec["error"] = (f"implied {implied:.0f} TFLOP/s exceeds chip peak "
                         f"{peak:.0f}; timing loop not synchronizing")
     _LAST_RECORD = rec
+    _write_details(rec)                    # full tree, every emission
     if to_stdout:
-        print(json.dumps(rec), flush=True)
+        print(make_compact(rec), flush=True)
         _STDOUT_EMITTED = True
     else:
-        log("checkpoint: " + json.dumps(rec))
+        log("checkpoint: " + make_compact(rec))
     return sane
 
 
@@ -461,7 +549,8 @@ def _flush_on_term(signum, frame):
     stdout must carry exactly one record."""
     if _LAST_RECORD is not None and not _STDOUT_EMITTED:
         rec = dict(_LAST_RECORD, partial=True, terminated_by_signal=signum)
-        print(json.dumps(rec), flush=True)
+        _write_details(rec)
+        print(make_compact(rec), flush=True)
     raise SystemExit(143)
 
 
@@ -538,6 +627,42 @@ def extrapolate(measured, variant="wan21"):
     return t0 * flops_full / base, "flops-ratio", pred
 
 
+def comm_model_bytes(*, n_dit, n_irg, l_dit, l_agg, l_txt, l_img,
+                     D, A, BD, tp=2, sp=2, bytes_per=2):
+    """Per-chip collective bytes of ONE denoise evaluation under the deploy
+    sharding, parametric in geometry so the same formula can be evaluated
+    at the reduced config whose partitioned HLO tests/test_comm_hlo.py
+    counts (r4 VERDICT next-#7). Token counts (l_*) are GLOBAL; the dp(CFG)
+    batch split leaves B=1 per data shard and the seq split divides tokens
+    by ``sp`` before any collective moves them.
+
+    tp term: one activation all-reduce after the row-parallel output
+    projection of self-attn, cross-attn and ffn in every DiT block
+    (PARAM_RULES megatron splits); VGGT/bicross replicate -> 0.
+    sp term: 4 ulysses all_to_alls per dispatched attention (q,k,v in +
+    out back) for every attention over the min_lq gate: DiT self, the TWO
+    cross-attention calls of the image config (text k/v + CLIP branch),
+    aggregator global, both bicross directions.
+    """
+    l_dit, l_agg = l_dit / sp, l_agg / sp      # per-chip shard sizes
+    l_txt, l_img = l_txt / sp, l_img / sp
+    ar = lambda n, size: 2 * (n - 1) / n * size      # noqa: E731
+    a2a = lambda n, size: (n - 1) / n * size         # noqa: E731
+    tp_bytes = n_dit * 3 * ar(tp, l_dit * D * bytes_per) if tp > 1 else 0.0
+    sp_bytes = 0.0
+    if sp > 1:
+        sp_bytes = n_dit * 4 * a2a(sp, l_dit * D * bytes_per)     # DiT self
+        sp_bytes += n_dit * 2 * (a2a(sp, l_dit * D * bytes_per)   # cross txt:
+                                 + a2a(sp, l_txt * D * bytes_per))  # q/o+k/v
+        if l_img:
+            sp_bytes += n_dit * 2 * (a2a(sp, l_dit * D * bytes_per)  # cross
+                                     + a2a(sp, l_img * D * bytes_per))  # img
+        sp_bytes += n_irg * 4 * a2a(sp, l_agg * A * bytes_per)    # agg global
+        sp_bytes += n_irg * 4 * (a2a(sp, l_dit * BD * bytes_per)  # bicross,
+                                 + a2a(sp, l_agg * BD * bytes_per))  # 2 dirs
+    return tp_bytes, sp_bytes
+
+
 def v5p8_comm_model(variant="wan21"):
     """Analytic per-step ICI communication cost of the deploy sharding on a
     v5p-8 (2x2x2 submesh: data=2 CFG pair, seq=2, model=2 -- the mesh the
@@ -580,31 +705,12 @@ def v5p8_comm_model(variant="wan21"):
     Returns (seconds_per_step, dict_of_assumptions) -- the defended comm
     term VERDICT r2 next-#6 asked for instead of an implied zero.
     """
-    D, A, BD = 5120, 1024, 1152
-    BYTES = 2                                   # bf16
-    n_dit = FULL_PCB + FULL_IRG                 # every block has a DiT half
-    n_irg = FULL_IRG
-    # per-chip shard sizes after dp(CFG)/sp splits
     ld_full, _, la_full = geom_tokens(variant)
-    l_dit, l_agg = ld_full // 2, la_full // 2
-    ar = lambda n, size: 2 * (n - 1) / n * size      # noqa: E731
-    a2a = lambda n, size: (n - 1) / n * size         # noqa: E731
-
     g = GEOM[variant]
-    l_txt, l_img = g["ctx"] / 2, g["clip_tokens"] / 2
-    # TP all-reduces (axis size 2), DiT half of every block only: self-attn
-    # out, cross-attn out, ffn out. VGGT/bicross params replicate -> no TP.
-    tp_bytes = n_dit * 3 * ar(2, l_dit * D * BYTES)
-    # ulysses all_to_alls (axis size 2), one set of 4 per dispatched attn
-    sp_bytes = n_dit * 4 * a2a(2, l_dit * D * BYTES)            # DiT self
-    sp_bytes += n_dit * 2 * (a2a(2, l_dit * D * BYTES)          # cross text:
-                             + a2a(2, l_txt * D * BYTES))       # q/out + k/v
-    if l_img:
-        sp_bytes += n_dit * 2 * (a2a(2, l_dit * D * BYTES)      # cross img:
-                                 + a2a(2, l_img * D * BYTES))   # 2nd call
-    sp_bytes += n_irg * 4 * a2a(2, l_agg * A * BYTES)           # agg global
-    sp_bytes += n_irg * 4 * (a2a(2, l_dit * BD * BYTES)         # bicross,
-                             + a2a(2, l_agg * BD * BYTES))      # both dirs
+    tp_bytes, sp_bytes = comm_model_bytes(
+        n_dit=FULL_PCB + FULL_IRG, n_irg=FULL_IRG,
+        l_dit=ld_full, l_agg=la_full, l_txt=g["ctx"],
+        l_img=g["clip_tokens"], D=5120, A=1024, BD=1152)
     w_axis = 1.8e11
     comm_s = (tp_bytes + sp_bytes) / w_axis
     return comm_s, {
@@ -1330,8 +1436,9 @@ if __name__ == "__main__":
             # (final emit was partial -> stderr only, or no fit at all):
             # still honor the one-stdout-line contract
             if _LAST_RECORD is not None:
-                print(json.dumps(dict(_LAST_RECORD, partial=True)),
-                      flush=True)
+                rec = dict(_LAST_RECORD, partial=True)
+                _write_details(rec)
+                print(make_compact(rec), flush=True)
             else:
                 print(json.dumps({
                     "metric": "sec_per_denoise_step_480p_14b_extrapolated",
@@ -1342,7 +1449,8 @@ if __name__ == "__main__":
         if _LAST_RECORD is not None:
             rec = dict(_LAST_RECORD, partial=True,
                        error=f"{type(e).__name__}: {e}"[:500])
-            print(json.dumps(rec), flush=True)
+            _write_details(rec)
+            print(make_compact(rec), flush=True)
         else:
             print(json.dumps({
                 "metric": "sec_per_denoise_step_480p_14b_extrapolated",

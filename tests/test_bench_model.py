@@ -125,12 +125,134 @@ def test_wan22_step_args_shapes():
     assert a21[5].shape == (2, 257, 1280)       # CLIP branch present
 
 
-def test_emit_contract_one_stdout_line(monkeypatch, capsys):
+def _full_points():
+    """A points tree with EVERY optional phase populated -- the r4 failure
+    mode was the real tree outgrowing the driver's 2,000-char stdout tail
+    capture, so the cap test must exercise the worst case (r4's actual
+    snapshot keys plus the r5 additions)."""
+    comm = {"comm_seconds_per_step": 0.1454, "mesh": "data=2(cfg) seq=2 model=2",
+            "variant": "wan21", "tp_gbytes_per_chip_per_step": 10.025,
+            "sp_gbytes_per_chip_per_step": 16.141,
+            "ici_axis_bandwidth_gbs": 180.0,
+            "assumes": "v5p 9e10 B/s/link/dir, 2 links per submesh axis, "
+                       "no compute/comm overlap (conservative)"}
+    tea = {"hit_step_s": 0.0044,
+           "clip_seconds_at_skip_rate": {"0.2": 433.7, "0.4": 326.8,
+                                         "0.6": 219.9},
+           "note": "hit = prologue + cached-residual add + head "
+                   "(depth-independent, measured on-chip); rate requires "
+                   "real weights"}
+
+    def depth(blocks, pcb, prec):
+        return {"blocks": blocks, "pcb": pcb, "irg": blocks - pcb,
+                "precision": prec, "measured_s": 3.333, "predicted_s": 3.341,
+                "residual_pct": 0.25}
+
+    pts = {
+        "shallow_s": 1.0159, "deep_s": 1.5482, "irgheavy_s": 1.6473,
+        "holdout_s": 1.2237, "deep_holdout_bf16": depth(10, 5, "bf16"),
+        "fit": "per-layer-type", "fit_residual_pct": 0.57,
+        "vae_decode_s": 4.822,
+        "vae_decode_min_med_max": [4.821, 4.822, 4.912],
+        "heads_s": 0.972, "heads_min_med_max": [0.971, 0.972, 1.011],
+        "projected_clip_seconds": 540.7, "v5p8_comm_model": comm,
+        "projected_clip_seconds_v5p8_equiv": 36.3,
+        "int8_shallow_s": 0.8229, "int8_deep_s": 1.2613,
+        "int8_irgheavy_s": 1.3593, "int8_full_s": 8.7785,
+        "int8_fit": "per-layer-type", "int8_speedup": 1.219,
+        "deep_holdout": depth(12, 6, "int8"),
+        "deep_holdout_16": depth(16, 8, "int8"),
+        "tea_cache_hit_step_s": 0.0044, "tea_cache": tea,
+        "int8_full40": {"blocks": 40, "pcb": 16, "irg": 24,
+                        "precision": "int8", "measured_s": 25.1,
+                        "predicted_s": 25.9, "residual_pct": 3.1},
+        "composed_clip": {"blocks": 16, "precision": "int8",
+                          "composed_s": 172.3, "sum_of_parts_s": 171.2,
+                          "delta_pct": 0.6},
+    }
+    w22 = dict(pts)
+    w22.pop("int8_full40"), w22.pop("composed_clip")
+    w22.update({
+        "metric": "sec_per_denoise_step_wan22_480x832_14b_extrapolated",
+        "value": 29.9806,
+        "note": "dual 14B experts are phase-switched; exactly one is hot "
+                "per step, so step cost == single-expert cost",
+        "w22_shallow_s": 2.1, "w22_deep_s": 2.9, "w22_irgheavy_s": 3.0,
+        "w22_deep6_s": 3.6, "w22_holdout_s": 2.5, "w22_holdout_up_s": 3.4,
+        "fit_residual_up_pct": 0.2, "ctrl_adapter_s": 0.87,
+        "ctrl_adapter_min_med_max": [0.86, 0.87, 0.9],
+        "deep_holdout_int8": depth(8, 4, "int8"),
+        "flops_floor_seconds_v5p8_mfu1": 57.2,
+        "projected_clip_seconds_v5p16_equiv": 53.3,
+        "v5p8_comm_model": dict(comm, variant="wan22"),
+        "v5p16_bracket": {"worst_s": 53.3, "best_s": 50.8,
+                          "note": "overlap-aware best vs no-overlap worst"},
+        "int8_full_s": 25.9326,
+    })
+    pts["wan22"] = w22
+    return pts
+
+
+def test_compact_line_stays_under_cap(monkeypatch, capsys, tmp_path):
+    """r4's of-record BENCH artifact came back parsed:null because the one
+    stdout line (3,615 chars) outgrew the driver's 2,000-char tail capture.
+    The compact emission must stay under COMPACT_CAP with EVERY optional
+    phase populated, parse as JSON, and carry both variants' headline
+    values; the full tree must land in BENCH_DETAILS.json."""
+    import json as _json
+    monkeypatch.setattr(bench, "_LAST_RECORD", None)
+    monkeypatch.setattr(bench, "_STDOUT_EMITTED", False)
+    monkeypatch.setattr(bench, "DETAILS_PATH", str(tmp_path / "details.json"))
+
+    bench.emit(10.71, bench.analytic_flops(40, 16), False, _full_points(),
+               to_stdout=True)
+    out = capsys.readouterr()
+    lines = [l for l in out.out.splitlines() if l.strip()]
+    assert len(lines) == 1
+    assert len(lines[0]) <= bench.COMPACT_CAP, len(lines[0])
+    rec = _json.loads(lines[0])
+    assert rec["value"] == 10.71
+    assert "truncated" not in rec           # nothing was dropped to fit
+    # both variants' deploy headline numbers survive compaction
+    assert rec["wan21"]["clip_s"] == 540.7
+    assert rec["wan21"]["v5p8_s"] == 36.3
+    assert rec["wan21"]["int8_step_s"] == 8.7785
+    assert rec["wan22"]["step_s"] == 29.9806
+    assert rec["wan22"]["v5p16_s"] == 53.3
+    assert rec["wan22"]["floor_v5p8_mfu1_s"] == 57.2
+    assert rec["int8_full40"]["measured_s"] == 25.1
+    assert rec["composed_clip"]["delta_pct"] == 0.6
+    # deepest validated depth is summarized, not the whole forensics dict
+    assert rec["wan21"]["deepest_depth_check"]["blocks"] == 40
+    # the full tree is preserved in the details artifact
+    details = _json.loads((tmp_path / "details.json").read_text())
+    assert details["points"]["wan22"]["w22_deep6_s"] == 3.6
+    assert details["points"]["v5p8_comm_model"]["tp_gbytes_per_chip_per_step"] \
+        == 10.025
+
+
+def test_compact_drops_sections_rather_than_overflow(monkeypatch):
+    """If a future field pushes the line over the cap anyway, sections are
+    dropped (marked truncated) instead of overflowing the driver tail."""
+    pts = _full_points()
+    pts["int8_full40"]["huge_note"] = "x" * 3000
+    rec = {"metric": "m", "value": 1.0, "unit": "s", "vs_baseline": 1.0,
+           "sane": True, "partial": False, "points": pts}
+    line = bench.make_compact(rec)
+    import json as _json
+    parsed = _json.loads(line)
+    assert len(line) <= bench.COMPACT_CAP
+    assert parsed["truncated"] is True
+    assert parsed["value"] == 1.0
+
+
+def test_emit_contract_one_stdout_line(monkeypatch, capsys, tmp_path):
     """The driver parses ONE JSON line from stdout. Checkpoint emissions
     (partial phases) must go to stderr only; the final emission and the
     SIGTERM flush are the only stdout writers."""
     monkeypatch.setattr(bench, "_LAST_RECORD", None)
     monkeypatch.setattr(bench, "_STDOUT_EMITTED", False)
+    monkeypatch.setattr(bench, "DETAILS_PATH", str(tmp_path / "details.json"))
 
     bench.emit(1.0, 1e12, True, {"p": 1})            # checkpoint
     out = capsys.readouterr()
@@ -149,12 +271,13 @@ def test_emit_contract_one_stdout_line(monkeypatch, capsys):
     assert bench._STDOUT_EMITTED
 
 
-def test_sigterm_flush_emits_best_so_far(monkeypatch, capsys):
+def test_sigterm_flush_emits_best_so_far(monkeypatch, capsys, tmp_path):
     """A driver-side `timeout` kill (SIGTERM) must still leave a parseable
     best-so-far line on stdout, marked partial + terminated_by_signal."""
     import json as _json
     monkeypatch.setattr(bench, "_LAST_RECORD", None)
     monkeypatch.setattr(bench, "_STDOUT_EMITTED", False)
+    monkeypatch.setattr(bench, "DETAILS_PATH", str(tmp_path / "details.json"))
     bench.emit(3.0, 1e12, True, {"p": 3})            # only a checkpoint ran
     capsys.readouterr()
     try:

@@ -1,0 +1,249 @@
+"""Count per-chip collective bytes in the PARTITIONED HLO of the sharded
+fusion forward and compare them to bench.v5p8_comm_model's analytic terms
+(r4 VERDICT next-#7: the comm model's formula was pinned by tests, but the
+*graph* never was -- this tool/test closes that by compiling the real
+forward on a virtual 2x2x2 mesh and counting what XLA actually emits).
+
+Run standalone (self-forces a CPU child with 8 virtual devices, same trick
+as tools/floor_analysis.py):  python tools/comm_hlo.py
+The pytest front-end is tests/test_comm_hlo.py.
+
+Method:
+  * compile (never execute) ``joint_forward`` with mesh + ulysses at a
+    reduced-width config but the same STRUCTURE the comm model counts
+    (PCB prefix + IRG stack, text + CLIP-image cross-attention calls,
+    aggregator global attention, both bicross directions);
+  * parse the optimized HLO for collective ops; classify each op's mesh
+    axis from its replica_groups (device order (data, seq, model) row-major
+    => model pairs {2k,2k+1}, seq pairs stride 2, data pairs stride 4);
+  * per-chip bytes: all-reduce 2(n-1)/n x local shape, reduce-scatter and
+    all-gather (n-1)/n x (their paired sum equals one all-reduce),
+    all-to-all (n-1)/n x local shape, collective-permute 1x;
+  * evaluate ``bench.comm_model_bytes`` at the SAME reduced geometry and
+    report modeled-vs-HLO for the tp (all-reduce over 'model') and sp
+    (all-to-all over 'seq') terms.
+
+What the comparison does NOT cover (reported, not asserted): all-gathers
+from GSPMD resharding (e.g. re-replicating the column-parallel q/k/v
+around the head-resharding ulysses region) -- the analytic model treats
+those as absorbable into overlap; the HLO count quantifies them so the
+v5p-16 bracket can carry a measured worst case.
+"""
+from __future__ import annotations
+
+import json
+import os
+import re
+import sys
+
+
+def _force_cpu_child():
+    if os.environ.get("COMM_HLO_CHILD") == "1":
+        return False
+    import subprocess
+    env = dict(os.environ)
+    env["COMM_HLO_CHILD"] = "1"
+    env.pop("PALLAS_AXON_POOL_IPS", None)   # axon sitecustomize re-pins TPU
+    env["JAX_PLATFORMS"] = "cpu"
+    flags = [f for f in env.get("XLA_FLAGS", "").split()
+             if not f.startswith("--xla_force_host_platform_device_count")]
+    flags.append("--xla_force_host_platform_device_count=8")
+    env["XLA_FLAGS"] = " ".join(flags)
+    r = subprocess.run([sys.executable, os.path.abspath(__file__)]
+                      + sys.argv[1:], env=env)
+    raise SystemExit(r.returncode)
+
+
+_DTYPE_BYTES = {"f32": 4, "bf16": 2, "f16": 2, "s32": 4, "u32": 4,
+                "s8": 1, "u8": 1, "pred": 1, "f64": 8, "s64": 8}
+_SHAPE_RE = re.compile(r"(f32|bf16|f16|f64|s64|s32|u32|s8|u8|pred)"
+                       r"\[([0-9,]*)\]")
+_GROUPS_RE = re.compile(r"replica_groups=\{(\{[0-9,\{\} ]*\})\}|"
+                        r"replica_groups=\[[^\]]*\]<=\[[^\]]*\]T?\(?[^)]*\)?")
+
+
+def _shape_bytes(text: str) -> int:
+    """Sum byte sizes of every shape literal in an HLO result type."""
+    total = 0
+    for m in _SHAPE_RE.finditer(text):
+        dt, dims = m.group(1), m.group(2)
+        n = 1
+        for d in dims.split(","):
+            if d.strip():
+                n *= int(d)
+        total += n * _DTYPE_BYTES[dt]
+    return total
+
+
+def classify_axis(groups: list, mesh_shape=(2, 2, 2)) -> str:
+    """Map replica_groups (list of device-id lists) to the mesh axis they
+    span for a (data, seq, model) row-major device order."""
+    data, seq, model = mesh_shape
+    if not groups or len(groups[0]) < 2:
+        return "none"
+    strides = {"model": 1, "seq": model, "data": seq * model}
+    g0 = sorted(groups[0])
+    diff = g0[1] - g0[0]
+    for name, s in strides.items():
+        if diff == s:
+            return name
+    return f"stride{diff}"
+
+
+def parse_collectives(hlo_text: str):
+    """Extract (kind, axis, result_bytes, operand_bytes, line) for every
+    collective in the partitioned module."""
+    out = []
+    # iota-style replica_groups ([8]<=[2,2,2]T(...)): resolve via the
+    # dims-to-axis map when present; else fall back to explicit groups
+    for line in hlo_text.splitlines():
+        line = line.strip()
+        m = re.match(r"%?[\w.\-]+ = (.*?) (all-reduce|all-gather|"
+                     r"reduce-scatter|all-to-all|collective-permute)"
+                     r"(-start|-done)?\(", line)
+        if not m:
+            continue
+        kind = m.group(2)
+        if m.group(3) == "-done":
+            continue                       # counted at -start
+        restype = m.group(1)
+        # replica groups: explicit {{0,1},{2,3}} form
+        axis = "unknown"
+        gm = re.search(r"replica_groups=\{\{([^}]*)\}([^}]*)\}", line)
+        if gm:
+            first = [int(x) for x in gm.group(1).split(",") if x.strip()]
+            rest = re.findall(r"\{([0-9, ]+)\}", line[gm.start():gm.end()])
+            groups = [[int(x) for x in g.split(",")] for g in rest]
+            axis = classify_axis(groups or [first])
+        else:
+            im = re.search(r"replica_groups=\[(\d+),(\d+)\]<=\[([0-9,]+)\]"
+                           r"(?:T\(([0-9,]+)\))?", line)
+            if im:
+                # [G,S]<=[dims]T(perm): the grouped (minor) axes after the
+                # transpose tell which mesh axis each group spans
+                dims = [int(x) for x in im.group(3).split(",")]
+                perm = ([int(x) for x in im.group(4).split(",")]
+                        if im.group(4) else list(range(len(dims))))
+                gsize = int(im.group(2))
+                names = ["data", "seq", "model"][:len(dims)]
+                # after transpose, the LAST axes form the group
+                last = perm[-1] if perm else len(dims) - 1
+                if dims[last] == gsize:
+                    axis = names[last]
+        out.append({"kind": kind, "axis": axis,
+                    "result_bytes": _shape_bytes(restype), "line": line[:200]})
+    return out
+
+
+def per_chip_bytes(ops, n=2):
+    """Aggregate per-chip traffic by (kind, axis): all-reduce costs
+    2(n-1)/n of its (local) shape; ag/rs/a2a cost (n-1)/n; permute 1x."""
+    factor = {"all-reduce": 2 * (n - 1) / n, "all-gather": (n - 1) / n,
+              "reduce-scatter": (n - 1) / n, "all-to-all": (n - 1) / n,
+              "collective-permute": 1.0}
+    agg = {}
+    for op in ops:
+        key = (op["kind"], op["axis"])
+        sz = op["result_bytes"]
+        if op["kind"] == "all-gather":
+            sz = sz / n                      # result is the GATHERED shape
+        agg[key] = agg.get(key, 0.0) + factor[op["kind"]] * sz
+    return agg
+
+
+def build_and_count(dim=256, layers=2, start_index=1, agg_dim=64,
+                    f=4, h2=12, w2=12, ctx_len=64, min_lq=64,
+                    ulysses=True):
+    # layers=2/start_index=1 keeps BOTH lax.scan segments (PCB, IRG) at
+    # trip count 1: a collective inside a scan body appears ONCE in the
+    # HLO text regardless of trip count, so static byte counting is only
+    # per-step-exact when every scan runs one iteration.
+    import jax
+    import jax.numpy as jnp
+    from jax.sharding import NamedSharding
+    sys.path.insert(0, os.path.join(os.path.dirname(
+        os.path.abspath(__file__)), ".."))
+    from fantasy_world_tpu.utils.demo import demo_config
+    from fantasy_world_tpu.models.fusion.model import (
+        init_fusion, split_trainable, joint_forward)
+    from fantasy_world_tpu.parallel.sharding import (
+        make_mesh, param_specs, stacked_specs)
+    from fantasy_world_tpu.core.params import abstract_init
+
+    cfg = demo_config(dim=dim, layers=layers, start_index=start_index,
+                      agg_dim=agg_dim)
+    mesh = make_mesh(data=2, seq=2, model=2)
+    with abstract_init():
+        host = init_fusion(0, cfg, jnp.bfloat16)
+        lite, scan = split_trainable(host, cfg)
+
+    def _with_spec(tree, specs):
+        is_spec = lambda s: isinstance(s, jax.sharding.PartitionSpec)  # noqa
+        return jax.tree_util.tree_map(
+            lambda x, s: jax.ShapeDtypeStruct(
+                x.shape, x.dtype, sharding=NamedSharding(mesh, s)),
+            tree, specs, is_leaf=lambda x: is_spec(x))
+
+    # the deploy shardings, exactly as the dryrun places them
+    lite_a = _with_spec(lite, param_specs(lite, mesh=mesh))
+    scan_a = _with_spec(scan, stacked_specs(scan, mesh=mesh))
+
+    B = 2
+    l_dit = f * (h2 // 2) * (w2 // 2)
+    lat = NamedSharding(mesh, jax.sharding.PartitionSpec("data"))
+
+    def arg(shape, dtype=jnp.bfloat16):
+        return jax.ShapeDtypeStruct(shape, dtype, sharding=lat)
+
+    args = (
+        arg((B, 16, f, h2, w2)),                                 # latents
+        arg((B,), jnp.float32),                                  # t
+        arg((B, ctx_len, cfg.dit.text_dim)),                     # context
+        arg((B, 257, cfg.dit.clip_feature_dim)),                 # clip
+        arg((B, 20, f, h2, w2)),                                 # y
+        arg((B, l_dit, cfg.dit.plucker_dim)),                    # plucker
+    )
+
+    def fn(tr, latents, t, ctx, clip, y, pl):
+        return joint_forward(tr[0], tr[1], cfg, latents, t, ctx, clip, y,
+                             plucker_fea=pl, mesh=mesh, ulysses=ulysses,
+                             ulysses_min_lq=min_lq)[0]
+
+    with mesh:
+        lowered = jax.jit(fn).lower((lite_a, scan_a), *args)
+        compiled = lowered.compile()
+    text = compiled.as_text()
+    ops = parse_collectives(text)
+    agg = per_chip_bytes(ops)
+    geom = dict(dim=dim, layers=layers, start_index=start_index,
+                agg_dim=agg_dim, f=f, h2=h2, w2=w2, ctx_len=ctx_len,
+                l_dit=l_dit, min_lq=min_lq,
+                heads=cfg.dit.num_heads, bicross_hidden=cfg.bicross.hidden,
+                agg_heads=cfg.vggt.aggregator.num_heads)
+    return cfg, geom, ops, agg, text
+
+
+def main():
+    _force_cpu_child()
+    import collections
+    cfg, geom, ops, agg, text = build_and_count()
+    counts = collections.Counter((o["kind"], o["axis"]) for o in ops)
+    print(json.dumps(geom))
+    print("== op counts ==")
+    for k, c in sorted(counts.items()):
+        print(f"{k}: n={c}, per_chip_bytes={agg[k]:.0f}")
+    if "--dump" in sys.argv:
+        with open("/tmp/comm_hlo.txt", "w") as fh:
+            fh.write(text)
+        print("HLO written to /tmp/comm_hlo.txt")
+    # sample lines per kind for eyeballing
+    seen = set()
+    for op in ops:
+        key = (op["kind"], op["axis"])
+        if key not in seen:
+            seen.add(key)
+            print(f"-- sample {key}: {op['line'][:180]}")
+
+
+if __name__ == "__main__":
+    main()
