@@ -56,6 +56,12 @@ CHIP_PEAKS_TFLOPS = {              # bf16 peak per chip generation
     "v5 lite": 197.0, "v5e": 197.0, "v5p": 459.0, "v4": 275.0, "v6": 918.0,
 }
 BUDGET_S = float(os.environ.get("BENCH_BUDGET_S", "1800"))
+# Measured worst-case multiplier on the analytic comm model: partitioned-
+# HLO collective bytes of the real sharded+ulysses forward on the 2x2x2
+# mesh, INCLUDING the GSPMD resharding all-gathers/permutes the model
+# omits, divided by the modeled tp+sp bytes (tools/comm_hlo.py ->
+# COMM_HLO.json, 2026-08-20: (1631104+446412)/1521152 = 1.366).
+V5P16_COMM_OVERHEAD = 1.37
 AUX_REPS = max(1, int(os.environ.get("BENCH_AUX_REPS", "3")))
 _T_START = time.perf_counter()
 
@@ -127,10 +133,8 @@ def retry_transient(fn, what, attempts=3):
             time.sleep(5.0 * (i + 1))
 
 
-def build(num_layers, start_index, quant=False, variant="wan21"):
-    from fantasy_world_tpu.core.params import abstract_init
-    from fantasy_world_tpu.models.fusion.model import (
-        FusionConfig, init_fusion, split_trainable)
+def make_config(num_layers, start_index, variant="wan21"):
+    from fantasy_world_tpu.models.fusion.model import FusionConfig
     from fantasy_world_tpu.models.wan.dit import WanDiTConfig
     from fantasy_world_tpu.models.vggt.model import VGGTConfig
     from fantasy_world_tpu.models.vggt.aggregator import AggregatorConfig
@@ -157,13 +161,40 @@ def build(num_layers, start_index, quant=False, variant="wan21"):
                            num_layers=num_layers, has_image_input=True,
                            camera_adapter_end=start_index + 1,
                            plucker_dim=2048)
-    cfg = FusionConfig(
+    return FusionConfig(
         dit=dit,
         vggt=VGGTConfig(embed_dim=1024, wan_dim=5120, dpt_layer_idx=dpt_idx,
                         aggregator=AggregatorConfig(embed_dim=1024,
                                                     depth=n_irg)),
         bicross=BicrossConfig(),
         start_index=start_index)
+
+
+def abstract_tower(cfg, quant=False):
+    """Abstract (shape/dtype-only) param tree of a bench tower; shared by
+    build (device zero-fill) and the HBM-ladder accounting."""
+    from fantasy_world_tpu.core.params import abstract_init
+    from fantasy_world_tpu.models.fusion.model import (init_fusion,
+                                                       split_trainable)
+    with abstract_init():
+        host = init_fusion(0, cfg, jnp.bfloat16)
+        host = split_trainable(host, cfg)
+    abstract = jax.tree_util.tree_map(
+        lambda x: jax.ShapeDtypeStruct(x.shape, x.dtype), host)
+    if quant:
+        from fantasy_world_tpu.core.quant import quantize_tree
+        abstract = jax.eval_shape(
+            lambda t: (quantize_tree(t[0]), quantize_tree(t[1])), abstract)
+    return abstract
+
+
+def tree_gbytes(abstract) -> float:
+    return sum(x.size * x.dtype.itemsize for x in
+               jax.tree_util.tree_leaves(abstract)) / 1e9
+
+
+def build(num_layers, start_index, quant=False, variant="wan21"):
+    cfg = make_config(num_layers, start_index, variant)
     # abstract shapes (no host RNG), then zero-fill directly in HBM --
     # weight values are irrelevant for timing. The quantized (int8 w8a8,
     # core/quant.py -- the TPU-native form of the reference's fp8 serving
@@ -175,15 +206,7 @@ def build(num_layers, start_index, quant=False, variant="wan21"):
     # until r3 the bench kept params["dit"]["blocks"] AND the stacks, so
     # every tower paid 2x its block weights in HBM; the split is what let
     # the wan22 family and the 10/12-block deep points fit the v5e at all.
-    with abstract_init():
-        host = init_fusion(0, cfg, jnp.bfloat16)
-        host = split_trainable(host, cfg)
-    abstract = jax.tree_util.tree_map(
-        lambda x: jax.ShapeDtypeStruct(x.shape, x.dtype), host)
-    if quant:
-        from fantasy_world_tpu.core.quant import quantize_tree
-        abstract = jax.eval_shape(
-            lambda t: (quantize_tree(t[0]), quantize_tree(t[1])), abstract)
+    abstract = abstract_tower(cfg, quant)
     make = jax.jit(lambda: jax.tree_util.tree_map(
         lambda s: jnp.zeros(s.shape, s.dtype), abstract))
     params, scan = make()
@@ -448,10 +471,17 @@ def _variant_summary(pts, step_value=None):
                      ("tea_cache_hit_step_s", "tea_hit_s")):
         if src in pts:
             out[dst] = pts[src]
+    vb = pts.get("v5p16_bracket")
+    if isinstance(vb, dict):
+        out["v5p16_range_s"] = [vb.get("best_s"), vb.get("worst_s")]
+    dop = pts.get("deploy_options_v5p16")
+    if isinstance(dop, dict):
+        out["v5p16_options_s"] = {k[:-2]: v for k, v in dop.items()
+                                  if k.endswith("_s")}
     # deepest validated depth point (the extrapolation evidence, one number)
     deepest = None
     for key in ("deep_holdout_bf16", "deep_holdout", "deep_holdout_16",
-                "deep_holdout_int8", "int8_full40"):
+                "deep_holdout_int8"):
         d = pts.get(key)
         if isinstance(d, dict) and "blocks" in d:
             if deepest is None or d["blocks"] > deepest["blocks"]:
@@ -883,6 +913,74 @@ def time_heads(variant="wan21"):
     return total
 
 
+def run_heads_once(variant="wan21"):
+    """Execute the staged heads ONCE (camera + both DPT heads, all chunks)
+    reusing the executables time_heads memoized; returns wall seconds.
+    Used by the composed-clip phase, where the heads run inside the same
+    device lifetime as the denoise scan and the VAE decode."""
+    cfg, (cam_run, cam_args), head_stages = heads_stage_plan(variant)
+    tagv = "" if variant == "wan21" else f"_{variant}"
+    t0 = time.perf_counter()
+    out = _memo_load(cam_run, cam_args, f"bench_heads_cam{tagv}",
+                     repr(cfg))(*cam_args)
+    fetch_scalar(out)
+    for hname, hp, s12_run, s12_args, make_s3 in head_stages:
+        outs = _memo_load(s12_run, s12_args, f"bench_heads_{hname}_s12{tagv}",
+                          repr(cfg))(*s12_args)
+        fetch_scalar(outs[0])
+        s3_fn, s3_args, chunk, _n = make_s3(outs)
+        fwd3 = _memo_load(s3_fn, s3_args, f"bench_heads_{hname}_s3{tagv}",
+                          repr(cfg))
+        T_out = outs[0].shape[2]
+        for t0c in range(0, T_out, chunk):
+            sl = tuple(o[:, :, t0c:t0c + chunk] for o in outs)
+            fetch_scalar(fwd3(hp, *sl))
+        del outs
+    return time.perf_counter() - t0
+
+
+def composed_clip(nl=16, si=8, cache_name="int8_deep16"):
+    """r4 VERDICT next-#3: run 50 denoise steps + the tiled VAE decode +
+    the final-step geometry heads in ONE device lifetime -- denoiser, VAE
+    and head params all resident at once -- at the deepest int8 tower
+    geometry, so inter-program HBM effects (fragmentation between the
+    three compiled programs, cache eviction) are measured instead of
+    assumed zero. Returns (composed_s, parts) where parts carries the
+    in-process isolated phase times for the same programs.
+
+    Mirrors the reference's single-process clip
+    (/root/reference/inference_wan21.py:366-399: 50 joint_forward pairs ->
+    vae.decode tiled -> heads on the last step's features)."""
+    cfg, params, scan = build(nl, si, quant=True)
+    args = step_args(params, scan, "wan21")
+    fwd = _aot_forward(cfg, args, cache_name)
+    vparams, lat, vrun = build_vae_decode("wan21")
+    # warm every executable with ALL params resident (the composed wall
+    # must time execution, not tunnel AOT loads)
+    fetch_scalar(fwd(*args))
+    fetch_scalar(vrun(vparams, lat))
+    heads_warm_s = run_heads_once("wan21")     # loads + runs all stages
+    # in-process isolated parts (same HBM state as the composed pass)
+    step_s = _timed_reps(fwd, args, reps=3)
+    t0 = time.perf_counter()
+    fetch_scalar(vrun(vparams, lat))
+    vae_s = time.perf_counter() - t0
+    heads_s = run_heads_once("wan21")
+    # the composed pass: one continuous wall across all three programs
+    t0 = time.perf_counter()
+    for _ in range(50):
+        out = fwd(*args)
+    fetch_scalar(out)
+    steps_wall = time.perf_counter() - t0
+    fetch_scalar(vrun(vparams, lat))
+    run_heads_once("wan21")
+    composed_s = time.perf_counter() - t0
+    del params, scan, vparams
+    return composed_s, {"step_s": step_s, "steps_wall_s": steps_wall,
+                        "vae_s": vae_s, "heads_s": heads_s,
+                        "heads_warm_s": heads_warm_s}
+
+
 def main():
     import gc
     flops_full = analytic_flops(FULL_PCB + FULL_IRG, FULL_PCB)
@@ -1069,8 +1167,55 @@ def main():
                                           variant) / (TARGET_HW_TFLOPS
                                                       * 1e12)
             pts_dest["flops_floor_seconds_v5p8_mfu1"] = round(floor, 1)
+            base16 = clip_s * peak / (2 * TARGET_HW_TFLOPS)
             pts_dest["projected_clip_seconds_v5p16_equiv"] = round(
-                clip_s * peak / (2 * TARGET_HW_TFLOPS) + 50.0 * comm_s, 1)
+                base16 + 50.0 * comm_s, 1)
+            # r4 VERDICT next-#6: the 60 s deploy claim rested on ONE
+            # no-overlap analytic number with an 11% margin. Bracket it:
+            #   best  = async collectives fully overlapped with compute
+            #           (the a2a/AR shard sizes here are ~4-8 MB -- well
+            #           inside what XLA's async pairs hide under a 14B
+            #           block's matmuls);
+            #   worst = no overlap AND the comm model scaled by the
+            #           MEASURED graph factor V5P16_COMM_OVERHEAD
+            #           (COMM_HLO.json: partitioned-HLO bytes incl. the
+            #           GSPMD resharding all-gathers the model omits,
+            #           = 1.37x the modeled tp+sp bytes).
+            pts_dest["v5p16_bracket"] = {
+                "best_s": round(base16, 1),
+                "nominal_s": round(base16 + 50.0 * comm_s, 1),
+                "worst_s": round(base16 + 50.0 * comm_s
+                                 * V5P16_COMM_OVERHEAD, 1),
+                "comm_overhead_factor": V5P16_COMM_OVERHEAD,
+                "note": ("best=full compute/comm overlap; nominal="
+                         "no-overlap analytic model; worst=no-overlap x "
+                         "measured HLO byte factor (COMM_HLO.json)"),
+            }
+            # deploy option matrix: the bar should not hinge on one bf16
+            # number when int8 and TeaCache are measured. Same per-clip
+            # constants; tea hit steps skip the block stack, so they pay
+            # neither block compute nor its collectives.
+            opts = {}
+            int8_s = pts_dest.get("int8_full_s")
+            if int8_s:
+                opts["int8_s"] = round(
+                    (50.0 * int8_s + vae_s + heads_s + 2.0 * ctrl_s)
+                    * peak / (2 * TARGET_HW_TFLOPS) + 50.0 * comm_s, 1)
+            if t_hit is not None:
+                steps = 50.0 * (0.8 * float(full_v) + 0.2 * t_hit)
+                opts["tea0.2_s"] = round(
+                    (steps + vae_s + heads_s + 2.0 * ctrl_s)
+                    * peak / (2 * TARGET_HW_TFLOPS) + 40.0 * comm_s, 1)
+                if int8_s:
+                    steps = 50.0 * (0.8 * int8_s + 0.2 * t_hit)
+                    opts["int8_tea0.2_s"] = round(
+                        (steps + vae_s + heads_s + 2.0 * ctrl_s)
+                        * peak / (2 * TARGET_HW_TFLOPS) + 40.0 * comm_s, 1)
+            if opts:
+                opts["note"] = ("v5p-16 clip under measured serving "
+                                "options; tea rate 0.2 is the conservative "
+                                "end of the TeaCache operating range")
+                pts_dest["deploy_options_v5p16"] = opts
 
     def emit_now(partial):
         """Refresh fits/projections and print a full result line. Called
@@ -1161,6 +1306,39 @@ def main():
                         "residual_pct": round(
                             abs(pred - t_deep) / t_deep * 100.0, 2),
                     }
+            state["predict_q"] = predict_q
+            # composed clip (r4 VERDICT next-#3): 50 steps + tiled VAE +
+            # heads in ONE device lifetime at the 16-block int8 tower,
+            # vs the additive projected_clip_seconds formula on the same
+            # tower. Requires the aux executables (run_aux warmed them).
+            if budget_left(scale=2.0):
+                try:
+                    t0 = time.perf_counter()
+                    composed_s, parts = retry_transient(
+                        lambda: composed_clip(), "composed_clip")
+                    state["last_phase_s"] = time.perf_counter() - t0
+                    base_step = (points.get("deep_holdout_16") or {}).get(
+                        "measured_s") or parts["step_s"]
+                    sum_parts = (50.0 * base_step
+                                 + (points.get("vae_decode_s")
+                                    or parts["vae_s"])
+                                 + (points.get("heads_s")
+                                    or parts["heads_s"]))
+                    delta = (composed_s - sum_parts) / sum_parts * 100.0
+                    points["composed_clip"] = {
+                        "blocks": 16, "precision": "int8",
+                        "composed_s": round(composed_s, 1),
+                        "sum_of_parts_s": round(sum_parts, 1),
+                        "delta_pct": round(delta, 2),
+                    }
+                    points["composed_clip_detail"] = {
+                        k: round(v, 4) for k, v in parts.items()}
+                    log(f"composed clip: {composed_s:.1f}s vs sum "
+                        f"{sum_parts:.1f}s ({delta:+.1f}%)")
+                except Exception as e:
+                    log(f"composed clip failed ({type(e).__name__}: "
+                        f"{str(e)[:200]})")
+                gc.collect()
     # TeaCache hit-step cost (cheap: one shallow tower per variant)
     for variant in ("wan21", "wan22"):
         if not budget_left():
@@ -1209,6 +1387,92 @@ def main():
                         "residual_pct": round(
                             abs(float(pred) - t_deep) / t_deep * 100.0, 2),
                     }
+    # full-depth int8 HBM ladder (r4 VERDICT next-#2) -- deliberately the
+    # LAST device phase: a failed HBM allocation on this platform leaves
+    # buffers/arena unusable for later work (measured 2026-08-20: after a
+    # 40-block alloc failure every subsequent phase RESOURCE_EXHAUSTED,
+    # partly zombie references, partly allocator state), so the
+    # OOM-probing ladder runs after everything else, ascending, with an
+    # alloc-only precheck (seconds) gating each multi-minute compile.
+    predict_q = state.get("predict_q")
+    if budget_left(scale=1.5) and predict_q is not None:
+        ladder = []
+        for nl, si in ((40, 16), (36, 15), (32, 13), (28, 11), (24, 10),
+                       (20, 8)):
+            cfg_l = make_config(nl, si)
+            ladder.append({
+                "blocks": nl, "pcb": si,
+                "int8_weights_gb": round(
+                    tree_gbytes(abstract_tower(cfg_l, True)), 2),
+                "bf16_weights_gb": round(
+                    tree_gbytes(abstract_tower(cfg_l, False)), 2),
+                "attempted": False, "result": "not attempted"})
+
+        def alloc_probe(nl, si):
+            """Allocate (zero-fill) the int8 tower's weights only."""
+            hold = {}
+            try:
+                _, hold["p"], hold["s"] = build(nl, si, quant=True)
+                fetch_scalar(jax.tree_util.tree_leaves(hold["s"])[0])
+                return True, None
+            except Exception as e:
+                return False, f"{type(e).__name__}: {str(e)[:200]}"
+            finally:
+                hold.clear()      # drop zombie buffers BEFORE the next try
+                gc.collect()
+
+        deepest = wall = None
+        for nl, si in ((20, 8), (24, 10), (28, 11), (32, 13)):
+            if not budget_left(scale=2.5):
+                break
+            entry = next(x for x in ladder if x["blocks"] == nl)
+            entry["attempted"] = True
+            t0 = time.perf_counter()
+            ok, err = alloc_probe(nl, si)
+            log(f"ladder {nl}-block alloc probe: "
+                f"{'ok' if ok else err} ({time.perf_counter() - t0:.0f}s)")
+            if not ok:
+                entry["result"] = f"weight alloc failed: {err}"
+                wall = entry
+                break
+            t_d = run_point(f"int8_deep{nl}", nl, si, "wan21", quant=True)
+            if t_d is None:
+                entry["result"] = ("weights alloc OK, step failed: "
+                                   + state.get("last_error", "")[:200])
+                wall = entry
+                break
+            pred = float(predict_q(si, nl - si))
+            entry.update(result="ok", measured_s=round(t_d, 4),
+                         predicted_s=round(pred, 4),
+                         residual_pct=round(abs(pred - t_d) / t_d
+                                            * 100.0, 2))
+            deepest = entry
+        if wall is None and budget_left():
+            # the ascent never hit a wall: measure the pure allocation
+            # wall at full depth (19.4 GB of int8 weights vs 16 GB HBM)
+            e40 = ladder[0]
+            e40["attempted"] = True
+            ok, err = alloc_probe(40, 16)
+            e40["result"] = ("alloc OK (unexpected -- platform paging?)"
+                             if ok else f"weight alloc failed: {err}")
+            if not ok:
+                wall = e40
+        points["int8_hbm_ladder"] = ladder
+        points["int8_full40"] = {
+            "blocks": 40, "precision": "int8", "oom": True,
+            "int8_weights_gb": ladder[0]["int8_weights_gb"],
+            "hbm_note": "40-block int8 weights alone (19.4 GB) exceed the "
+                        "v5e's 16 GB; ladder records the measured wall",
+        }
+        if wall is not None:
+            points["int8_full40"]["measured_wall_blocks"] = wall["blocks"]
+        if deepest:
+            points["int8_full40"].update(
+                deepest_measured_blocks=deepest["blocks"],
+                measured_s=deepest.get("measured_s"),
+                predicted_s=deepest.get("predicted_s"),
+                residual_pct=deepest.get("residual_pct"))
+
     # r3 semantics: partial == the HEADLINE fit is underdetermined (<2
     # wan21 points); missing optional phases show as absent points keys
     emit_now(partial=len(measured["wan21"]) < 2)

@@ -163,12 +163,27 @@ def _full_points():
         "deep_holdout": depth(12, 6, "int8"),
         "deep_holdout_16": depth(16, 8, "int8"),
         "tea_cache_hit_step_s": 0.0044, "tea_cache": tea,
-        "int8_full40": {"blocks": 40, "pcb": 16, "irg": 24,
-                        "precision": "int8", "measured_s": 25.1,
-                        "predicted_s": 25.9, "residual_pct": 3.1},
+        "int8_full40": {"blocks": 40, "precision": "int8", "oom": True,
+                        "int8_weights_gb": 19.36,
+                        "hbm_note": "weights alone exceed the v5e's 16 GB; "
+                                    "measured alloc failure in "
+                                    "int8_hbm_ladder",
+                        "measured_wall_blocks": 32,
+                        "deepest_measured_blocks": 28, "measured_s": 6.1,
+                        "predicted_s": 6.05, "residual_pct": 0.83},
+        "int8_hbm_ladder": [
+            {"blocks": b, "pcb": p, "int8_weights_gb": g,
+             "bf16_weights_gb": 2 * g, "attempted": True,
+             "result": "RESOURCE_EXHAUSTED at weight alloc: ..." * 3}
+            for b, p, g in ((40, 16, 19.36), (36, 15, 17.58),
+                            (32, 13, 15.84), (28, 11, 14.09),
+                            (24, 10, 12.32))],
         "composed_clip": {"blocks": 16, "precision": "int8",
                           "composed_s": 172.3, "sum_of_parts_s": 171.2,
                           "delta_pct": 0.6},
+        "composed_clip_detail": {"step_s": 3.31, "steps_wall_s": 165.5,
+                                 "vae_s": 4.8, "heads_s": 0.97,
+                                 "heads_warm_s": 61.0},
     }
     w22 = dict(pts)
     w22.pop("int8_full40"), w22.pop("composed_clip")
@@ -185,8 +200,18 @@ def _full_points():
         "flops_floor_seconds_v5p8_mfu1": 57.2,
         "projected_clip_seconds_v5p16_equiv": 53.3,
         "v5p8_comm_model": dict(comm, variant="wan22"),
-        "v5p16_bracket": {"worst_s": 53.3, "best_s": 50.8,
-                          "note": "overlap-aware best vs no-overlap worst"},
+        "v5p16_bracket": {"best_s": 50.8, "nominal_s": 53.3,
+                          "worst_s": 57.9, "comm_overhead_factor": 1.37,
+                          "note": "best=full compute/comm overlap; "
+                                  "nominal=no-overlap analytic model; "
+                                  "worst=no-overlap x measured HLO byte "
+                                  "factor (COMM_HLO.json)"},
+        "deploy_options_v5p16": {"int8_s": 47.1, "tea0.2_s": 45.2,
+                                 "int8_tea0.2_s": 40.3,
+                                 "note": "v5p-16 clip under measured "
+                                         "serving options; tea rate 0.2 "
+                                         "is the conservative end of the "
+                                         "TeaCache operating range"},
         "int8_full_s": 25.9326,
     })
     pts["wan22"] = w22
@@ -220,10 +245,15 @@ def test_compact_line_stays_under_cap(monkeypatch, capsys, tmp_path):
     assert rec["wan22"]["step_s"] == 29.9806
     assert rec["wan22"]["v5p16_s"] == 53.3
     assert rec["wan22"]["floor_v5p8_mfu1_s"] == 57.2
-    assert rec["int8_full40"]["measured_s"] == 25.1
+    assert rec["wan22"]["v5p16_range_s"] == [50.8, 57.9]
+    assert rec["wan22"]["v5p16_options_s"]["int8_tea0.2"] == 40.3
+    assert rec["int8_full40"]["oom"] is True
+    assert rec["int8_full40"]["deepest_measured_blocks"] == 28
     assert rec["composed_clip"]["delta_pct"] == 0.6
     # deepest validated depth is summarized, not the whole forensics dict
-    assert rec["wan21"]["deepest_depth_check"]["blocks"] == 40
+    # (int8_full40 is excluded from the scan -- it reports an OOM at 40,
+    # not a measurement; its deepest_measured_blocks carries the depth)
+    assert rec["wan21"]["deepest_depth_check"]["blocks"] == 16
     # the full tree is preserved in the details artifact
     details = _json.loads((tmp_path / "details.json").read_text())
     assert details["points"]["wan22"]["w22_deep6_s"] == 3.6

@@ -223,6 +223,70 @@ def build_and_count(dim=256, layers=2, start_index=1, agg_dim=64,
     return cfg, geom, ops, agg, text
 
 
+def compare_to_model(geom, ops):
+    """Aggregate the HLO collectives and evaluate bench.comm_model_bytes at
+    the same geometry. Returns a dict with observed/modeled byte totals and
+    their ratios -- the payload tests/test_comm_hlo.py asserts on and the
+    COMM_HLO.json artifact records.
+
+    Categories:
+      ar_model  -- all-reduces over the 'model' axis (the tp term; includes
+                   the hybrid per-head-shard o-projection ARs XLA creates
+                   by fusing the ulysses out-a2a into the row-parallel
+                   matmul -- bytes that the model counts under sp);
+      a2a_seq   -- all-to-alls over 'seq' (the sp term; XLA attributes the
+                   cross-attention k/v a2as to the k-concat op, so ALL
+                   seq-axis a2as count, whatever their op_name);
+      unmodeled -- all-gathers + collective-permutes (GSPMD resharding and
+                   the replication of column-parallel q/k/v around the
+                   head-resharding ulysses region) + sub-kB scalar ARs.
+    """
+    sys.path.insert(0, os.path.join(os.path.dirname(
+        os.path.abspath(__file__)), ".."))
+    import bench
+
+    n = 2
+    factor = {"all-reduce": 2 * (n - 1) / n, "all-gather": (n - 1) / n,
+              "reduce-scatter": (n - 1) / n, "all-to-all": (n - 1) / n,
+              "collective-permute": 1.0}
+    cat = {"ar_model": 0.0, "a2a_seq": 0.0, "unmodeled": 0.0}
+    for op in ops:
+        sz = op["result_bytes"]
+        if op["kind"] == "all-gather":
+            sz /= n                           # result is the gathered shape
+        b = factor[op["kind"]] * sz
+        if op["kind"] == "all-reduce" and op["axis"] == "model" \
+                and op["result_bytes"] > 4096:
+            cat["ar_model"] += b
+        elif op["kind"] == "all-to-all":
+            cat["a2a_seq"] += b
+        else:
+            cat["unmodeled"] += b
+    n_irg = geom["layers"] - geom["start_index"]
+    l_agg = geom["f"] * (5 + (geom["h2"] // 2) * (geom["w2"] // 2))
+    tp, sp = bench.comm_model_bytes(
+        n_dit=geom["layers"], n_irg=n_irg, l_dit=geom["l_dit"],
+        l_agg=l_agg, l_txt=geom["ctx_len"], l_img=257,
+        D=geom["dim"], A=geom["agg_dim"], BD=geom["bicross_hidden"],
+        bytes_per=4)                        # CPU promotes the path to f32
+    modeled_total = tp + sp
+    observed_total = cat["ar_model"] + cat["a2a_seq"]
+    return {
+        "geometry": geom,
+        "modeled": {"tp_bytes": tp, "sp_bytes": sp, "total": modeled_total},
+        "observed": dict(cat, total=observed_total),
+        "ratio_a2a_vs_sp": cat["a2a_seq"] / sp,
+        "ratio_ar_vs_tp": cat["ar_model"] / tp,
+        "ratio_total": observed_total / modeled_total,
+        "unmodeled_fraction_of_modeled": cat["unmodeled"] / modeled_total,
+        "note": ("XLA fuses the self-attn ulysses out-a2a into the "
+                 "row-parallel o matmul (per-head-shard dot + model-axis "
+                 "AR), shifting ~bytes from a2a_seq to ar_model; compare "
+                 "the TOTAL. 'unmodeled' (all-gathers/permutes from GSPMD "
+                 "resharding) feeds the v5p-16 worst-case bracket."),
+    }
+
+
 def main():
     _force_cpu_child()
     import collections
@@ -232,17 +296,18 @@ def main():
     print("== op counts ==")
     for k, c in sorted(counts.items()):
         print(f"{k}: n={c}, per_chip_bytes={agg[k]:.0f}")
+    res = compare_to_model(geom, ops)
+    print(json.dumps({k: v for k, v in res.items() if k != "geometry"},
+                     indent=1))
+    out = os.path.join(os.path.dirname(os.path.abspath(__file__)), "..",
+                       "COMM_HLO.json")
+    with open(out, "w") as fh:
+        json.dump(res, fh, indent=1)
+    print(f"artifact written to {os.path.normpath(out)}")
     if "--dump" in sys.argv:
         with open("/tmp/comm_hlo.txt", "w") as fh:
             fh.write(text)
         print("HLO written to /tmp/comm_hlo.txt")
-    # sample lines per kind for eyeballing
-    seen = set()
-    for op in ops:
-        key = (op["kind"], op["axis"])
-        if key not in seen:
-            seen.add(key)
-            print(f"-- sample {key}: {op['line'][:180]}")
 
 
 if __name__ == "__main__":
