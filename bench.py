@@ -966,15 +966,18 @@ def composed_clip(nl=16, si=8, cache_name="int8_deep16"):
     fetch_scalar(vrun(vparams, lat))
     vae_s = time.perf_counter() - t0
     heads_s = run_heads_once("wan21")
-    # the composed pass: one continuous wall across all three programs
+    # the composed pass: one continuous wall across all three programs.
+    # run_heads_once re-builds its (synthetic) inputs host-side before its
+    # own timer starts, so the heads term is execution-only -- consistent
+    # with the isolated heads_s the additive formula uses.
     t0 = time.perf_counter()
     for _ in range(50):
         out = fwd(*args)
     fetch_scalar(out)
     steps_wall = time.perf_counter() - t0
     fetch_scalar(vrun(vparams, lat))
-    run_heads_once("wan21")
-    composed_s = time.perf_counter() - t0
+    steps_vae_wall = time.perf_counter() - t0
+    composed_s = steps_vae_wall + run_heads_once("wan21")
     del params, scan, vparams
     return composed_s, {"step_s": step_s, "steps_wall_s": steps_wall,
                         "vae_s": vae_s, "heads_s": heads_s,
@@ -1422,7 +1425,7 @@ def main():
                 gc.collect()
 
         deepest = wall = None
-        for nl, si in ((20, 8), (24, 10), (28, 11), (32, 13)):
+        for nl, si in ((20, 8), (24, 10), (28, 11), (32, 13), (36, 15)):
             if not budget_left(scale=2.5):
                 break
             entry = next(x for x in ladder if x["blocks"] == nl)
@@ -1458,20 +1461,27 @@ def main():
             if not ok:
                 wall = e40
         points["int8_hbm_ladder"] = ladder
-        points["int8_full40"] = {
-            "blocks": 40, "precision": "int8", "oom": True,
-            "int8_weights_gb": ladder[0]["int8_weights_gb"],
-            "hbm_note": "40-block int8 weights alone (19.4 GB) exceed the "
-                        "v5e's 16 GB; ladder records the measured wall",
-        }
+        # summarize ONLY what this run observed: oom is claimed iff a
+        # probe actually failed (on a bigger-HBM chip, or with the budget
+        # exhausted before any probe, the record says so instead)
+        full40 = {"blocks": 40, "precision": "int8",
+                  "int8_weights_gb": ladder[0]["int8_weights_gb"]}
         if wall is not None:
-            points["int8_full40"]["measured_wall_blocks"] = wall["blocks"]
+            full40["oom"] = True
+            full40["measured_wall_blocks"] = wall["blocks"]
+            full40["wall_error"] = str(wall.get("result", ""))[:160]
+        elif any(x["attempted"] for x in ladder):
+            full40["oom"] = False
+            full40["note"] = "no wall observed at the attempted depths"
+        else:
+            full40["note"] = "ladder not attempted (budget)"
         if deepest:
-            points["int8_full40"].update(
+            full40.update(
                 deepest_measured_blocks=deepest["blocks"],
                 measured_s=deepest.get("measured_s"),
                 predicted_s=deepest.get("predicted_s"),
                 residual_pct=deepest.get("residual_pct"))
+        points["int8_full40"] = full40
 
     # r3 semantics: partial == the HEADLINE fit is underdetermined (<2
     # wan21 points); missing optional phases show as absent points keys

@@ -107,23 +107,31 @@ def _census(got_fusion, cfg):
 
 
 def _finiteness(trees):
-    """Device-side NaN/Inf scan of every leaf (jit cache keyed by shape, so
-    the stacked scan trees compile once per shape class)."""
+    """Device-side NaN/Inf scan of every leaf. Counts are accumulated as
+    device scalars and fetched in ONE bulk transfer (a per-leaf int()
+    would pay hundreds of sequential round trips on the tunneled TPU);
+    per-leaf attribution is recomputed only when something is nonfinite."""
     import jax
+    import numpy as np
     import jax.numpy as jnp
     check = jax.jit(lambda x: (~jnp.isfinite(x.astype(jnp.float32))).sum())
-    bad = {}
-    n_leaves = 0
+
+    def scannable(leaf):
+        return (hasattr(leaf, "dtype") and leaf.dtype != bool
+                and "int" not in str(leaf.dtype))
+
+    names, counts = [], []
     for name, tree in trees.items():
         for path, leaf in _tree_paths(tree):
-            n_leaves += 1
-            if not hasattr(leaf, "dtype") or leaf.dtype == bool or \
-                    "int" in str(leaf.dtype):
-                continue
-            n = int(check(leaf))
-            if n:
-                bad[f"{name}/{path}"] = n
-    return {"leaves": n_leaves, "nonfinite": bad, "ok": not bad}
+            if scannable(leaf):
+                names.append(f"{name}/{path}")
+                counts.append(check(leaf))
+    fetched = [int(c) for c in np.asarray(jax.device_get(counts),
+                                          np.int64)] if counts else []
+    bad = {n: c for n, c in zip(names, fetched) if c}
+    return {"leaves": sum(1 for _, t in trees.items()
+                          for _ in _tree_paths(t)),
+            "scanned": len(names), "nonfinite": bad, "ok": not bad}
 
 
 def _head_sanity(pred):
@@ -164,8 +172,22 @@ def run(args) -> dict:
               f"({rec['wall_s']}s)", flush=True)
         return ok, detail if isinstance(detail, dict) else {}
 
-    # -- config resolution ---------------------------------------------------
+    # -- argument validation (fail as a usage error, not a deep-loader
+    # traceback attributed to the weights) --------------------------------
     from ..convert.orbax_io import is_bundle, load_bundle_configs
+    raw_layout = not is_bundle(args.wan_ckpt_path)
+    if raw_layout and args.variant == "wan21" and not args.model_ckpt:
+        sys.exit("verify_weights: --model_ckpt is required for a raw wan21 "
+                 "checkpoint layout (pass the fusion model.pth)")
+    if raw_layout and args.variant == "wan22" and not (
+            args.model_ckpt_high and args.model_ckpt_low):
+        sys.exit("verify_weights: --model_ckpt_high and --model_ckpt_low "
+                 "are required for a raw wan22 checkpoint layout")
+    if args.config_from and not is_bundle(args.config_from):
+        sys.exit(f"verify_weights: --config_from {args.config_from!r} is "
+                 f"not an Orbax bundle directory (expected one written by "
+                 f"cli/convert.py); refusing to silently fall back to the "
+                 f"production 14B config")
     if args.variant == "wan21":
         from ..models.fusion.model import FusionConfig
         cfg = FusionConfig()

@@ -169,6 +169,7 @@ def _full_points():
                                     "measured alloc failure in "
                                     "int8_hbm_ladder",
                         "measured_wall_blocks": 32,
+                        "wall_error": "RESOURCE_EXHAUSTED: " + "x" * 130,
                         "deepest_measured_blocks": 28, "measured_s": 6.1,
                         "predicted_s": 6.05, "residual_pct": 0.83},
         "int8_hbm_ladder": [

@@ -58,21 +58,38 @@ _DTYPE_BYTES = {"f32": 4, "bf16": 2, "f16": 2, "s32": 4, "u32": 4,
                 "s8": 1, "u8": 1, "pred": 1, "f64": 8, "s64": 8}
 _SHAPE_RE = re.compile(r"(f32|bf16|f16|f64|s64|s32|u32|s8|u8|pred)"
                        r"\[([0-9,]*)\]")
-_GROUPS_RE = re.compile(r"replica_groups=\{(\{[0-9,\{\} ]*\})\}|"
-                        r"replica_groups=\[[^\]]*\]<=\[[^\]]*\]T?\(?[^)]*\)?")
 
 
-def _shape_bytes(text: str) -> int:
-    """Sum byte sizes of every shape literal in an HLO result type."""
-    total = 0
+def _shape_bytes(text: str, last_only: bool = False) -> int:
+    """Sum byte sizes of the shape literals in an HLO result type.
+
+    last_only: async `-start` ops return an (operands..., result) tuple --
+    counting every element would bill the operand aliases as traffic
+    (1.5-2x over); the LAST literal is the produced result buffer."""
+    sizes = []
     for m in _SHAPE_RE.finditer(text):
         dt, dims = m.group(1), m.group(2)
         n = 1
         for d in dims.split(","):
             if d.strip():
                 n *= int(d)
-        total += n * _DTYPE_BYTES[dt]
-    return total
+        sizes.append(n * _DTYPE_BYTES[dt])
+    if not sizes:
+        return 0
+    return sizes[-1] if last_only else sum(sizes)
+
+
+def _op_cost(kind: str, result_bytes: int, n: int = 2) -> float:
+    """Per-chip traffic of one collective: all-reduce moves 2(n-1)/n of
+    its (local) shape; ag/rs/a2a (n-1)/n; permute 1x. The all-gather
+    result is the GATHERED shape, so its local operand is result/n.
+    SINGLE source of truth for per_chip_bytes and compare_to_model."""
+    factor = {"all-reduce": 2 * (n - 1) / n, "all-gather": (n - 1) / n,
+              "reduce-scatter": (n - 1) / n, "all-to-all": (n - 1) / n,
+              "collective-permute": 1.0}[kind]
+    if kind == "all-gather":
+        result_bytes = result_bytes / n
+    return factor * result_bytes
 
 
 def classify_axis(groups: list, mesh_shape=(2, 2, 2)) -> str:
@@ -106,6 +123,7 @@ def parse_collectives(hlo_text: str):
         kind = m.group(2)
         if m.group(3) == "-done":
             continue                       # counted at -start
+        async_start = m.group(3) == "-start"
         restype = m.group(1)
         # replica groups: explicit {{0,1},{2,3}} form
         axis = "unknown"
@@ -131,23 +149,19 @@ def parse_collectives(hlo_text: str):
                 if dims[last] == gsize:
                     axis = names[last]
         out.append({"kind": kind, "axis": axis,
-                    "result_bytes": _shape_bytes(restype), "line": line[:200]})
+                    "result_bytes": _shape_bytes(restype,
+                                                 last_only=async_start),
+                    "line": line[:200]})
     return out
 
 
 def per_chip_bytes(ops, n=2):
-    """Aggregate per-chip traffic by (kind, axis): all-reduce costs
-    2(n-1)/n of its (local) shape; ag/rs/a2a cost (n-1)/n; permute 1x."""
-    factor = {"all-reduce": 2 * (n - 1) / n, "all-gather": (n - 1) / n,
-              "reduce-scatter": (n - 1) / n, "all-to-all": (n - 1) / n,
-              "collective-permute": 1.0}
+    """Aggregate per-chip traffic by (kind, axis) via _op_cost."""
     agg = {}
     for op in ops:
         key = (op["kind"], op["axis"])
-        sz = op["result_bytes"]
-        if op["kind"] == "all-gather":
-            sz = sz / n                      # result is the GATHERED shape
-        agg[key] = agg.get(key, 0.0) + factor[op["kind"]] * sz
+        agg[key] = agg.get(key, 0.0) + _op_cost(op["kind"],
+                                                op["result_bytes"], n)
     return agg
 
 
@@ -246,15 +260,9 @@ def compare_to_model(geom, ops):
     import bench
 
     n = 2
-    factor = {"all-reduce": 2 * (n - 1) / n, "all-gather": (n - 1) / n,
-              "reduce-scatter": (n - 1) / n, "all-to-all": (n - 1) / n,
-              "collective-permute": 1.0}
     cat = {"ar_model": 0.0, "a2a_seq": 0.0, "unmodeled": 0.0}
     for op in ops:
-        sz = op["result_bytes"]
-        if op["kind"] == "all-gather":
-            sz /= n                           # result is the gathered shape
-        b = factor[op["kind"]] * sz
+        b = _op_cost(op["kind"], op["result_bytes"], n)
         if op["kind"] == "all-reduce" and op["axis"] == "model" \
                 and op["result_bytes"] > 4096:
             cat["ar_model"] += b
