@@ -1310,38 +1310,6 @@ def main():
                             abs(pred - t_deep) / t_deep * 100.0, 2),
                     }
             state["predict_q"] = predict_q
-            # composed clip (r4 VERDICT next-#3): 50 steps + tiled VAE +
-            # heads in ONE device lifetime at the 16-block int8 tower,
-            # vs the additive projected_clip_seconds formula on the same
-            # tower. Requires the aux executables (run_aux warmed them).
-            if budget_left(scale=2.0):
-                try:
-                    t0 = time.perf_counter()
-                    composed_s, parts = retry_transient(
-                        lambda: composed_clip(), "composed_clip")
-                    state["last_phase_s"] = time.perf_counter() - t0
-                    base_step = (points.get("deep_holdout_16") or {}).get(
-                        "measured_s") or parts["step_s"]
-                    sum_parts = (50.0 * base_step
-                                 + (points.get("vae_decode_s")
-                                    or parts["vae_s"])
-                                 + (points.get("heads_s")
-                                    or parts["heads_s"]))
-                    delta = (composed_s - sum_parts) / sum_parts * 100.0
-                    points["composed_clip"] = {
-                        "blocks": 16, "precision": "int8",
-                        "composed_s": round(composed_s, 1),
-                        "sum_of_parts_s": round(sum_parts, 1),
-                        "delta_pct": round(delta, 2),
-                    }
-                    points["composed_clip_detail"] = {
-                        k: round(v, 4) for k, v in parts.items()}
-                    log(f"composed clip: {composed_s:.1f}s vs sum "
-                        f"{sum_parts:.1f}s ({delta:+.1f}%)")
-                except Exception as e:
-                    log(f"composed clip failed ({type(e).__name__}: "
-                        f"{str(e)[:200]})")
-                gc.collect()
     # TeaCache hit-step cost (cheap: one shallow tower per variant)
     for variant in ("wan21", "wan22"):
         if not budget_left():
@@ -1390,13 +1358,54 @@ def main():
                         "residual_pct": round(
                             abs(float(pred) - t_deep) / t_deep * 100.0, 2),
                     }
+    # composed clip (r4 VERDICT next-#3): 50 steps + tiled VAE + heads in
+    # ONE device lifetime -- all three programs' params resident at once
+    # -- vs the additive projected_clip_seconds formula on the same tower.
+    # Runs at the 12-block int8 tower (~7 GB weights): the 16-block tower
+    # (8.8 GB) was attempted 2026-08-20 and the three co-resident programs
+    # RESOURCE_EXHAUSTED the v5e -- itself a finding (recorded in the
+    # result note; on the 95 GB v5p deploy target all three trivially
+    # co-reside) -- and an OOM here poisons the process (below), so this
+    # phase sits after every safe phase, just before the ladder.
+    if budget_left(scale=2.0) and state.get("predict_q") is not None:
+        try:
+            t0 = time.perf_counter()
+            composed_s, parts = retry_transient(
+                lambda: composed_clip(nl=12, si=6,
+                                      cache_name="int8_deep12"),
+                "composed_clip")
+            state["last_phase_s"] = time.perf_counter() - t0
+            base_step = (points.get("deep_holdout") or {}).get(
+                "measured_s") or parts["step_s"]
+            sum_parts = (50.0 * base_step
+                         + (points.get("vae_decode_s") or parts["vae_s"])
+                         + (points.get("heads_s") or parts["heads_s"]))
+            delta = (composed_s - sum_parts) / sum_parts * 100.0
+            points["composed_clip"] = {
+                "blocks": 12, "precision": "int8",
+                "composed_s": round(composed_s, 1),
+                "sum_of_parts_s": round(sum_parts, 1),
+                "delta_pct": round(delta, 2),
+                "note": "16-block tower + VAE + heads co-resident OOM the "
+                        "16 GB v5e (measured); 12-block leaves ~4 GB",
+            }
+            points["composed_clip_detail"] = {
+                k: round(v, 4) for k, v in parts.items()}
+            log(f"composed clip: {composed_s:.1f}s vs sum "
+                f"{sum_parts:.1f}s ({delta:+.1f}%)")
+        except Exception as e:
+            log(f"composed clip failed ({type(e).__name__}: "
+                f"{str(e)[:200]})")
+        gc.collect()
+
     # full-depth int8 HBM ladder (r4 VERDICT next-#2) -- deliberately the
-    # LAST device phase: a failed HBM allocation on this platform leaves
-    # buffers/arena unusable for later work (measured 2026-08-20: after a
-    # 40-block alloc failure every subsequent phase RESOURCE_EXHAUSTED,
-    # partly zombie references, partly allocator state), so the
-    # OOM-probing ladder runs after everything else, ascending, with an
-    # alloc-only precheck (seconds) gating each multi-minute compile.
+    # LAST device phase: ANY failed HBM allocation on this platform leaves
+    # the process unable to allocate (measured twice 2026-08-20: after a
+    # 19.4 GB 40-block alloc failure AND after the 16-block composed-clip
+    # OOM, every subsequent phase -- even a 2 GB tea tower --
+    # RESOURCE_EXHAUSTED), so the OOM-probing ladder runs after everything
+    # else, ascending, with an alloc-only precheck gating each
+    # multi-minute compile.
     predict_q = state.get("predict_q")
     if budget_left(scale=1.5) and predict_q is not None:
         ladder = []

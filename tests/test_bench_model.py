@@ -179,9 +179,12 @@ def _full_points():
             for b, p, g in ((40, 16, 19.36), (36, 15, 17.58),
                             (32, 13, 15.84), (28, 11, 14.09),
                             (24, 10, 12.32))],
-        "composed_clip": {"blocks": 16, "precision": "int8",
+        "composed_clip": {"blocks": 12, "precision": "int8",
                           "composed_s": 172.3, "sum_of_parts_s": 171.2,
-                          "delta_pct": 0.6},
+                          "delta_pct": 0.6,
+                          "note": "16-block tower + VAE + heads co-resident "
+                                  "OOM the 16 GB v5e (measured); 12-block "
+                                  "leaves ~4 GB"},
         "composed_clip_detail": {"step_s": 3.31, "steps_wall_s": 165.5,
                                  "vae_s": 4.8, "heads_s": 0.97,
                                  "heads_warm_s": 61.0},
