@@ -984,6 +984,39 @@ def composed_clip(nl=16, si=8, cache_name="int8_deep16"):
                         "heads_warm_s": heads_warm_s}
 
 
+def run_subphase(argv, timeout_s, what):
+    """Run one OOM-prone phase in a FRESH child process (python bench.py
+    <argv>), returning its one-line JSON result. Rationale (measured
+    2026-08-20/21): ANY RESOURCE_EXHAUSTED poisons the allocating process
+    -- afterwards even a 2 GB allocation fails -- and a long-lived dirty
+    process OOMs allocations a fresh one fits (fragmentation): the
+    composed clip failed at 12 blocks in-process late in the run but its
+    parts all fit standalone. Child processes share the tunnel fine
+    (verified: a child initializes the device while the parent holds its
+    client) and reuse the AOT cache, so the isolation costs one jax
+    startup + executable loads."""
+    import subprocess
+    cmd = [sys.executable, os.path.abspath(__file__)] \
+        + [str(a) for a in argv]
+    try:
+        r = subprocess.run(cmd, capture_output=True, text=True,
+                           timeout=timeout_s)
+    except subprocess.TimeoutExpired:
+        return {"ok": False, "error": f"timeout after {timeout_s}s"}
+    tail = (r.stderr or "").strip().splitlines()[-3:]
+    for ln in tail:
+        log(f"[{what}] {ln[:160]}")
+    for line in reversed((r.stdout or "").splitlines()):
+        line = line.strip()
+        if line.startswith("{"):
+            try:
+                return json.loads(line)
+            except ValueError:
+                break
+    return {"ok": False,
+            "error": f"rc={r.returncode}: {(r.stderr or '')[-300:]}"}
+
+
 def main():
     import gc
     flops_full = analytic_flops(FULL_PCB + FULL_IRG, FULL_PCB)
@@ -1361,51 +1394,54 @@ def main():
     # composed clip (r4 VERDICT next-#3): 50 steps + tiled VAE + heads in
     # ONE device lifetime -- all three programs' params resident at once
     # -- vs the additive projected_clip_seconds formula on the same tower.
-    # Runs at the 12-block int8 tower (~7 GB weights): the 16-block tower
-    # (8.8 GB) was attempted 2026-08-20 and the three co-resident programs
-    # RESOURCE_EXHAUSTED the v5e -- itself a finding (recorded in the
-    # result note; on the 95 GB v5p deploy target all three trivially
-    # co-reside) -- and an OOM here poisons the process (below), so this
-    # phase sits after every safe phase, just before the ladder.
+    # Runs in a FRESH child process (run_subphase): in-process attempts
+    # late in the run OOM'd at depths whose parts all fit standalone
+    # (fragmentation), and an OOM poisons the parent. 16 blocks first,
+    # 12-block fallback; failures are recorded, not fatal.
     if budget_left(scale=2.0) and state.get("predict_q") is not None:
-        try:
+        attempts = []
+        for nl, si, cache, base_key in (
+                (16, 8, "int8_deep16", "deep_holdout_16"),
+                (12, 6, "int8_deep12", "deep_holdout")):
             t0 = time.perf_counter()
-            composed_s, parts = retry_transient(
-                lambda: composed_clip(nl=12, si=6,
-                                      cache_name="int8_deep12"),
-                "composed_clip")
+            res = run_subphase(["--composed", nl, si, cache], 2700,
+                               f"composed{nl}")
             state["last_phase_s"] = time.perf_counter() - t0
-            base_step = (points.get("deep_holdout") or {}).get(
+            if not res.get("ok"):
+                attempts.append(f"{nl}-block: {res.get('error', '')[:140]}")
+                log(f"composed clip {nl}-block child failed: "
+                    f"{res.get('error', '')[:180]}")
+                continue
+            parts = res["parts"]
+            composed_s = float(res["composed_s"])
+            base_step = (points.get(base_key) or {}).get(
                 "measured_s") or parts["step_s"]
             sum_parts = (50.0 * base_step
                          + (points.get("vae_decode_s") or parts["vae_s"])
                          + (points.get("heads_s") or parts["heads_s"]))
             delta = (composed_s - sum_parts) / sum_parts * 100.0
             points["composed_clip"] = {
-                "blocks": 12, "precision": "int8",
+                "blocks": nl, "precision": "int8",
                 "composed_s": round(composed_s, 1),
                 "sum_of_parts_s": round(sum_parts, 1),
                 "delta_pct": round(delta, 2),
-                "note": "16-block tower + VAE + heads co-resident OOM the "
-                        "16 GB v5e (measured); 12-block leaves ~4 GB",
             }
+            if attempts:
+                points["composed_clip"]["note"] = \
+                    "shallower fallback; " + "; ".join(attempts)
             points["composed_clip_detail"] = {
                 k: round(v, 4) for k, v in parts.items()}
-            log(f"composed clip: {composed_s:.1f}s vs sum "
+            log(f"composed clip ({nl} blocks): {composed_s:.1f}s vs sum "
                 f"{sum_parts:.1f}s ({delta:+.1f}%)")
-        except Exception as e:
-            log(f"composed clip failed ({type(e).__name__}: "
-                f"{str(e)[:200]})")
-        gc.collect()
+            break
+        else:
+            points["composed_clip"] = {"failed": attempts}
 
-    # full-depth int8 HBM ladder (r4 VERDICT next-#2) -- deliberately the
-    # LAST device phase: ANY failed HBM allocation on this platform leaves
-    # the process unable to allocate (measured twice 2026-08-20: after a
-    # 19.4 GB 40-block alloc failure AND after the 16-block composed-clip
-    # OOM, every subsequent phase -- even a 2 GB tea tower --
-    # RESOURCE_EXHAUSTED), so the OOM-probing ladder runs after everything
-    # else, ascending, with an alloc-only precheck gating each
-    # multi-minute compile.
+    # full-depth int8 HBM ladder (r4 VERDICT next-#2): each depth probes
+    # in its own FRESH child process so a genuine wall is measured --
+    # in-parent probing was doubly wrong (an OOM poisons the process AND a
+    # long-lived dirty arena under-reports what fits). Ascending depths;
+    # the first fresh-process failure is the wall.
     predict_q = state.get("predict_q")
     if budget_left(scale=1.5) and predict_q is not None:
         ladder = []
@@ -1420,19 +1456,6 @@ def main():
                     tree_gbytes(abstract_tower(cfg_l, False)), 2),
                 "attempted": False, "result": "not attempted"})
 
-        def alloc_probe(nl, si):
-            """Allocate (zero-fill) the int8 tower's weights only."""
-            hold = {}
-            try:
-                _, hold["p"], hold["s"] = build(nl, si, quant=True)
-                fetch_scalar(jax.tree_util.tree_leaves(hold["s"])[0])
-                return True, None
-            except Exception as e:
-                return False, f"{type(e).__name__}: {str(e)[:200]}"
-            finally:
-                hold.clear()      # drop zombie buffers BEFORE the next try
-                gc.collect()
-
         deepest = wall = None
         for nl, si in ((20, 8), (24, 10), (28, 11), (32, 13), (36, 15)):
             if not budget_left(scale=2.5):
@@ -1440,19 +1463,18 @@ def main():
             entry = next(x for x in ladder if x["blocks"] == nl)
             entry["attempted"] = True
             t0 = time.perf_counter()
-            ok, err = alloc_probe(nl, si)
-            log(f"ladder {nl}-block alloc probe: "
-                f"{'ok' if ok else err} ({time.perf_counter() - t0:.0f}s)")
-            if not ok:
-                entry["result"] = f"weight alloc failed: {err}"
+            res = run_subphase(["--ladder-depth", nl, si], 3000,
+                               f"ladder{nl}")
+            state["last_phase_s"] = time.perf_counter() - t0
+            log(f"ladder {nl}-block fresh-process step: "
+                f"{res if not res.get('ok') else res.get('measured_s')}"
+                f" ({state['last_phase_s']:.0f}s)")
+            if not res.get("ok"):
+                entry["result"] = ("fresh-process failure: "
+                                   + res.get("error", "")[:200])
                 wall = entry
                 break
-            t_d = run_point(f"int8_deep{nl}", nl, si, "wan21", quant=True)
-            if t_d is None:
-                entry["result"] = ("weights alloc OK, step failed: "
-                                   + state.get("last_error", "")[:200])
-                wall = entry
-                break
+            t_d = float(res["measured_s"])
             pred = float(predict_q(si, nl - si))
             entry.update(result="ok", measured_s=round(t_d, 4),
                          predicted_s=round(pred, 4),
@@ -1464,10 +1486,13 @@ def main():
             # wall at full depth (19.4 GB of int8 weights vs 16 GB HBM)
             e40 = ladder[0]
             e40["attempted"] = True
-            ok, err = alloc_probe(40, 16)
+            res = run_subphase(["--ladder-depth", 40, 16, "--alloc-only"],
+                               1200, "ladder40alloc")
             e40["result"] = ("alloc OK (unexpected -- platform paging?)"
-                             if ok else f"weight alloc failed: {err}")
-            if not ok:
+                             if res.get("ok") else
+                             "weight alloc failed: "
+                             + res.get("error", "")[:200])
+            if not res.get("ok"):
                 wall = e40
         points["int8_hbm_ladder"] = ladder
         # summarize ONLY what this run observed: oom is claimed iff a
@@ -1709,6 +1734,38 @@ def parity_main(out_path="PARITY_TPU.json"):
 if __name__ == "__main__":
     if "--parity" in sys.argv:
         parity_main()
+        raise SystemExit(0)
+    # child modes for the OOM-prone end phases (spawned by run_subphase;
+    # one JSON line on stdout, consumed by the parent -- never the driver)
+    if "--composed" in sys.argv:
+        i = sys.argv.index("--composed")
+        nl, si = int(sys.argv[i + 1]), int(sys.argv[i + 2])
+        cache = sys.argv[i + 3]
+        try:
+            composed_s, parts = composed_clip(nl=nl, si=si,
+                                              cache_name=cache)
+            print(json.dumps({"ok": True, "composed_s": composed_s,
+                              "parts": parts}))
+        except Exception as e:
+            print(json.dumps({"ok": False,
+                              "error": f"{type(e).__name__}: "
+                                       f"{str(e)[:300]}"}))
+        raise SystemExit(0)
+    if "--ladder-depth" in sys.argv:
+        i = sys.argv.index("--ladder-depth")
+        nl, si = int(sys.argv[i + 1]), int(sys.argv[i + 2])
+        try:
+            cfg_l, p_l, s_l = build(nl, si, quant=True)
+            fetch_scalar(jax.tree_util.tree_leaves(s_l)[0])
+            if "--alloc-only" in sys.argv:
+                print(json.dumps({"ok": True, "alloc_only": True}))
+            else:
+                t = time_step(cfg_l, p_l, s_l, f"int8_deep{nl}")
+                print(json.dumps({"ok": True, "measured_s": t}))
+        except Exception as e:
+            print(json.dumps({"ok": False,
+                              "error": f"{type(e).__name__}: "
+                                       f"{str(e)[:300]}"}))
         raise SystemExit(0)
     import signal
     signal.signal(signal.SIGTERM, _flush_on_term)
