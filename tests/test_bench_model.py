@@ -181,7 +181,7 @@ def _full_points():
                             (24, 10, 12.32))],
         "composed_clip": {"blocks": 12, "precision": "int8",
                           "composed_s": 172.3, "sum_of_parts_s": 171.2,
-                          "delta_pct": 0.6,
+                          "delta_pct": 0.6, "vae_tiles": "(16,26)/(8,13)",
                           "note": "16-block tower + VAE + heads co-resident "
                                   "OOM the 16 GB v5e (measured); 12-block "
                                   "leaves ~4 GB"},
