@@ -83,7 +83,51 @@ except Exception:
     pass
 
 
+# Wedge watchdog: the tunnel intermittently stalls a device call forever
+# (observed 2026-08-21: a warm 1.2 s step blocked 40+ min at 0% CPU). A
+# blocked C call also blocks Python SIGNAL HANDLERS -- the driver's
+# `timeout` SIGTERM is queued but never runs, so without a watchdog the
+# bench hangs past its budget and emits NOTHING. A daemon thread tracks
+# progress (log()/fetch_scalar touch it); after WEDGE_TIMEOUT_S of
+# silence it flushes the best-so-far compact line and hard-exits. The
+# threshold sits above the slowest legitimately-silent period observed
+# (a 1804 s cold first-point compile, r2).
+WEDGE_TIMEOUT_S = float(os.environ.get("BENCH_WEDGE_TIMEOUT_S", "2400"))
+_LAST_PROGRESS = [time.perf_counter()]
+
+
+def _touch_progress():
+    _LAST_PROGRESS[0] = time.perf_counter()
+
+
+def _start_wedge_watchdog():
+    import threading
+
+    def watch():
+        while True:
+            time.sleep(30)
+            silent = time.perf_counter() - _LAST_PROGRESS[0]
+            if silent > WEDGE_TIMEOUT_S:
+                msg = (f"wedge watchdog: no progress for {silent:.0f}s "
+                       f"(tunnel stall); emitting best-so-far and exiting")
+                print(f"[bench] {msg}", file=sys.stderr, flush=True)
+                if _LAST_RECORD is not None and not _STDOUT_EMITTED:
+                    rec = dict(_LAST_RECORD, partial=True, error=msg)
+                    _write_details(rec)
+                    print(make_compact(rec), flush=True)
+                elif not _STDOUT_EMITTED:
+                    print(json.dumps({
+                        "metric":
+                            "sec_per_denoise_step_480p_14b_extrapolated",
+                        "value": -1.0, "unit": "s", "vs_baseline": 0.0,
+                        "error": msg}), flush=True)
+                os._exit(166)
+
+    threading.Thread(target=watch, daemon=True).start()
+
+
 def log(msg):
+    _touch_progress()
     print(f"[bench] {msg}", file=sys.stderr, flush=True)
 
 
@@ -98,7 +142,9 @@ def chip_peak_tflops() -> float:
 def fetch_scalar(x) -> float:
     """Device->host fetch of one element: the only reliable sync barrier on
     the tunneled 'axon' platform (block_until_ready returns early there)."""
-    return float(np.asarray(jax.device_get(x.ravel()[0]), np.float32))
+    out = float(np.asarray(jax.device_get(x.ravel()[0]), np.float32))
+    _touch_progress()
+    return out
 
 
 # The tunneled remote-compile service fails transiently (measured 2026-08-19:
@@ -1795,6 +1841,7 @@ if __name__ == "__main__":
         raise SystemExit(0)
     import signal
     signal.signal(signal.SIGTERM, _flush_on_term)
+    _start_wedge_watchdog()
     try:
         main()
         if not _STDOUT_EMITTED:
