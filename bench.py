@@ -90,9 +90,12 @@ except Exception:
 # bench hangs past its budget and emits NOTHING. A daemon thread tracks
 # progress (log()/fetch_scalar touch it); after WEDGE_TIMEOUT_S of
 # silence it flushes the best-so-far compact line and hard-exits. The
-# threshold sits above the slowest legitimately-silent period observed
-# (a 1804 s cold first-point compile, r2).
-WEDGE_TIMEOUT_S = float(os.environ.get("BENCH_WEDGE_TIMEOUT_S", "2400"))
+# threshold balances the slowest legitimately-silent period observed (a
+# 1804 s COLD first-point compile, r2 -- rare now that AOT pickles cover
+# the phases) against the driver's 1800 s budget: a wedge must flush a
+# parseable line BEFORE the driver gives up, and a partial line from a
+# killed-but-live cold compile beats a wedged nothing.
+WEDGE_TIMEOUT_S = float(os.environ.get("BENCH_WEDGE_TIMEOUT_S", "1500"))
 _LAST_PROGRESS = [time.perf_counter()]
 
 

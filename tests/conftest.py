@@ -46,8 +46,29 @@ if REPO_ROOT not in sys.path:
 # Persistent compilation cache: XLA compile time on the 1-core CI host
 # dominates the suite (a tiny fusion forward costs minutes to build), so
 # every jitted program is cached on disk and reruns hit the cache.
+#
+# The directory is HOST-SCOPED by a CPU-feature hash: XLA:CPU AOT entries
+# embed the compile machine's features, and loading an entry written by a
+# different machine is at best a wall of cpu_aot_loader warnings and at
+# worst a SIGILL/segfault -- measured 2026-08-21: a parity run SEGV'd
+# inside compilation_cache.get_executable_and_time deserializing a
+# foreign-host entry. Each machine now reads only its own entries.
+
+
+def _host_cache_tag() -> str:
+    import hashlib
+    try:
+        with open("/proc/cpuinfo") as fh:
+            flags = next(ln for ln in fh if ln.startswith("flags"))
+    except (OSError, StopIteration):
+        import platform
+        flags = platform.machine() + platform.processor()
+    return hashlib.md5(flags.encode()).hexdigest()[:10]
+
+
 jax.config.update("jax_compilation_cache_dir",
-                  os.path.join(REPO_ROOT, ".jax_cache"))
+                  os.path.join(REPO_ROOT, ".jax_cache",
+                               f"cpu-{_host_cache_tag()}"))
 jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
 jax.config.update("jax_persistent_cache_min_entry_size_bytes", -1)
 

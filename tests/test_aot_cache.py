@@ -264,6 +264,11 @@ def test_fingerprint_set_constants_deterministic():
     fps = set()
     for seed in ("0", "1", "12345"):
         env = dict(os.environ, PYTHONHASHSEED=seed, JAX_PLATFORMS="cpu")
+        # the axon sitecustomize re-pins the TPU whenever this is set,
+        # defeating JAX_PLATFORMS=cpu -- the child would then block on the
+        # tunnel (measured: a tunnel outage turned this test into a
+        # 120 s TimeoutExpired)
+        env.pop("PALLAS_AXON_POOL_IPS", None)
         out = subprocess.run([sys.executable, "-c", prog], env=env,
                              capture_output=True, text=True, timeout=120)
         assert out.returncode == 0, out.stderr
