@@ -803,19 +803,23 @@ def v5p8_comm_model(variant="wan21"):
     }
 
 
-def build_vae_decode(variant="wan21", tile=(30, 52), stride=(15, 26)):
-    """Params + latents + runner for the production tiled VAE decode --
-    the reference's parity config (tile (30,52) stride (15,26),
-    inference_wan21.py:326, wan_video_vae.py:643-692). SHARED by
-    time_vae_decode (TPU timing) and tools/floor_analysis.py (CPU HLO
-    floors) so the floor and the measurement are the same program.
-    tile/stride overrides exist for the composed-clip co-residency run
-    (the production tile program's workspace is most of the v5e's HBM)."""
+def build_vae_decode(variant="wan21", tile=None, stride=None):
+    """Params + latents + runner for the production tiled VAE decode.
+    Default tile plan is the DEPLOY plan (vae.deploy_tile_plan: full-height
+    strips, measured ~2x faster than the reference's (30,52)/(15,26) grid
+    at both geometries -- VAE_TILE_SWEEP.json); pass tile/stride explicitly
+    for the reference plan (inference_wan21.py:326, wan_video_vae.py:643)
+    or the composed-clip co-residency run. SHARED by time_vae_decode (TPU
+    timing) and tools/floor_analysis.py (CPU HLO floors) so the floor and
+    the measurement are the same program."""
     from fantasy_world_tpu.core.params import abstract_init
     from fantasy_world_tpu.models.wan.vae import (VAEConfig, init_wan_vae,
-                                                  vae_decode_tiled)
+                                                  vae_decode_tiled,
+                                                  deploy_tile_plan)
 
     g = GEOM[variant]
+    if tile is None or stride is None:
+        tile, stride = deploy_tile_plan(g["H2"], g["W2"])
     cfg = VAEConfig()
     with abstract_init():
         host = init_wan_vae(0, cfg, jnp.bfloat16)
@@ -838,7 +842,9 @@ def time_vae_decode(variant="wan21"):
     paper, but its XLA program crashes this platform's remote-compile
     helper (measured 2026-08-18: OK at (21,21,37), HTTP 500 at (21,42,74)),
     and the tiled path is what the reference itself deploys -- so the tiled
-    number IS the deployable clip cost here."""
+    number IS the deployable clip cost here. As of r5 the default plan is
+    the measured full-height-strip deploy plan (~2x the reference grid's
+    speed; VAE_TILE_SWEEP.json has both configs' numbers)."""
     params, lat, run = build_vae_decode(variant)
     out = run(params, lat)                 # compile
     fetch_scalar(out)
@@ -1205,6 +1211,12 @@ def main():
                 pts_dest[f"{kind[:-2]}_min_med_max"] = [
                     round(min(runs), 3),
                     round(aux[(variant, kind)], 3), round(max(runs), 3)]
+                if kind == "vae_decode_s":
+                    from fantasy_world_tpu.models.wan.vae import \
+                        deploy_tile_plan
+                    g = GEOM[variant]
+                    pts_dest["vae_tile_plan"] = list(
+                        deploy_tile_plan(g["H2"], g["W2"]))
             gc.collect()
 
     def project_clip(variant, full_v, pts_dest):

@@ -195,6 +195,9 @@ def init_wan_vae(rng, cfg: VAEConfig = VAEConfig(),
 # ---------------------------------------------------------------------------
 
 def _silu(x):
+    # f32 math, one fused pass (r5 xprof: this already compiles to a single
+    # bandwidth-bound elementwise pass; a native-dtype variant measured
+    # identical, so the f32 math -- torch's internal precision -- stays)
     return jax.nn.silu(x.astype(jnp.float32)).astype(x.dtype)
 
 
@@ -405,6 +408,52 @@ def tiled_blend(fn_one, x: jnp.ndarray, tile_size, tile_stride,
     out = values / weight
     return jnp.clip(out, -1, 1).astype(x.dtype) if clamp \
         else out.astype(x.dtype)
+
+
+# Tile plans measured on the v5e (VAE_TILE_SWEEP.json, 2026-08-21): the
+# full-height strip plan halves the tiled-decode cost vs the reference's
+# (30,52)/(15,26) grid -- wan21 480P 4.84 s -> 2.62 s, wan22 480x832
+# 11.83 s -> 5.72 s -- by cutting the overlap redundancy (2.0-2.25x ->
+# 1.03-1.06x) while staying under the platform's tile-program compile
+# ceiling (tiles >= 1776 latent px crash the remote-compile helper;
+# 1596 and 1680 px strips compile).
+_MEASURED_TILE_PLANS = {
+    (42, 74): ((42, 38), (42, 36)),    # 2 strips, measured 2.622 s
+    (60, 104): ((60, 28), (30, 26)),   # 4 strips, measured 5.716 s
+}
+
+
+def deploy_tile_plan(h: int, w: int, max_area: int = 1596,
+                     overlap: int = 2) -> Tuple[Tuple[int, int],
+                                                Tuple[int, int]]:
+    """Full-height vertical-strip tile plan for the tiled decode.
+
+    The reference's (30,52)/(15,26) plan (inference_wan21.py:326) is its
+    GPU-memory default; on this TPU platform the binding constraint is the
+    remote-compile helper instead, which crashes on tile programs above a
+    measured latent-area ceiling (VAE_TILE_SWEEP.json: >=1776 px fails,
+    <=1680 px compiles). Half-stride overlap then re-decodes every interior
+    pixel up to 4x. This plan keeps each strip at or under ``max_area``
+    while cutting the redundancy to ~1.03-1.08x: full-height strips (one
+    tile row), equalized widths so the grid has at most two distinct tile
+    shapes (one compiled program each), and a small ``overlap`` (x8 output
+    px of linear blend) between columns. The two production latent
+    geometries return their on-chip-measured plans directly.
+
+    Returns (tile_size, tile_stride) in latent pixels, as accepted by
+    ``vae_decode_tiled``; falls back to the reference plan when the latent
+    is too tall for any full-height strip.
+    """
+    if max_area == 1596 and overlap == 2 and (h, w) in _MEASURED_TILE_PLANS:
+        return _MEASURED_TILE_PLANS[(h, w)]   # default caps: measured plan
+    if h * w <= max_area:
+        return (h, w), (h, w)                    # single tile
+    cap = max_area // h
+    if cap <= overlap:
+        return (30, 52), (15, 26)                # reference fallback
+    n = -(-(w - overlap) // (cap - overlap))     # number of columns
+    tw = -(-(w + (n - 1) * overlap) // n)        # equalized width
+    return (h, tw), (h, tw - overlap)
 
 
 def vae_decode_tiled(p: Dict, cfg: VAEConfig, latents: jnp.ndarray,

@@ -592,19 +592,34 @@ class FantasyWorldPipeline:
     # -- decode -------------------------------------------------------------
 
     def decode_video(self, latents, tiled: bool = False,
-                     tile_size=(30, 52), tile_stride=(15, 26)) -> np.ndarray:
+                     tile_size=None, tile_stride=None) -> np.ndarray:
         """latents (1,z,f,h,w) -> uint8 frames (T, H, W, 3). Decodes
         through whichever VAE the pipe carries: the 2.1 VAE (z=16, 8x) or
         the 38-block TI2V VAE (z=48, 16x) -- the encode side of the units
         pipeline already dispatched on vae_cfg, and decoding the 38-block
         tree with the 2.1 plan would fail only AFTER the full denoise was
-        paid (r4 review)."""
+        paid (r4 review).
+
+        When ``tiled`` and no explicit tile plan is given, the deploy plan
+        (full-height strips, vae.deploy_tile_plan) is used: measured ~2x
+        faster than the reference's (30,52)/(15,26) grid at both
+        production geometries with the same blend math. Pass the reference
+        values explicitly to reproduce its exact tiling."""
         if getattr(self.vae_cfg, "spatial_down", 8) == 16:
             from ..models.wan.vae38 import vae38_decode, vae38_decode_tiled
             dec, dec_tiled = vae38_decode, vae38_decode_tiled
         else:
             dec, dec_tiled = vae_decode, vae_decode_tiled
         if tiled:
+            if tile_size is None or tile_stride is None:
+                if getattr(self.vae_cfg, "spatial_down", 8) == 8:
+                    from ..models.wan.vae import deploy_tile_plan
+                    tile_size, tile_stride = deploy_tile_plan(
+                        latents.shape[-2], latents.shape[-1])
+                else:
+                    # 16x VAE: 4x the output px per latent px -- its
+                    # compile ceiling is unmeasured, keep the ref plan
+                    tile_size, tile_stride = (30, 52), (15, 26)
             video = dec_tiled(self.params["vae"], self.vae_cfg,
                               latents, tile_size, tile_stride)
         else:

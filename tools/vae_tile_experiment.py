@@ -53,8 +53,26 @@ def main():
                                    ("wan22_480x832", (21, 60, 104))):
         lat = jnp.asarray(rng.standard_normal((1, 16, F, H2, W2)) * 0.5,
                           jnp.bfloat16)
+        # r4 finding: every tile with latent area >= 1776 px crashes the
+        # remote-compile helper (hstrip rows below, kept for the record);
+        # the reference's (30,52) = 1560 px compiles. Full-HEIGHT narrow
+        # strips stay at/under that area while cutting the overlap
+        # redundancy (wan22 9 tiles x1560 -> 4 x1680; wan21 4 x1560 ->
+        # 3 x1176), so they attack the 2x-over-floor decode cost from the
+        # redundancy side without touching the per-tile program size.
+        if H2 == 42:       # wan21: full height 42
+            vstrips = [
+                ("vstrip_42x28", (42, 28), (42, 26)),     # 3 tiles, area 1176
+                ("vstrip_42x38", (42, 38), (42, 36)),     # 2 tiles, area 1596
+            ]
+        else:              # wan22: full height 60
+            vstrips = [
+                ("vstrip_60x26", (60, 26), (30, 24)),     # 5 tiles, area 1560
+                ("vstrip_60x28", (60, 28), (30, 26)),     # 4 tiles, area 1680
+            ]
         configs = [
             ("reference_30x52", (30, 52), (15, 26)),
+            *vstrips,
             ("hstrip_24xW", (24, W2), (18, W2)),
             ("hstrip_30xW", (30, W2), (21, W2)),
         ]
